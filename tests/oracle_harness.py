@@ -1,0 +1,102 @@
+"""Pre-flight replica of the driver's Spark-vs-DuckDB compare.
+
+Checks, per declared query: row count, sorted column names, and an
+order-insensitive value comparison.  Values are compared STRICTLY
+(floats via ``float.hex()`` — bit-identical or bust, mimicking a value
+hash) and, on strict failure, loosely (1e-9 relative) to distinguish
+float-summation drift from a logic error.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+
+def _canon(v: Any, strict: bool) -> Any:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NaN"
+        return v.hex() if strict else round(v, 9)
+    if isinstance(v, (np.floating,)):
+        return _canon(float(v), strict)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "\x00NULL"
+        return v.isoformat()
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, pd.Interval):
+        return str(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(str(_canon(x, strict)) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted((str(k), str(_canon(x, strict))) for k, x in v.items())
+        return "{" + ",".join(f"{k}:{x}" for k, x in items) + "}"
+    if v is pd.NaT:
+        return "\x00NULL"
+    try:
+        if pd.isna(v):
+            return "\x00NULL"
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def _rowset(df: pd.DataFrame, strict: bool) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(str(_canon(v, strict)) for v in row))
+    out.sort()
+    return out
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None:
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    assert sc == dc, f"{name}: columns differ — spark {sc} vs duckdb {dc}"
+
+    strict_s, strict_d = _rowset(spark_pdf, True), _rowset(duck_pdf, True)
+    if strict_s == strict_d:
+        return
+    loose_s, loose_d = _rowset(spark_pdf, False), _rowset(duck_pdf, False)
+    if loose_s == loose_d:
+        diff_at = next(
+            (i, a, b) for i, (a, b) in enumerate(zip(strict_s, strict_d)) if a != b
+        )
+        raise AssertionError(
+            f"{name}: FLOAT DRIFT — values match at 1e-9 but not bit-exact; "
+            f"first diff at sorted row {diff_at[0]}:\n spark={diff_at[1]}\n duck ={diff_at[2]}"
+        )
+    mism = [
+        (i, a, b) for i, (a, b) in enumerate(zip(loose_s, loose_d)) if a != b
+    ][:5]
+    detail = "\n".join(f"  row {i}:\n   spark={a}\n   duck ={b}" for i, a, b in mism)
+    raise AssertionError(f"{name}: VALUE MISMATCH ({len(mism)}+ rows differ):\n{detail}")
+
+
+def run_compare(name, spec, spark, con, sf_dir) -> None:
+    sdf = spec.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if spec.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only: just materializes
+        return
+    duck_pdf = con.execute(spec.oracle).df()
+    compare_frames(name, spark_pdf, duck_pdf)
