@@ -13,7 +13,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .schemas import SCHEMAS
+from pyspark.sql import functions as F
+
+from .schemas import EVENTS_RAW_NS, SCHEMAS
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -21,9 +23,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy scan of one fixture table with its explicit schema."""
+    """Lazy scan of one fixture table with its explicit schema.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; we read it as epoch-nanos int64 (legacy nanosAsLong conf)
+    and truncate ns -> µs, matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
+    cast so both engines see identical values.
+    """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(EVENTS_RAW_NS).parquet(table_path(sf_dir, name))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 

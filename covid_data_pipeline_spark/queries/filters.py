@@ -1,0 +1,120 @@
+"""§2.2 Projections / filters / predicates (SURVEY.md).
+
+Reference analogue: filtering sources by state/kind, URL pattern
+matching, failed-fetch (missing content) handling.  All predicates are
+Column expressions, so Catalyst pushes them into the parquet scan
+(check: ``.explain`` shows PushedFilters) — at 100 TB that's the
+difference between reading row groups and skipping them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+
+
+@query(
+    "proj_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def proj_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic projection (derived fields on scan records).  Per-row
+    IEEE double arithmetic — deterministic, no decimal trick needed."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue.alias("revenue"),
+        (revenue * (1 + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE (l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+           AND l_returnflag IN ('A', 'R')
+           AND NOT l_linestatus = 'O')
+       OR (l_quantity >= 49.0 AND l_discount < 0.02)
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate: AND/OR/NOT, IN, BETWEEN over dates + flags
+    (reference: include/skip lists over sources)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    in_window = F.col("l_shipdate").between(
+        F.lit("1996-01-01 00:00:00").cast("timestamp"),
+        F.lit("1997-12-31 00:00:00").cast("timestamp"),
+    )
+    flagged = F.col("l_returnflag").isin("A", "R") & ~(F.col("l_linestatus") == "O")
+    bulk = (F.col("l_quantity") >= 49.0) & (F.col("l_discount") < 0.02)
+    return li.filter((in_window & flagged) | bulk).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+
+
+@query(
+    "filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE (p_name LIKE '%gear%' OR p_type LIKE 'PRO%')
+      AND regexp_matches(p_brand, 'Brand#1[0-9]$')
+    """,
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / regex pattern filters (reference: URL & content pattern
+    matching).  Spark ``rlike`` and DuckDB ``regexp_matches`` are both
+    unanchored searches — pattern kept POSIX-safe."""
+    tune(spark)
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_name").like("%gear%") | F.col("p_type").like("PRO%"))
+        & F.col("p_brand").rlike("Brand#1[0-9]$")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@query(
+    "filter_null_semantics",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 10.0 THEN value END AS big_value,
+           (CASE WHEN value >= 10.0 THEN value END) IS NULL AS is_small,
+           (CASE WHEN value >= 10.0 THEN value END)
+               IS NOT DISTINCT FROM NULL AS null_safe_eq_null
+    FROM events
+    WHERE (CASE WHEN value >= 10.0 THEN value END) IS NULL
+       OR (CASE WHEN value >= 10.0 THEN value END) IS DISTINCT FROM 0.0
+    """,
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic on a column made nullable via CASE (reference:
+    failed fetches leave content missing): IS NULL, IS DISTINCT FROM and
+    the null-safe comparator ``<=>`` / IS NOT DISTINCT FROM."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    big = F.when(F.col("value") >= 10.0, F.col("value"))
+    ev = ev.select(
+        "event_id",
+        big.alias("big_value"),
+        big.isNull().alias("is_small"),
+        big.eqNullSafe(F.lit(None).cast("double")).alias("null_safe_eq_null"),
+    )
+    # predicate re-stated over the aliased column: IS NULL OR IS DISTINCT FROM 0.0
+    return ev.filter(
+        F.col("big_value").isNull() | ~F.col("big_value").eqNullSafe(F.lit(0.0))
+    )

@@ -1,0 +1,344 @@
+"""§2.3 Joins (SURVEY.md).
+
+Reference analogue: enriching scan results with source metadata (inner /
+left), reconciling old-vs-new source lists (outer / semi / anti), and —
+the core of the reference's change detection — comparing each snapshot
+to the *previous* one per source (as-of join).
+
+Scale notes baked into each operator:
+- equi-joins shuffle on the join key; small dims (region/nation/bands)
+  are broadcast so the big side never shuffles;
+- the theta/range join deliberately keeps the *small* side on the
+  nested-loop broadcast side — a BroadcastNestedLoopJoin with a big
+  broadcast is the classic 100 TB cliff;
+- the as-of join is a window over (key, time) — one shuffle on the key,
+  no self-join blow-up, which is the scalable formulation;
+- the interval self-join is banded by coarse time-bucket so the join is
+  an equi-join on (user, bucket) instead of a full per-user cross.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+from ._helpers import dsum, sql_dsum
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi-join; Catalyst picks broadcast vs
+    sort-merge by size (customer < 10MB here → broadcast)."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_multikey_chain",
+    oracle=f"""
+    SELECT r.r_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_multikey_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join chain lineitem→orders→customer→nation→region, revenue
+    rolled up by region.  nation/region are broadcast (25/5 rows); the
+    two big-table joins shuffle on their keys once each."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customers + their orders, NULLs for customers with none
+    (reference: all sources + latest fetch, keeping never-fetched)."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_acctbal
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: every customer kept even with no matching order."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT a.c_custkey AS building_key, b.c_custkey AS machinery_key
+    FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') a
+    FULL JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') b
+      ON a.c_custkey = b.c_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join reconciling two source lists (reference: old vs
+    new registry) — unmatched rows from BOTH sides survive with NULLs."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("building_key")
+    )
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("machinery_key")
+    )
+    return a.join(b, a.building_key == b.machinery_key, "full")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers with ≥1 order (reference: sources that changed
+    this run).  left_semi never duplicates and never carries right cols."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no orders (reference: sources that did
+    NOT change / brand-new sources)."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('s.s_acctbal')} AS total_bal,
+           COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the small dim (reference: state-code lookup
+    tables) — the big side is never shuffled for the join."""
+    tune(spark)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("s_acctbal").alias("total_bal"), F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross product scaffold (reference: sources × stages grid).  Only
+    sane when one side is tiny — this is 5 × 25."""
+    tune(spark)
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+_BANDS = [("small", 0.0, 50_000.0), ("medium", 50_000.0, 150_000.0), ("large", 150_000.0, 10_000_000.0)]
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@query(
+    "join_theta_range",
+    oracle=f"""
+    SELECT b.band, COUNT(*) AS n_orders, {sql_dsum('o.o_totalprice')} AS band_total
+    FROM orders o
+    JOIN (VALUES {_BANDS_SQL}) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi theta join: orders bucketed into price bands via
+    BETWEEN-style range predicate → BroadcastNestedLoopJoin with the
+    3-row band table broadcast (reference: bucketing scan sizes into
+    classes).  At 100 TB: bands stay tiny → NL cost is rows × 3."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    return (
+        o.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("band_total"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT event_id, user_id, ts AS purchase_ts, prior_view_ts,
+           epoch_us(ts) - epoch_us(prior_view_ts) AS gap_us
+    FROM (
+        SELECT e.*,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_view_ts
+        FROM events e
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    *prior* view — the reference's compare-to-previous-snapshot shape.
+
+    Formulated as a window (one shuffle on user_id, sort by (ts,
+    event_id) — the tiebreaker makes it deterministic), NOT a self-join:
+    the window form is O(n log n) per key and survives 100 TB, while a
+    conditional self-join + row_number explodes on hot keys."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prior_view_ts", prior_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "prior_view_ts",
+            (F.unix_micros("ts") - F.unix_micros("prior_view_ts")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of same-user events within a 1-hour window (reference:
+    correlating captures inside one scan cycle).
+
+    Banded formulation: both sides get a coarse 1-hour bucket and join
+    as an EQUI-join on (user_id, bucket) with b drawn from a's bucket
+    and the next one, then the exact range predicate filters.  This
+    turns an unbounded theta join into a shuffle-hash join whose fan-out
+    is bounded by events-per-user-per-2h — the formulation that holds at
+    100 TB (salting the bucket handles hot users)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    bucket = F.floor(F.unix_timestamp("ts") / 3600)
+    a = ev.withColumn("bucket", bucket)
+    # b appears under its own bucket and the previous one, so any pair
+    # spanning a bucket boundary still meets in a's bucket.
+    b = ev.withColumn("bucket", bucket).withColumn(
+        "bucket", F.explode(F.array(F.col("bucket"), F.col("bucket") - 1))
+    )
+    a = a.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        "bucket",
+    )
+    b = b.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        "bucket",
+    )
+    # equi-join on (user_id, bucket); a pair meets in exactly one bucket
+    # (b's exploded buckets are distinct), so no dedup pass is needed.
+    pairs = a.join(b, on=["user_id", "bucket"], how="inner").filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return pairs.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )

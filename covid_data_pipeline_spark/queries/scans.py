@@ -1,0 +1,150 @@
+"""§2.1 Scans / sources / sinks (SURVEY.md).
+
+Reference analogue: loading page snapshots from the directory cache,
+ingesting the source-registry CSV, persisting change lists.  Here each
+is a declarative scan so Catalyst gets predicate pushdown, column
+pruning and (for the partitioned sink) partition pruning on read-back.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load, tune
+from ..registry import query
+from ..schemas import EVENTS
+
+# fixed scratch root: side-effect queries overwrite their own subdir per run
+SCRATCH = os.path.join(tempfile.gettempdir(), "cdp_spark_scratch")
+
+
+@query("scan_parquet", oracle="SELECT * FROM lineitem")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of lineitem (reference: load every cached page version)."""
+    tune(spark)
+    return load(spark, sf_dir, "lineitem")
+
+
+@query(
+    "scan_projected",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: 2 of 11 columns; ReadSchema in the plan shows
+    only these reach the parquet reader (reference: read one stage of a
+    snapshot, not the whole record)."""
+    tune(spark)
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@query("scan_csv_roundtrip", oracle=None)  # rows-only: filesystem side effect
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events to CSV, read back with an explicit schema (never
+    inferSchema), count by event_type — the source-registry CSV ingest
+    path of the reference."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "csv_roundtrip")
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.write.mode("overwrite")
+        .options(header=True, timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(EVENTS)
+        .options(header=True, timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "scan_json_lines",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` payload (reference: state API/JSON source
+    parsing) and aggregate the extracted field.  Integer sums are exact,
+    so no decimal trick is needed for avg_k."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query("sink_parquet_partitioned", oracle=None)  # rows-only: filesystem side effect
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-list-style persist: write per-(type) status rows partitioned
+    by event_type, read back ONE partition and count — exercises dynamic
+    partition layout + partition pruning on read (reference: directory
+    cache persist keyed by source)."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "sink_partitioned")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+_REG_A = [
+    ("ca", "https://covid19.ca.gov/data", "html"),
+    ("ny", "https://health.ny.gov/covid", "html"),
+    ("tx", "https://dshs.texas.gov/coronavirus", "html"),
+    ("wa", "https://doh.wa.gov/emergencies/covid19", "dashboard"),
+]
+_REG_B = [
+    ("ny", "https://health.ny.gov/covid", "html"),
+    ("fl", "https://floridahealthcovid19.gov", "dashboard"),
+    ("wa", "https://doh.wa.gov/emergencies/covid19", "dashboard"),
+]
+
+_REG_SCHEMA = T.StructType(
+    [
+        T.StructField("state", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("kind", T.StringType()),
+    ]
+)
+
+
+def _sql_values(rows: list[tuple[str, str, str]]) -> str:
+    return ", ".join("(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows)
+
+
+@query(
+    "source_union_registry",
+    oracle=f"""
+    SELECT DISTINCT state, url, kind FROM (
+        SELECT * FROM (VALUES {_sql_values(_REG_A)}) AS a(state, url, kind)
+        UNION ALL
+        SELECT * FROM (VALUES {_sql_values(_REG_B)}) AS b(state, url, kind)
+    )
+    """,
+)
+def source_union_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge two curated source lists and dedup — the reference's
+    registry-merge step, as createDataFrame + unionByName + dropDuplicates."""
+    tune(spark)
+    a = spark.createDataFrame(_REG_A, _REG_SCHEMA)
+    b = spark.createDataFrame(_REG_B, _REG_SCHEMA)
+    return a.unionByName(b).dropDuplicates()

@@ -1,0 +1,105 @@
+"""§2.7 Set operations (SURVEY.md).
+
+Reference analogue: merging the current and previous source registries
+and detecting added/removed sources between runs.  The two "runs" here
+are customer slices by market segment; set semantics (bag vs distinct)
+mirror UNION ALL / UNION / INTERSECT / EXCEPT exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+
+
+def _slice(spark: SparkSession, sf_dir: str, segment: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == segment)
+        .select("c_nationkey", "c_custkey")
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey, c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_nationkey, c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union of two overlapping slices (reference: concatenating two
+    run outputs, duplicates preserved).  unionByName is a zero-shuffle
+    plan concatenation."""
+    tune(spark)
+    a = _slice(spark, sf_dir, "BUILDING")
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_nationkey", "c_custkey")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey, c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_nationkey, c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated registry merge: union + distinct (one shuffle on the
+    full row as key)."""
+    tune(spark)
+    a = _slice(spark, sf_dir, "BUILDING")
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_nationkey", "c_custkey")
+    )
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations present in both segments' customer bases (reference:
+    sources present in both runs).  INTERSECT distinct semantics."""
+    tune(spark)
+    a = _slice(spark, sf_dir, "BUILDING").select("c_nationkey")
+    b = _slice(spark, sf_dir, "MACHINERY").select("c_nationkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A \\ B: high-balance customers outside BUILDING (reference:
+    added/removed source detection between runs).  EXCEPT distinct
+    semantics = Spark ``subtract``/``exceptAll().distinct()``."""
+    tune(spark)
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    b = _slice(spark, sf_dir, "BUILDING").select("c_custkey")
+    return a.subtract(b)

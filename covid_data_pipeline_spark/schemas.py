@@ -86,11 +86,27 @@ LINEITEM = T.StructType(
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),  # parquet ns -> Spark µs (FIXTURES.md)
+        T.StructField("ts", T.TimestampType()),  # logical schema after ns->µs convert
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),  # JSON text {"k": <int>}
+    ]
+)
+
+# Physical read schema for events: the parquet column is TIMESTAMP(NANOS),
+# which Spark's parquet reader rejects outright; with
+# spark.sql.legacy.parquet.nanosAsLong it surfaces as epoch-nanos int64,
+# and io.load converts ns -> µs (truncating, exactly like DuckDB's
+# TIMESTAMP_NS -> TIMESTAMP cast, so oracle parity holds).
+EVENTS_RAW_NS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
     ]
 )
 
