@@ -89,3 +89,226 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type (reference: unique pages changed per
+    run).  Catalyst plans the distinct via Expand + two-phase aggregate."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one pass — Spark expands the input once
+    per distinct group rather than re-scanning."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # rows-only: approx != hash-match
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate (the 100 TB path: constant
+    memory per group vs the exact expand).  Accuracy asserted separately
+    in tests against the exact count (rsd=0.02)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@query(
+    "select_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT on two columns (reference: source-registry dedup)."""
+    tune(spark)
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (reference: sources changing more than N
+    times) — HAVING is just a filter above the aggregate in the plan."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT n_name, c_mktsegment,
+           CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_segment,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity subtotals in one pass (reference: per-state /
+    per-kind / grand-total scan summaries).  SQL surface — GROUPING SETS
+    has no stable DataFrame equivalent."""
+    tune(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cdp_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("cdp_nation")
+    return spark.sql(
+        f"""
+        SELECT n_name, c_mktsegment,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+               COUNT(*) AS n_customers,
+               {sql_dsum('c_acctbal')} AS total_bal
+        FROM cdp_customer c JOIN cdp_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name, COUNT(*) AS n_customers, {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region -> nation -> grand total."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("total_bal"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping combinations over (returnflag, linestatus)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey, list_sort(list(o_orderstatus)) AS statuses
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer version-history list (reference: per-source snapshot
+    history).  collect_list is unordered across partitions — sort_array
+    makes it deterministic, always."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderstatus")).alias("statuses")
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-list matrix source x status (reference: per-run change
+    summary).  Explicit pivot values keep the plan one-pass (no extra
+    distinct job to discover columns); counts coalesced to 0 to match
+    SQL FILTER semantics."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+           ROUND(STDDEV_POP(l_extendedprice), 2) AS sdp_price,
+           ROUND(VAR_SAMP(l_discount), 9) AS var_disc,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates.  These are genuinely order-sensitive
+    double reductions with no exact-decimal path, so both sides round:
+    magnitudes chosen so engine drift (~1e-12 relative) sits far from
+    the rounding boundary."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.stddev_pop("l_extendedprice"), 2).alias("sdp_price"),
+        F.round(F.var_samp("l_discount"), 9).alias("var_disc"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+    )

@@ -1,0 +1,285 @@
+"""§2.5 Window functions (SURVEY.md).
+
+Reference analogue: the heart of the pipeline — per-source snapshot
+sequences.  ``win_lag_change_detect`` IS the reference's core loop
+(hash the cleaned content, compare to the previous version, flag
+changes); latest-N-versions, first/last-seen and time-to-next-scan are
+the other window shapes it computes imperatively.
+
+Every window ORDER BY carries a unique tiebreaker (primary key) so tie
+order — and therefore lag/lead/row_number output — is deterministic on
+both engines.  Scale note: windows shuffle once on the partition key
+and sort within; a window WITHOUT a partition key funnels everything
+into one task, so the only global windows below run on already-
+aggregated (tiny) inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+from ._helpers import DEC
+
+
+@query(
+    "win_row_number_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (reference: latest-N versions per
+    source).  row_number + filter — the canonical per-group top-k that
+    never materializes the full sort."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk
+    FROM supplier
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank of suppliers by balance within nation — tie
+    handling is value-based, so no tiebreaker is needed for
+    determinism of the rank values themselves."""
+    tune(spark)
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_lag_change_detect",
+    oracle="""
+    SELECT event_id, user_id, content_hash,
+           (prev_hash IS NULL OR prev_hash <> content_hash) AS changed
+    FROM (
+        SELECT event_id, user_id,
+               sha256(props) AS content_hash,
+               LAG(sha256(props)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_hash
+        FROM events
+    )
+    """,
+)
+def win_lag_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DETECTION — the reference's core loop, declaratively: per
+    source (user_id) order snapshots by scan time, hash the content
+    (props), and flag rows whose hash differs from the previous
+    snapshot's.  First snapshot counts as changed (new source).  One
+    shuffle on the source key; scales linearly in snapshots."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = F.sha2("props", 256)
+    prev = F.lag(h).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        h.alias("content_hash"),
+        (prev.isNull() | (prev != h)).alias("changed"),
+    )
+
+
+@query(
+    "win_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS gap_us
+    FROM events
+    """,
+)
+def win_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-next-event per user (reference: time-to-next-scan)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nxt.alias("next_ts"),
+        (F.unix_micros(nxt) - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order time (reference:
+    cumulative change counts).  Decimal-summed so every prefix is exact
+    and engine-order-independent."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    return o.select("o_custkey", "o_orderkey", "o_orderdate", running.alias("running_total"))
+
+
+@query(
+    "win_moving_avg",
+    oracle=f"""
+    WITH daily AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1
+    )
+    SELECT day, day_value,
+           CAST(SUM(CAST(day_value AS DECIMAL(28,6)))
+                    OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+           / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS ma7
+    FROM daily
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily event value (reference: smoothing
+    scan metrics).  The global (partition-less) window runs on the
+    already-aggregated daily table — ~30 rows here, one row per day at
+    any scale — so the single-task sort is safe by construction."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    # day emitted as an ISO string: Spark DATE and DuckDB DATE round-trip
+    # through pandas differently (date object vs midnight timestamp), so
+    # a string column is the representation both engines agree on.
+    daily = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("day_value"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    ma = F.sum(F.col("day_value").cast(DEC)).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return daily.select("day", "day_value", ma.alias("ma7"))
+
+
+@query(
+    "win_range_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                          RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_30d
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, total order value in the 30 days up to
+    each order.  RANGE includes all peers of the current value, so ties
+    need no tiebreaker — frame bounds are expressed in epoch-µs on both
+    engines."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros("o_orderdate"))
+        .rangeBetween(-2_592_000_000_000, Window.currentRow)
+    )
+    s = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    return o.select("o_custkey", "o_orderkey", "o_orderdate", s.alias("sum_30d"))
+
+
+@query(
+    "win_ntile_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles / percent_rank / cume_dist of balances within segment.
+    NTILE assigns ties by position, so the unique c_custkey tiebreaker
+    is REQUIRED for cross-engine determinism."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value,
+           FIRST_VALUE(value) OVER w AS day_first,
+           LAST_VALUE(value)  OVER w AS day_last
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event value per user-day (reference: first-seen /
+    last-seen snapshot per source per day).  Explicit full frame —
+    LAST_VALUE over the default frame is a classic wrong-answer trap."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = (
+        Window.partitionBy("user_id", day)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format(day, "yyyy-MM-dd").alias("day"),
+        "value",
+        F.first("value").over(w).alias("day_first"),
+        F.last("value").over(w).alias("day_last"),
+    )
