@@ -1,0 +1,419 @@
+"""§2.8 Scalar functions (SURVEY.md) — string / date / math / array /
+map / json / conditional.
+
+Reference analogue: the html_cleaner / html_extracter stages (regex
+cleanup of volatile HTML for stable hashing), content fingerprinting
+(the change-detection digest), scraped-number parsing, and scan-time
+bucketing.  Everything stays in built-in ``pyspark.sql.functions`` —
+JVM-side, whole-stage-codegen'd; no Python crosses the row path.
+
+Dialect parity notes (the real work of this module):
+- Spark ``regexp_replace`` replaces ALL matches; DuckDB needs the
+  explicit ``'g'`` flag.
+- Spark ``datediff(end, start)`` vs DuckDB ``date_diff('day', start,
+  end)`` — reversed argument order.
+- double->int CAST truncates in Spark but ROUNDS in DuckDB — always go
+  through an explicit floor/trunc first.
+- ``round`` is HALF_UP in Spark, HALF_EVEN in DuckDB — only round
+  values that cannot sit on a half boundary (irrational outputs), never
+  2-decimal money at digit <= 1.
+- DATE-typed outputs are emitted as ISO strings (pandas round-trip of
+  DATE differs between engines).
+- list functions: size/len, array_contains/list_contains,
+  array_distinct/list_distinct (order unspecified -> always sort),
+  slice(arr, pos, len) vs list_slice(l, begin, end_inclusive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+
+
+@query(
+    "str_clean_pipeline",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       '<html><script>var t=' || CAST(doc_id AS VARCHAR)
+                           || ';</script><body>' || upper(text) || '</body></html>',
+                       '<script>.*?</script>', '', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS cleaned,
+           length(trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       '<html><script>var t=' || CAST(doc_id AS VARCHAR)
+                           || ';</script><body>' || upper(text) || '</body></html>',
+                       '<script>.*?</script>', '', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS n_clean
+    FROM documents
+    """,
+)
+def str_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The html_cleaner stage: strip volatile <script> spans, strip
+    tags, collapse whitespace, trim — the canonicalization that makes
+    content hashing stable.  (HTML wrapper synthesized from doc_id +
+    text since fixtures carry plain text; upper() stands in for the
+    case-normalization step.)"""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><script>var t="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><body>"),
+        F.upper("text"),
+        F.lit("</body></html>"),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(html, "<script>.*?</script>", ""),
+                "<[^>]*>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id", cleaned.alias("cleaned"), F.length(cleaned).alias("n_clean")
+    )
+
+
+@query(
+    "str_extract",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+           split_part(o_orderpriority, '-', 2) AS prio_word,
+           substring(o_orderpriority, 1, 1) AS prio_char,
+           concat_ws('/', o_orderstatus, o_orderpriority) AS status_prio,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded
+    FROM orders
+    """,
+)
+def str_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The html_extracter stage in miniature: regex group extraction,
+    splitting, substring, concat_ws, lpad over order priorities."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", "([0-9]+)", 1).alias("prio_num"),
+        F.split("o_orderpriority", "-").getItem(1).alias("prio_word"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_char"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+    )
+
+
+@query(
+    "str_hash_digest",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS digest,
+           md5(text) AS digest_md5,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def str_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting — the heart of the reference's change
+    detection: sha256 + md5 digests per document."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("digest"),
+        F.md5("text").alias("digest_md5"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "date_parts_arith",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(day FROM o_orderdate) AS dy,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+)
+def date_parts_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-time bucketing: year/month/day/quarter parts, month
+    truncation, day differences (Spark datediff(end, start) == DuckDB
+    date_diff('day', start, end) — note the reversed arguments),
+    date_add, last_day."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).cast("long").alias("yr"),
+        F.month(od).cast("long").alias("mo"),
+        F.dayofmonth(od).cast("long").alias("dy"),
+        F.quarter(od).cast("long").alias("qtr"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), od.cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.date_format(F.date_add(od.cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.last_day(od.cast("date")), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@query(
+    "ts_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           epoch_us(ts) AS epoch_micro,
+           EXTRACT(hour FROM ts) AS hr,
+           EXTRACT(minute FROM ts) AS mi,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS from_epoch
+    FROM events
+    """,
+)
+def ts_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch math on event timestamps: unix seconds (both engines floor),
+    epoch micros, hour/minute parts, to_date, from_unixtime round-trip."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.unix_micros("ts").alias("epoch_micro"),
+        F.hour("ts").cast("long").alias("hr"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.from_unixtime(F.unix_timestamp("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "from_epoch"
+        ),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           abs(l_discount - 0.05) AS disc_dev,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(pow(l_quantity, 2), 6) AS qty_sq,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric math: floor/ceil/abs/sqrt/ln/pow/sign/mod/greatest/least.
+    round() only applied to irrational outputs (sqrt/ln) where the
+    HALF_UP-vs-HALF_EVEN divergence cannot trigger; floor/ceil emitted
+    as double (both engines agree on the value)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "cond_case_coalesce",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 100 THEN 'critical'
+                WHEN value >= 50  THEN 'high'
+                WHEN value >= 10  THEN 'medium'
+                ELSE 'low' END AS severity,
+           coalesce(NULLIF(event_type, 'error'), 'FAILED') AS status,
+           CASE WHEN NULLIF(event_type, 'error') IS NOT NULL
+                THEN 'ok' ELSE 'failed' END AS nvl2_status
+    FROM events
+    """,
+)
+def cond_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status classification (reference: changed/unchanged/failed):
+    CASE tiers, nullif + coalesce fallback, nvl2 presence check."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    not_err = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") >= 100, "critical")
+        .when(F.col("value") >= 50, "high")
+        .when(F.col("value") >= 10, "medium")
+        .otherwise("low")
+        .alias("severity"),
+        F.coalesce(not_err, F.lit("FAILED")).alias("status"),
+        F.nvl2(not_err, F.lit("ok"), F.lit("failed")).alias("nvl2_status"),
+    )
+
+
+@query(
+    "cast_conversions",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS value_str,
+           CAST(floor(value) AS BIGINT) AS value_int,
+           TRY_CAST(event_type AS DOUBLE) AS bad_double,
+           TRY_CAST(props->>'$.k' AS BIGINT) AS k_long,
+           CAST(TRY_CAST('2024-13-45' AS DATE) IS NULL AS BOOLEAN) AS bad_date_is_null,
+           CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip
+    FROM events
+    """,
+)
+def cast_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsing scraped numbers: string<->int<->double<->date casts with
+    try_cast on invalid input.  double->int always goes through an
+    explicit floor — raw CAST truncates in Spark but rounds in DuckDB."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    vint = F.floor("value").cast("long")
+    return ev.select(
+        "event_id",
+        vint.cast("string").alias("value_str"),
+        vint.alias("value_int"),
+        F.try_to_number("event_type", F.lit("999.99")).cast("double").alias("bad_double"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_long"),
+        F.expr("TRY_CAST('2024-13-45' AS DATE)").isNull().alias("bad_date_is_null"),
+        F.col("value").cast("string").cast("double").alias("value_roundtrip"),
+    )
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'join') AS has_join,
+           list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+           len(list_distinct(string_split(text, ' '))) AS n_vocab,
+           list_slice(string_split(text, ' '), 1, 5) AS first5,
+           list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['join', 'filter', 'window', 'scan'])) AS ops_used
+    FROM documents
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level text handling: split -> size/contains/distinct/slice/
+    intersect.  array_distinct & array_intersect output order is engine-
+    specific, so every set-valued array is sorted before comparison."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.size(F.array_distinct(toks)).alias("n_vocab"),
+        F.slice(toks, 1, 5).alias("first5"),
+        F.sort_array(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(F.lit("join"), F.lit("filter"), F.lit("window"), F.lit("scan")),
+            )
+        ).alias("ops_used"),
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS tf
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 5
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF shape: explode tokens to rows and count term
+    frequency (reference: word-level extraction over cleaned text)."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= 5)
+    )
+
+
+@query(
+    "map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER) AS k_from_map,
+           1 AS map_size,
+           'k' AS first_key
+    FROM events
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: build a map from the parsed JSON payload,
+    then element_at / map_keys / size.  Output projected to scalars so
+    the oracle stays engine-neutral (map hashing differs cross-engine)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(F.lit("k"), F.from_json("props", "k INT").getField("k"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(m).alias("map_size"),
+        F.map_keys(m).getItem(0).alias("first_key"),
+    )
+
+
+@query(
+    "json_ops",
+    oracle="""
+    SELECT event_id,
+           props->>'$.k' AS k_str,
+           CAST(props->>'$.k' AS INTEGER) AS k_int,
+           '{"k":' || (props->>'$.k') || '}' AS normalized_json
+    FROM events
+    """,
+)
+def json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsing (reference: state API/JSON sources):
+    get_json_object path extraction, from_json to a typed struct,
+    to_json normalization back out."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.to_json(parsed).alias("normalized_json"),
+    )
