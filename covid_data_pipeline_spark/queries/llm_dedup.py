@@ -1,0 +1,253 @@
+"""§2.10 Deduplication operators (SURVEY.md; mandated LLM-pipeline
+extension).
+
+Reference analogue: skip-if-same-hash (exact) and near-duplicate page
+detection over cleaned HTML (approximate).  Three rungs of the same
+ladder, by scale:
+
+- ``dedup_exact``        O(n) hash-groupBy — always correct, 100 TB fine.
+- ``dedup_near_jaccard`` exact pairwise Jaccard inside blocking keys —
+  the correctness oracle for the approximate rungs; quadratic PER BLOCK,
+  so block size must be bounded (here: language).
+- ``dedup_minhash_lsh``  MinHash + banded LSH via pyspark.ml — the
+  100 TB path: candidate pairs come from equi-joins on band buckets,
+  never a full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, content_hash FROM (
+        SELECT doc_id, sha256(text) AS content_hash,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keeping the lowest doc_id per hash —
+    the reference's skip-identical-snapshot rule.  One shuffle on the
+    64-hex hash (uniform key — no skew by construction)."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    h = F.sha2("text", 256)
+    w = Window.partitionBy(h).orderBy("doc_id")
+    return (
+        d.select("doc_id", h.alias("content_hash"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+JACCARD_THRESHOLD = 0.7
+
+
+@query(
+    "dedup_near_jaccard",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                 6) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+          > {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: token-set Jaccard > 0.7 within the same
+    language (blocking key).  |A∩B| / |A∪B| with integer set sizes, so
+    the division is deterministic cross-engine.
+
+    Scale note: the self-join is quadratic PER LANGUAGE BLOCK.  At
+    100 TB the blocking key must bound block size (lang × length-bucket
+    × shingle-band); this exact operator is the recall oracle for
+    ``dedup_minhash_lsh``, which replaces it beyond ~10^5 docs/block."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+    a = t.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang"),
+        F.col("toks").alias("a_toks"),
+        F.col("n_toks").alias("a_n"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang"),
+        F.col("toks").alias("b_toks"),
+        F.col("n_toks").alias("b_n"),
+    )
+    # J > t implies |A|/|B| and |B|/|A| >= t (J <= min/max for sets), so
+    # the integer size-ratio test prunes pairs BEFORE the expensive
+    # intersection without changing the result set
+    ratio_ok = (F.col("a_n") * 10 >= F.col("b_n") * 7) & (
+        F.col("b_n") * 10 >= F.col("a_n") * 7
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    union = F.col("a_n") + F.col("b_n") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, on="lang")
+        .filter((F.col("a_id") < F.col("b_id")) & ratio_ok)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") > JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "lang", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# Banded minhash: 64 hash functions in 16 bands of 4.  Collision odds for
+# a pair at Jaccard J are 1-(1-J^4)^16 — 0.99 at J=0.7, <0.04 at J=0.2 —
+# the standard S-curve placing the knee at our 0.7 threshold.
+_MH_HASHES = 64
+_MH_BANDS = 16
+_MH_ROWS = _MH_HASHES // _MH_BANDS
+
+
+@query("dedup_minhash_lsh", oracle=None)  # rows-only: LSH is approximate
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup via banded MinHash LSH — the 100 TB path,
+    built entirely from codegen'd built-ins (xxhash64 / transform /
+    array_min), no ML pipeline, no Python in the row path.
+
+    Plan shape: per doc, 64 minhashes (min over tokens of a seeded
+    xxhash64) -> 16 band signatures -> explode to (lang, band, sig) keys
+    -> self-equi-join on the band key yields candidate pairs (never a
+    cross product) -> dedup pairs -> re-join token sets -> exact Jaccard
+    re-rank.  Signatures are ~100x smaller than token sets, so the
+    banded shuffle is cheap and the token arrays travel only for the
+    (rare) candidates.  Recall vs the exact-Jaccard oracle asserted in
+    tests/test_llm_ops.py."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    def seeded_hash(s: int):
+        # NB: must be a one-arg lambda — transform() treats a second
+        # lambda parameter as the element INDEX, not a free variable
+        return lambda tok: F.xxhash64(F.lit(s), tok)
+
+    minhashes = [
+        F.array_min(F.transform("toks", seeded_hash(s))).alias(f"h{s}")
+        for s in range(_MH_HASHES)
+    ]
+    sig = t.select("doc_id", "lang", *minhashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{j * _MH_ROWS + i}") for i in range(_MH_ROWS)]
+                ).alias("bsig"),
+            )
+            for j in range(_MH_BANDS)
+        ]
+    )
+    keys = sig.select("doc_id", "lang", F.explode(bands).alias("b")).select(
+        "doc_id", "lang", "b.band", "b.bsig"
+    )
+    a = keys.select(F.col("doc_id").alias("a_id"), "lang", "band", "bsig")
+    b = keys.select(F.col("doc_id").alias("b_id"), "lang", "band", "bsig")
+    cand = (
+        a.join(b, on=["lang", "band", "bsig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "lang")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    # token sets rejoin only for candidates (tiny vs the corpus)
+    ta = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    tb = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    union = F.size("a_toks") + F.size("b_toks") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn("jaccard_est", jac)
+        .filter(F.col("jaccard_est") > JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round("jaccard_est", 6).alias("jaccard_est"))
+    )
+
+
+# 26-bit simhash over token unicode profiles.  The per-token "hash" is a
+# deliberately engine-neutral polynomial over character codes (computed
+# with exact integer ops), so the whole operator is SQL-expressible and
+# oracle-checked — unusual for simhash, and exactly why it's built this
+# way instead of on xxhash64 (Spark) / hash() (DuckDB), which disagree.
+_SIMHASH_BITS = 26
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    th AS (  -- polynomial char-code hash, exact integer arithmetic
+        SELECT doc_id, lang, token,
+               list_reduce(list_prepend(7, [CAST(unicode(x) AS BIGINT)
+                                            FOR x IN string_split_regex(token, '')]),
+                           (acc, c) -> (acc * 31 + c) % 67108864) AS thash
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, lang, b.bit,
+               SUM(CASE WHEN (thash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+        FROM th CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS bit) b
+        GROUP BY doc_id, lang, b.bit
+    )
+    SELECT doc_id, lang,
+           CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id, lang
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document: per-token 26-bit polynomial
+    hash, per-bit +1/-1 vote weighted by token frequency, sign -> bit.
+    Near-dups then reduce to small-Hamming-distance pairs (bucketable by
+    bit-bands at scale — same LSH shape as minhash).  All exact integer
+    arithmetic -> fully oracle-checkable."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    # polynomial hash over char codes: fold (acc*31 + code) mod 2^26
+    thash = F.aggregate(
+        F.transform(F.split("token", ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % (1 << _SIMHASH_BITS),
+    )
+    th = tok.select("doc_id", "lang", thash.alias("thash"))
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    weights = (
+        th.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "lang", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(thash >> bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("weight")
+        )
+    )
+    return weights.groupBy("doc_id", "lang").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)
+        ).alias("simhash")
+    )

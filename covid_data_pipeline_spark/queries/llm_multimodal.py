@@ -1,0 +1,116 @@
+"""§2.10 Multimodal (binary) columns (mandated LLM-pipeline extension).
+
+Reference analogue: specialized_capture screenshots — PNG blobs stored
+alongside page versions.  Model: opaque ``BinaryType`` payload + typed
+metadata columns; decode / feature-extraction runs as Arrow-batched
+Pandas UDFs over ``mapInPandas`` so bytes never round-trip through
+Python row-at-a-time.
+
+The actual image/audio decode is STUBBED (no codec libraries in this
+environment, and fixtures carry no real media): ``decode_image_stub``
+derives deterministic fake (width, height, mode) metadata from the
+payload bytes, and raises ``NotImplementedError`` through the same code
+path if a real decode is requested.  Everything Spark-side — schema,
+partition-preserving mapInPandas plumbing, Arrow batch shapes — is real
+and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load, tune
+from ..registry import query
+
+
+@query(
+    "multimodal_binary",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_payloads,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           MIN(sha256(text)) AS min_digest
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload handling: synthesize deterministic blobs from doc
+    text (fixtures are read-only — FIXTURES.md mandates cast-at-query-
+    time), then per-source byte accounting + content digests, the
+    screenshot-archive bookkeeping of the reference."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(F.length(payload)).alias("total_bytes"),
+        F.min(F.sha2(payload, 256)).alias("min_digest"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("thumb_bytes", T.IntegerType()),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, real_decode: bool = False) -> tuple[int, int, str]:
+    """Deterministic fake decode: metadata derived from payload bytes.
+
+    A production build swaps this for PIL/libvips behind the identical
+    signature; the Spark plumbing (schema, batching, partitioning) is
+    unchanged.  ``real_decode=True`` is the explicit stub boundary.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real image decode requires codec libraries not present in this "
+            "environment; the deterministic fake below exercises the pipeline"
+        )
+    n = len(payload)
+    return (64 + n % 192, 64 + (n * 7) % 192, "RGB" if n % 2 == 0 else "L")
+
+
+@query("multimodal_decode_pipeline", oracle=None)  # rows-only: stubbed decode
+def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode / feature-extract / thumbnail shape over binary
+    columns via mapInPandas: Arrow batches of (id, payload) in, typed
+    metadata out.  One Python worker per partition, zero shuffles; at
+    100 TB this is the pattern for frame-sampling and feature
+    extraction (repartition by size-balanced key first if payloads are
+    skewed)."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("text").cast("binary").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_image_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "mode": [m[2] for m in meta],
+                    # "thumbnail": deterministic downsample size (w/4 x h/4)
+                    "thumb_bytes": [(m[0] // 4) * (m[1] // 4) for m in meta],
+                }
+            )
+
+    return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)

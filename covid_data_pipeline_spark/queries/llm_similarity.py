@@ -1,0 +1,198 @@
+"""§2.10 Similarity search over embeddings (mandated LLM-pipeline
+extension).
+
+Exact cosine via higher-order functions — zip_with multiply + an
+explicit LEFT-FOLD aggregate, mirrored by DuckDB ``list_reduce`` so
+both engines execute the identical IEEE operation sequence and the
+doubles match bit-for-bit.  Everything stays JVM-side (no Python in
+the row path).
+
+Scale ladder: label-blocked exact pairs (quadratic per block, the
+correctness oracle) -> broadcast top-k for a small query set -> at
+100 TB replace blocking with LSH / IVF bucketing
+(BucketedRandomProjectionLSH or a centroid assignment) so candidates
+come from equi-joins; ``sim_ann_bucketed`` below demonstrates that
+shape with deterministic random-hyperplane buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+
+COSINE_THRESHOLD = 0.25
+
+# DuckDB twins of the Spark HOF expressions: an explicit left fold so the
+# float addition order matches Spark's aggregate() exactly.
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN range(1, 65)]), "
+    "(acc, x) -> acc + x)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) FOR i IN range(1, 65)]), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def _vec(col: str) -> Column:
+    """float32 array -> double array (cast before arithmetic on BOTH
+    engines, per FIXTURES.md: avoids f32-vs-f64 drift)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column | str) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+@query(
+    "sim_cosine_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+           ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_SQL_NORM.format(a='a.embedding')}
+                    * {_SQL_NORM.format(a='b.embedding')}), 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+          / ({_SQL_NORM.format(a='a.embedding')}
+             * {_SQL_NORM.format(a='b.embedding')}) > {COSINE_THRESHOLD}
+    """,
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-similar pairs within a label block (cos > 0.25).
+    Label is the blocking key bounding the quadratic term — the same
+    role lang plays for Jaccard dedup."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("vec")
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"), "label", F.col("vec").alias("a_vec")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), "label", F.col("vec").alias("b_vec")
+    )
+    cos = _dot("a_vec", "b_vec") / (_norm("a_vec") * _norm("b_vec"))
+    return (
+        a.join(b, on="label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") > COSINE_THRESHOLD)
+        .select("a_id", "b_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@query(
+    "sim_topk_neighbors",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                     / ({_SQL_NORM.format(a='q.embedding')}
+                        * {_SQL_NORM.format(a='c.embedding')}), 6) AS cosine
+        FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 cosine neighbors for a 10-vector query set:
+    broadcast the queries against the corpus (the corpus never
+    shuffles), score, per-query top-k via row_number.  Ordering uses the
+    ROUNDED cosine + neighbor_id tiebreaker so rank is deterministic
+    cross-engine.  This is the exact baseline; the bucketed ANN below is
+    the scale path."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec("embedding").alias("vec")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"))
+    cos = F.round(
+        _dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+# Deterministic pseudo-random hyperplanes for the bucketed ANN: dim j of
+# plane p is a fixed trig lattice value — engine-neutral, seed-free.
+_N_PLANES = 6
+
+
+@query("sim_ann_bucketed", oracle=None)  # rows-only: ANN is approximate
+def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN at scale: random-hyperplane signature buckets (6-bit LSH) ->
+    candidates meet via an EQUI-join on bucket -> exact cosine re-rank
+    inside buckets -> per-query top-5.  Recall vs brute force asserted
+    in tests/test_llm_ops.py.  At 100 TB: multiple signature tables and
+    multi-probe raise recall; the join stays shuffle-friendly."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec("embedding").alias("vec")
+    )
+    # signature bit p = sign(sum_j vec[j] * cos(p*64 + j)); cos() lattice
+    # stands in for a seeded gaussian — deterministic on any engine/executor.
+    sig = F.lit(0).cast("long")
+    for p in range(_N_PLANES):
+        plane = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j, p=p: F.cos((j + F.lit(p * 64)).cast("double")),
+        )
+        proj = F.aggregate(
+            F.zip_with("vec", plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    sigged = e.withColumn("bucket", sig)
+    q = sigged.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        "bucket",
+    )
+    c = sigged.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "bucket"
+    )
+    cos = F.round(_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6)
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

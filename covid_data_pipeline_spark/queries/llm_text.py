@@ -1,0 +1,288 @@
+"""§2.10 Text analysis (mandated LLM-pipeline extension).
+
+Reference analogue: the extracted-text analysis the reference did by
+eye (humans reading change lists), industrialized: term frequency,
+tf-idf, language profiling/ID, quality scoring, token counting, n-gram
+shingles, content fingerprinting.  All built-ins — tokenization is
+whitespace ``split`` (safe per FIXTURES.md: fixture text is
+space-separated word soup).
+
+Scale notes: token explode multiplies rows by ~60 but aggregates
+immediately (map-side partial); the global vocabulary here is tiny, and
+at real scale term dictionaries stay groupBy-friendly because the
+aggregate is on (term) or (doc, term) — never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+
+
+@query(
+    "text_tf",
+    oracle="""
+    SELECT token, tf, rn FROM (
+        SELECT token, COUNT(*) AS tf,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ) WHERE rn <= 20
+    """,
+)
+def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by global term frequency, rank materialized with a
+    token tiebreaker for determinism."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token AS top_term, tfidf FROM (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                            DESC, tf.token) AS rn
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ) WHERE rn = 1
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf and the top term per document.  Ranking uses the ROUNDED
+    score (ln() can differ in the last ulp across libm implementations)
+    plus a token tiebreaker, so the winner is deterministic cross-engine.
+    Pure DataFrame: explode -> two aggregates -> broadcast doc count ->
+    window."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    scored = (
+        tf.join(df, on="token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", tfidf.alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (reference: per-state content stats).
+    Integer sums -> exact averages, no decimal trick needed."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(F.size(F.split("text", " "))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    SELECT bigram, COUNT(*) AS cnt
+    FROM (
+        SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS bigram
+        FROM (SELECT string_split(text, ' ') AS l FROM documents)
+    )
+    GROUP BY bigram HAVING COUNT(*) >= 10
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram shingle counts (the shingling primitive under minhash
+    near-dup): zip the token array with its own tail — no explode-join,
+    one pass per document."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
+
+
+# --- extensions beyond the survey's 4 text rows -------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text, n_chars
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(toks) AS avg_token_len,
+           ROUND(CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORDS}, x)))
+                      AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+               AS distinct_ratio,
+           (n_chars BETWEEN 50 AND 1000
+            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.1)
+               AS passes_quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: token stats,
+    stopword ratio, lexical diversity, and a pass/fail gate — the
+    heuristic-filter stage of an LLM data pipeline, all built-ins."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    # filter, not array_intersect: repeated stopwords must count each time
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        (F.col("n_chars").between(50, 1000) & (distinct_ratio > 0.1)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains({_SQL_STOPWORDS}, x))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS en_score
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'unknown' END AS detected_lang,
+           ROUND(en_score, 6) AS en_score
+    FROM t
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-profile scoring (the n-gram
+    profile method reduced to its word-level core).  One profile here
+    because fixture text is English word soup for every label — the
+    operator shape (score per profile, argmax) is what matters."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    score = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(score >= 0.05, "en").otherwise("unknown").alias("detected_lang"),
+        F.round(score, 6).alias("en_score"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS approx_llm_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, a BPE-ish regex
+    (letter-runs / digit-runs / single punctuation), and the chars/4
+    LLM-budget approximation."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.col("n_chars").cast("double") / 4).alias("approx_llm_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                   [CAST(unicode(x) AS BIGINT)
+                    FOR x IN string_split_regex(text, '')]),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over character
+    codes mod 2^31-1 — engine-neutral exact integer arithmetic (unlike
+    murmur/xxhash built-ins, which differ per engine), the primitive
+    under winnowing/rabin-karp shingle selection."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(F.split("text", ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 2147483647,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,209 @@
+"""§2.9 Streaming operators — oracle-checkable batch formulations.
+
+Reference analogue: the reference's run loop IS a stream consumer — each
+scan cycle aggregates per-run, sessionizes scans, and skips pages whose
+content hash was already seen (SURVEY.md §2.9, §3.1).  Strategy per
+SURVEY: the event-time logic lives once in ``streaming.transforms`` and
+runs here on a batch scan (DuckDB hash-checks the semantics); the true
+Structured Streaming twins execute the same transforms incrementally
+(tests/test_streaming.py asserts stream == batch).
+
+Scale notes: tumbling/sliding aggregate with bounded (window, type)
+state and map-side partial aggregation; sessionization shuffles once on
+user_id; the watermark batch twin's global arrival-order window exists
+only to make watermark semantics hash-checkable at test scale — the
+production path is the streaming engine's own watermark tracking, which
+keeps no global order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+from ..streaming import transforms as TR
+from ._helpers import DEC, sql_dsum
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count+sum by event_type (reference: per-scan-cycle
+    aggregation).  Same transform the streaming twin runs incrementally;
+    window start surfaced as epoch-µs for cross-engine stability."""
+    tune(spark)
+    return TR.tumbling_hourly(load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    SELECT (epoch_us(ts) // 900000000) * 900000000
+               - CAST(k AS BIGINT) * 900000000 AS ws_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min — each event belongs to exactly
+    4 windows (floor-to-15min start minus k*15min, k=0..3, always within
+    the hour), which is how the oracle enumerates Spark's window
+    assignment without a window function."""
+    tune(spark)
+    return TR.sliding_1h_15m(load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30-min gap, via gaps-and-islands (pure
+    ANSI, hash-checkable).  A new session starts when the gap is >= 30
+    min — exactly the native ``session_window`` overlap rule ([ts,
+    ts+gap) windows merge iff gap < 30 min), so the streaming twin is
+    provably equivalent (asserted in tests/test_streaming.py)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us >= TR.GAP_US), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_no", F.sum(new_s).over(wrun))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    ).drop("session_no")
+
+
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH arrival AS (
+        SELECT ts,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_prior
+        FROM events
+    )
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+           COUNT(*) FILTER (WHERE max_prior IS NULL
+                            OR epoch_us(ts) >= epoch_us(max_prior) - 600000000)
+               AS n_kept,
+           COUNT(*) FILTER (WHERE max_prior IS NOT NULL
+                            AND epoch_us(ts) < epoch_us(max_prior) - 600000000)
+               AS n_late
+    FROM arrival
+    GROUP BY 1
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min watermark semantics as a deterministic batch computation:
+    arrival order = event_id, watermark before each row = max event time
+    seen so far minus 10 min, rows older than the watermark are late.
+    Hash-checkable twin of ``withWatermark('ts','10 minutes')`` (true
+    drop behavior asserted in tests/test_streaming.py).  The global
+    arrival-order window is single-task by construction — test-scale
+    oracle only; the streaming engine tracks its watermark without any
+    global sort."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    max_prior = F.max("ts").over(w)
+    on_time = max_prior.isNull() | (
+        F.unix_micros("ts") >= F.unix_micros(max_prior) - 600_000_000
+    )
+    flagged = ev.select(
+        ((F.unix_micros("ts") - F.unix_micros("ts") % TR.HOUR_US)).alias("ws_us"),
+        on_time.alias("on_time"),
+    )
+    return flagged.groupBy("ws_us").agg(
+        F.count(F.when(F.col("on_time"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("on_time"), 1)).alias("n_late"),
+    )
+
+
+@query(
+    "stream_dedup_state",
+    oracle="""
+    SELECT event_id, user_id, content_hash FROM (
+        SELECT event_id, user_id, sha256(props) AS content_hash,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sha256(props)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup on (source, content-hash) — the reference's
+    don't-re-process-an-unchanged-page rule.  Batch twin keeps the
+    earliest occurrence deterministically; the streaming twin is
+    ``dropDuplicates`` (first ARRIVAL wins — same key set, asserted
+    set-equal in tests).  State per distinct key; on a real stream,
+    ``dropDuplicatesWithinWatermark`` bounds it."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id", "user_id", F.sha2("props", 256).alias("content_hash"), "ts"
+    )
+    w = Window.partitionBy("user_id", "content_hash").orderBy("ts", "event_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "content_hash")
+    )
+
+
+@query("stream_foreach_sink", oracle=None)  # rows-only: real streaming run
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental archive: a TRUE Structured Streaming run
+    (availableNow trigger, checkpoint) draining the event stream through
+    the tumbling aggregation, each micro-batch appended to a parquet
+    sink stamped with its batch id — the reference's per-run archive
+    write.  Returns the final batch's snapshot read back from the
+    sink."""
+    from ..streaming import read_events_stream
+    from ..streaming.runner import run_foreach_parquet
+    import os
+
+    tune(spark)
+    stream = TR.tumbling_hourly(read_events_stream(spark, sf_dir))
+    out = run_foreach_parquet(stream)
+    sunk = spark.read.parquet(os.path.join(out, "data"))
+    last = sunk.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    return sunk.filter(F.col("batch_id") == last).drop("batch_id")

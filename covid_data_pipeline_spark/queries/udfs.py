@@ -1,0 +1,116 @@
+"""§2.10 UDF suite (SURVEY.md).
+
+The reference is 100% Python — its entire pipeline is "UDF logic".
+This module is the migration path demonstration: the same computation
+at each rung of the Spark Python-interop ladder, each mirroring a
+built-in so the DuckDB oracle can check it exactly:
+
+1. scalar Python UDF        (row-at-a-time — the slow path, shown once)
+2. vectorized pandas_udf    (Arrow batches, ~10-100x the row UDF)
+3. grouped-agg pandas_udf   (whole group -> scalar, Arrow)
+4. applyInPandas            (grouped map, pandas DataFrame in/out)
+
+Outputs are chosen exact-representable (integral sums, max, count) so
+no float drift can hide between the Python and JVM paths.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load, tune
+from ..registry import query
+
+
+@F.udf(T.DoubleType())
+def _revenue_py(price: float, discount: float) -> float:
+    """Row-at-a-time scalar UDF (serde per row — kept off hot paths)."""
+    return price * (1.0 - discount)
+
+
+@F.pandas_udf(T.DoubleType())
+def _charge_pandas(revenue: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized scalar pandas UDF: Arrow in, numpy math, Arrow out."""
+    return revenue * (1.0 + tax)
+
+
+@F.pandas_udf(T.DoubleType())
+def _sum_qty_pandas(qty: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF (l_quantity is integral-valued, so
+    the pandas sum is exact regardless of order)."""
+    return float(qty.sum())
+
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas grouped map: one pandas frame per group."""
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n_rows": [len(pdf)],
+            "max_revenue": [pdf["revenue"].max()],
+        }
+    )
+
+
+_GROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("max_revenue", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "udf_suite",
+    oracle="""
+    WITH rev AS (
+        SELECT l_returnflag, l_quantity,
+               l_extendedprice * (1 - l_discount) AS revenue,
+               (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+        FROM lineitem
+    )
+    SELECT r.l_returnflag, g.n_rows, g.max_revenue, s.sum_qty, c.max_charge
+    FROM (SELECT DISTINCT l_returnflag FROM rev) r
+    JOIN (SELECT l_returnflag, COUNT(*) AS n_rows, MAX(revenue) AS max_revenue
+          FROM rev GROUP BY l_returnflag) g ON r.l_returnflag = g.l_returnflag
+    JOIN (SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+          FROM rev GROUP BY l_returnflag) s ON r.l_returnflag = s.l_returnflag
+    JOIN (SELECT l_returnflag, MAX(charge) AS max_charge
+          FROM rev GROUP BY l_returnflag) c ON r.l_returnflag = c.l_returnflag
+    """,
+)
+def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four UDF flavors over lineitem, reconciled into one result
+    per returnflag; every output mirrors a built-in aggregation the
+    oracle recomputes in pure SQL.  (The scalar UDF and pandas UDF
+    produce identical IEEE doubles to the SQL expressions because the
+    operation sequence is identical.)"""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    with_rev = li.withColumn(
+        "revenue", _revenue_py("l_extendedprice", "l_discount")
+    ).withColumn("charge", _charge_pandas("revenue", "l_tax"))
+
+    grouped = with_rev.groupBy("l_returnflag").applyInPandas(
+        _group_stats, schema=_GROUP_SCHEMA
+    )
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run it in its own aggregation
+    agg_py = with_rev.groupBy("l_returnflag").agg(
+        _sum_qty_pandas("l_quantity").alias("sum_qty")
+    )
+    agg_jvm = with_rev.groupBy("l_returnflag").agg(
+        F.max("charge").alias("max_charge")
+    )
+    return (
+        grouped.join(agg_py, on="l_returnflag")
+        .join(agg_jvm, on="l_returnflag")
+        .select("l_returnflag", "n_rows", "max_revenue", "sum_qty", "max_charge")
+    )

@@ -1,0 +1,12 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+``transforms`` holds the shared event-time logic — each transformation is
+written once against a DataFrame and works unchanged on a batch scan or
+a ``readStream`` source, which is what makes the batch twins in
+``queries/streaming_batch.py`` faithful oracles for the streaming path.
+``runner`` executes true streams (availableNow trigger, memory /
+foreachBatch sinks, checkpoints).
+"""
+
+from .runner import read_events_stream, run_available_now  # noqa: F401
+from . import transforms  # noqa: F401

@@ -1,0 +1,80 @@
+"""Execute true Structured Streaming runs over the fixture event stream.
+
+The parquet ``events`` table stands in for the stream (TESTDATA.md); the
+``availableNow`` trigger drains it in micro-batches and terminates, which
+makes streaming runs deterministic enough for tests while exercising the
+real incremental execution path (state store, watermarks, sinks).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import EVENTS_RAW_NS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet, same ns->µs handling as
+    the batch reader (io.load) so batch and stream see identical rows."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory: stream sf_dir itself,
+    # glob-filtered down to the events table
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_NS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame with the availableNow trigger into a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="cdp_ckpt_")
+    writer = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    if max_files_per_trigger is not None:
+        writer = writer.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = writer.start()
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def run_foreach_parquet(sdf: DataFrame, out_dir: str | None = None) -> str:
+    """Drain a streaming aggregation via ``foreachBatch``, appending each
+    micro-batch's rows (stamped with the batch id) to a parquet sink —
+    the incremental-archive-write shape of the reference pipeline.
+    Returns the sink directory."""
+    out = out_dir or tempfile.mkdtemp(prefix="cdp_sink_")
+    ckpt = os.path.join(out, "_checkpoint")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(out, "data"))
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out

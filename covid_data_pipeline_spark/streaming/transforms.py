@@ -1,0 +1,104 @@
+"""Event-time transformations shared by batch twins and true streams.
+
+Reference analogue: the per-scan-cycle aggregation, sessionization and
+skip-if-same-hash logic the reference pipeline runs imperatively per
+run (SURVEY.md §2.9).  Each function takes an ``events``-shaped
+DataFrame (batch or streaming) and returns a lazily-transformed frame,
+so the exact same logical plan is oracle-checked in batch and executed
+incrementally by Structured Streaming.
+
+Scale notes: every aggregation here keys on bounded state —
+(window, event_type) or (user, session) — and relies on watermarks for
+state eviction in the streaming path.  All expressions are built-ins
+(no Python UDFs), so micro-batches stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..queries._helpers import DEC
+
+HOUR_US = 3_600_000_000
+Q15_US = 900_000_000
+GAP_US = 1_800_000_000  # 30-minute session gap
+
+
+def tumbling_hourly(df: DataFrame) -> DataFrame:
+    """1-hour tumbling count + exact sum of value by event_type."""
+    return (
+        df.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("ws_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_1h_15m(df: DataFrame) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in exactly 4
+    windows (slide divides the width), counted per event_type."""
+    return (
+        df.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("ws_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg_stream(df: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-min gap, via the native
+    streaming ``session_window`` operator.  Two events join a session iff
+    their gap is STRICTLY below 30 min (window [ts, ts+gap) overlap) —
+    the batch gaps-and-islands twin uses ``gap >= 30min`` to start a new
+    session, matching exactly."""
+    return (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_content(df: DataFrame) -> DataFrame:
+    """Streaming twin of the reference's skip-if-same-hash: drop events
+    whose (user, content-hash) was already seen.  On a stream this is
+    ``dropDuplicates`` keyed on the content identity; state is evicted by
+    the caller's watermark (``dropDuplicatesWithinWatermark``)."""
+    keyed = df.select(
+        "event_id", "user_id", F.sha2("props", 256).alias("content_hash"), "ts"
+    )
+    return keyed.dropDuplicates(["user_id", "content_hash"])
+
+
+def tumbling_5m_counts(df: DataFrame) -> DataFrame:
+    """5-minute tumbling counts — small windows used by the watermark
+    semantics test so late-row drops are observable."""
+    return (
+        df.groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("ws_us"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,92 @@
+"""Physical-plan audits (SURVEY §4.2): the optimizations we rely on at
+100 TB must actually appear in the executed plan — column pruning and
+predicate pushdown reaching the parquet scan, broadcast joins for small
+dims, partial aggregation, whole-stage codegen, and no Python UDFs in
+JVM-only pipelines."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from covid_data_pipeline_spark.registry import load_all
+
+from .conftest import SF_ORACLE
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def q(name, spark):
+    return load_all()[name].fn(spark, SF_ORACLE)
+
+
+def test_scan_projected_prunes_columns(spark):
+    plan = plan_of(q("scan_projected", spark))
+    assert "ReadSchema" in plan
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    # pruned: none of the other 9 lineitem columns reach the reader
+    for col in ("l_comment", "l_quantity", "l_shipdate", "l_returnflag"):
+        assert col not in read_schema, f"{col} not pruned:\n{read_schema}"
+
+
+def test_filter_compound_pushes_predicates(spark):
+    plan = plan_of(q("filter_compound", spark))
+    pushed = next(line for line in plan.splitlines() if "PushedFilters" in line)
+    assert "[]" not in pushed.replace("PushedFilters: []", "[]"), (
+        f"no filters pushed to parquet:\n{pushed}"
+    )
+    assert "IsNotNull" in pushed or "GreaterThan" in pushed or "In(" in pushed
+
+
+def test_join_broadcast_uses_broadcast_hash_join(spark):
+    plan = plan_of(q("join_broadcast", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_agg_is_partial_then_final_codegen(spark):
+    df = q("agg_groupby", spark)
+    df.collect()  # AQE: codegen ids only appear in the finalized plan
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("HashAggregate") >= 2, "expected partial+final agg"
+    assert "codegen id" in plan, "whole-stage codegen missing"
+    # the shipdate filter must reach the scan, not sit above the agg
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_jvm_only_queries_have_no_python_workers(spark):
+    """Everything except the UDF-suite demonstrator stays JVM-side —
+    Python row paths are the slow path and must not creep in."""
+    for name in ("agg_groupby", "join_multikey_chain", "sim_cosine_pairs",
+                 "dedup_minhash_lsh", "text_tfidf", "win_lag_change_detect"):
+        plan = plan_of(q(name, spark))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name} routes through Python: {marker}"
+
+
+def test_udf_suite_uses_arrow_not_row_python_for_vectorized_steps(spark):
+    plan = plan_of(q("udf_suite", spark))
+    # the suite deliberately includes one row-Python UDF and the Arrow paths
+    assert "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_topk_global_avoids_full_sort(spark):
+    plan = plan_of(q("limit_topk_global", spark))
+    assert "TakeOrderedAndProject" in plan, (
+        "global top-k should be TakeOrderedAndProject, not sort-all + limit"
+    )
+
+
+def test_minhash_lsh_has_no_cartesian(spark):
+    plan = plan_of(q("dedup_minhash_lsh", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,170 @@
+"""§2.9 semantic tests: true Structured Streaming vs batch formulations.
+
+The oracle gate only rows-checks streaming; these tests carry the real
+burden — the availableNow streaming runs must agree with the
+hash-checked batch twins, and the watermark must drop exactly the rows
+it should under out-of-order arrival.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from covid_data_pipeline_spark.io import load
+from covid_data_pipeline_spark.schemas import EVENTS
+from covid_data_pipeline_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    transforms as TR,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _as_sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark):
+    batch = TR.tumbling_hourly(load(spark, SF_SMOKE, "events"))
+    stream = run_available_now(
+        TR.tumbling_hourly(read_events_stream(spark, SF_SMOKE))
+    )
+    cols = ["ws_us", "event_type", "n_events", "sum_value"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stream_sliding_equals_batch(spark):
+    batch = TR.sliding_1h_15m(load(spark, SF_SMOKE, "events"))
+    stream = run_available_now(
+        TR.sliding_1h_15m(read_events_stream(spark, SF_SMOKE))
+    )
+    cols = ["ws_us", "event_type", "n_events", "sum_value"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stream_session_window_equals_gaps_and_islands(spark):
+    """The equivalence proof SURVEY §4.3 demands: native session_window
+    (streaming) == the ANSI gaps-and-islands twin the oracle checks."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    batch = load_all()["stream_session"].fn(spark, SF_SMOKE)
+    stream = run_available_now(
+        TR.session_agg_stream(read_events_stream(spark, SF_SMOKE))
+    )
+    cols = ["user_id", "session_start_us", "n_events", "sum_value"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stream_dedup_same_key_set(spark):
+    """Streaming dropDuplicates keeps first ARRIVAL (nondeterministic
+    within a batch); the batch twin keeps first EVENT TIME — the
+    surviving (user, hash) key set must be identical."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    batch = load_all()["stream_dedup_state"].fn(spark, SF_SMOKE)
+    stream = run_available_now(
+        TR.dedup_content(read_events_stream(spark, SF_SMOKE)),
+        output_mode="append",
+    )
+    cols = ["user_id", "content_hash"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Out-of-order arrival across checkpoint-resumed runs (a single
+    availableNow run only commits its watermark at the end, so the
+    restart pattern is what makes the drop observable): run 1 advances
+    the watermark; in run 2 a row older than (max event time - 10 min)
+    whose window already closed must be dropped, while a fresh
+    out-of-order row must be kept; run 3 closes the remaining window and
+    must emit a count that includes the kept row and excludes the
+    dropped one."""
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    T0 = 1_700_000_000_000_000  # µs epoch (200 s into a 5-min window)
+    MIN_US = 60_000_000
+    W1 = T0 - 200_000_000  # 5-min window containing T0
+
+    def mk(rows, path):
+        df = spark.createDataFrame(
+            [
+                Row(
+                    event_id=i,
+                    ts=None,
+                    user_id=1,
+                    event_type="click",
+                    value=1.0,
+                    props="{}",
+                )
+                for i, _ in enumerate(rows)
+            ],
+            schema=EVENTS,
+        ).drop("ts")
+        ts_df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], ["event_id", "ts_us"]
+        )
+        (
+            df.join(ts_df, "event_id")
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .drop("ts_us")
+            .select(*[f.name for f in EVENTS.fields])
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    emitted: list[tuple[int, int]] = []
+
+    def sink(batch_df, _batch_id):
+        emitted.extend(
+            (r["ws_us"], r["n_events"]) for r in batch_df.collect()
+        )
+
+    def run() -> list[tuple[int, int]]:
+        emitted.clear()
+        stream = (
+            spark.readStream.schema(EVENTS)
+            .parquet(src + "/*")
+            .withWatermark("ts", "10 minutes")
+        )
+        q = (
+            TR.tumbling_5m_counts(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(emitted)
+
+    # run 1: rows at T0, T0+5min (x2), T0+30min -> watermark T0+20min;
+    # closes the first two windows
+    mk([T0, T0 + 5 * MIN_US, T0 + 5 * MIN_US + 1, T0 + 30 * MIN_US],
+       os.path.join(src, "b1"))
+    assert run() == [(W1, 1), (W1 + 5 * MIN_US, 2)]
+
+    # run 2 (resumes watermark T0+20min from the checkpoint): late row at
+    # T0+1min — its window is closed, MUST be dropped (no re-emission);
+    # fresh row at T0+29min — beyond watermark, held in state
+    mk([T0 + 1 * MIN_US, T0 + 29 * MIN_US], os.path.join(src, "b2"))
+    assert run() == [], "late row must be dropped, not re-emitted"
+
+    # run 3: row at T0+60min pushes the watermark to T0+50min, closing
+    # the window that holds BOTH the run-1 row at T0+30min and the kept
+    # run-2 row at T0+29min (same 5-min window, 200s offset)
+    mk([T0 + 60 * MIN_US], os.path.join(src, "b3"))
+    assert run() == [(W1 + 30 * MIN_US, 2)], "kept row must be counted"
+
+
+def test_foreach_sink_matches_batch(spark):
+    from covid_data_pipeline_spark.registry import load_all
+
+    sunk = load_all()["stream_foreach_sink"].fn(spark, SF_SMOKE)
+    batch = TR.tumbling_hourly(load(spark, SF_SMOKE, "events"))
+    cols = ["ws_us", "event_type", "n_events", "sum_value"]
+    assert _as_sorted_rows(sunk, cols) == _as_sorted_rows(batch, cols)
