@@ -79,8 +79,16 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh``, which replaces it beyond ~10^5 docs/block."""
     tune(spark)
     d = load(spark, sf_dir, "documents")
+    # hash tokens to int64 before set ops: Jaccard COUNTS are unchanged
+    # (xxhash64 collisions are ~n²/2⁶⁴ — absent here, and the oracle
+    # compare would catch one), while long-array intersection beats
+    # string-array intersection several-fold
     t = d.select(
-        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok))
+        ).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
     a = t.select(
         F.col("doc_id").alias("a_id"),
@@ -136,9 +144,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py."""
     tune(spark)
     d = load(spark, sf_dir, "documents")
+    # tokens pre-hashed to int64 (same trick as the exact twins): the 64
+    # seeded minhash passes then fold longs instead of strings, and the
+    # candidate re-rank intersects long arrays
     t = d.select(
-        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok))
+        ).alias("toks"),
     )
+
     def seeded_hash(s: int):
         # NB: must be a one-arg lambda — transform() treats a second
         # lambda parameter as the element INDEX, not a free variable
@@ -250,4 +266,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("weight") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)
         ).alias("simhash")
+    )
+
+
+NGRAM_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct([array_to_string(l[i:i+2], ' ')
+                              FOR i IN range(1, len(l) - 1)]) AS shingles
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+        WHERE len(l) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) > {NGRAM_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by 3-gram SHINGLE Jaccard (word trigrams) — stricter than
+    token-set Jaccard because shingles encode local word ORDER, the
+    standard prefilter for LLM training-corpus dedup.  Same
+    lang-blocked + size-ratio-pruned join shape as the unigram twin;
+    the shingle sets feed the same banded-minhash rung at 100 TB."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # shingles hashed to int64 for the set ops — same counts, far
+    # cheaper intersections than 3-word strings (see unigram twin)
+    trigrams = F.array_distinct(
+        F.transform(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 2),
+                F.zip_with(
+                    F.slice(toks, 2, F.size(toks) - 2),
+                    F.slice(toks, 3, F.size(toks) - 2),
+                    lambda y, z: F.concat_ws(" ", y, z),
+                ),
+                lambda x, yz: F.concat_ws(" ", x, yz),
+            ),
+            lambda sh: F.xxhash64(sh),
+        )
+    )
+    t = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", "lang", trigrams.alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
+    a = t.select(
+        F.col("doc_id").alias("a_id"), "lang",
+        F.col("shingles").alias("a_sh"), F.col("n_sh").alias("a_n"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("b_id"), "lang",
+        F.col("shingles").alias("b_sh"), F.col("n_sh").alias("b_n"),
+    )
+    # J > 0.5 implies size ratio >= 0.5 — prune before intersecting
+    ratio_ok = (F.col("a_n") * 2 >= F.col("b_n")) & (F.col("b_n") * 2 >= F.col("a_n"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter.cast("double") / (F.col("a_n") + F.col("b_n") - inter)
+    return (
+        a.join(b, on="lang")
+        .filter((F.col("a_id") < F.col("b_id")) & ratio_ok)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") > NGRAM_THRESHOLD)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -114,3 +114,62 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def frame_count_stub(payload: bytes, real_decode: bool = False) -> int:
+    """Deterministic fake container probe: frame count derived from the
+    payload length.  Same stub boundary contract as decode_image_stub."""
+    if real_decode:
+        raise NotImplementedError(
+            "real container demux requires av codec libraries not present "
+            "in this environment"
+        )
+    return 4 + len(payload) % 29
+
+
+@query("multimodal_framesample", oracle=None)  # rows-only: stubbed decode
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary columns: each payload is
+    probed for its frame count (stubbed), every 4th frame is sampled,
+    and one output row is emitted per sampled frame with a deterministic
+    per-frame digest — the training-data shape for video corpora (one
+    input blob fans out to N frame rows).
+
+    mapInPandas keeps the fan-out INSIDE the Python worker (an Arrow
+    batch in, a larger Arrow batch out) — no explode shuffle, no
+    row-at-a-time serde.  At 100 TB: repartition by a size-balanced key
+    first so one giant video can't straggle a task, and cap frames
+    per payload (here: the stub's modulus) the way a real sampler caps
+    decode work."""
+    import hashlib
+
+    tune(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = frame_count_stub(payload)
+                for idx in range(0, n, 4):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n)
+                    out["frame_digest"].append(
+                        hashlib.sha256(payload + idx.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(sample_frames, schema=_FRAME_SCHEMA)

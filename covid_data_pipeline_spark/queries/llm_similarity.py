@@ -196,3 +196,48 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+DUP_COSINE = 0.9
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+              / ({_SQL_NORM.format(a='a.embedding')}
+                 * {_SQL_NORM.format(a='b.embedding')}) > {DUP_COSINE}
+    )
+    SELECT b_id AS dup_id, MIN(a_id) AS canon_id
+    FROM pairs GROUP BY b_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (semantic dedup): vectors within a label
+    block whose cosine exceeds 0.9 collapse onto the lowest vec_id as
+    canonical; output maps each duplicate to its canonical survivor.
+    This is the semantic rung of the dedup ladder — it catches
+    paraphrases that token/shingle Jaccard misses.  At 100 TB the label
+    block becomes an LSH/IVF bucket (sim_ann_bucketed's shape) and the
+    min-id canonicalization becomes a connected-components pass; the
+    pairwise core is unchanged."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("vec")
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), "label", F.col("vec").alias("a_vec"))
+    b = e.select(F.col("vec_id").alias("b_id"), "label", F.col("vec").alias("b_vec"))
+    cos = _dot("a_vec", "b_vec") / (_norm("a_vec") * _norm("b_vec"))
+    pairs = (
+        a.join(b, on="label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos > DUP_COSINE)
+        .select("a_id", "b_id")
+    )
+    return pairs.groupBy(F.col("b_id").alias("dup_id")).agg(
+        F.min("a_id").alias("canon_id")
+    )

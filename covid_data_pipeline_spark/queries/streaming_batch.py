@@ -207,3 +207,24 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     sunk = spark.read.parquet(os.path.join(out, "data"))
     last = sunk.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
     return sunk.filter(F.col("batch_id") == last).drop("batch_id")
+
+
+@query("stream_stateful_totals", oracle=None)  # rows-only: custom state op
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming run of the applyInPandasWithState custom operator
+    (per-user running totals in GroupState, update mode): drain the
+    event stream with availableNow into a memory sink, then reduce each
+    user's emissions to the final (= max event count) update.  Agreement
+    with the plain batch aggregation is asserted in
+    tests/test_streaming.py."""
+    from ..streaming import read_events_stream, run_available_now
+
+    tune(spark)
+    sunk = run_available_now(
+        TR.stateful_user_totals(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    return sunk.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )

@@ -28,6 +28,7 @@ _QUERY_MODULES = (
     "setops",
     "scalars",
     "streaming_batch",
+    "pipeline",
     "llm_dedup",
     "llm_similarity",
     "llm_text",

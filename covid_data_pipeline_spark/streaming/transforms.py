@@ -102,3 +102,37 @@ def tumbling_5m_counts(df: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def stateful_user_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value total) carried in explicit GroupState
+    across micro-batches, emitting the updated totals each batch — the
+    arbitrary-state escape hatch for operators the built-in windowed
+    aggregations can't express (reference analogue: per-source scan
+    bookkeeping carried between runs).
+
+    State is one tiny tuple per user (bounded by distinct users, not
+    events); at 100 TB the state store shards with the shuffle partitions
+    of the user_id grouping.  Arrow-batched — the per-row Python cost is
+    amortized across each micro-batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Generate OPERATORS.md — the live operator inventory — from the query
+registry, so the doc can never drift from the code.  Rerun after adding
+operators: python gen_operators_md.py"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from covid_data_pipeline_spark.registry import load_all  # noqa: E402
+
+FAMILIES = (
+    ("scan_", "Scans / sources / sinks (§2.1)"),
+    ("sink_", None),
+    ("source_", None),
+    ("proj_", "Projections / filters (§2.2)"),
+    ("filter_", None),
+    ("join_", "Joins (§2.3)"),
+    ("agg_", "Aggregations (§2.4)"),
+    ("select_", None),
+    ("win_", "Window functions (§2.5)"),
+    ("sort_", "Sorts / top-k (§2.6)"),
+    ("limit_", None),
+    ("topk_", None),
+    ("set_", "Set operations (§2.7)"),
+    ("str_", "Scalar functions (§2.8)"),
+    ("date_", None),
+    ("ts_", None),
+    ("math_", None),
+    ("cond_", None),
+    ("cast_", None),
+    ("array_", None),
+    ("explode_", None),
+    ("map_", None),
+    ("json_", None),
+    ("stream_", "Streaming (§2.9)"),
+    ("dedup_", "LLM-pipeline: dedup (§2.10)"),
+    ("sim_", "LLM-pipeline: similarity search (§2.10)"),
+    ("text_", "LLM-pipeline: text analysis (§2.10)"),
+    ("multimodal_", "LLM-pipeline: multimodal (§2.10)"),
+    ("udf_", "LLM-pipeline: UDF migration ladder (§2.10)"),
+)
+
+
+def family_of(name: str) -> str:
+    current = "Other"
+    for prefix, title in FAMILIES:
+        if name.startswith(prefix):
+            # walk back to the nearest named section for grouped prefixes
+            idx = [p for p, _ in FAMILIES].index(prefix)
+            while FAMILIES[idx][1] is None:
+                idx -= 1
+            return FAMILIES[idx][1]
+    return current
+
+
+def main() -> None:
+    reg = load_all()
+    by_family: dict[str, list] = {}
+    for name, spec in sorted(reg.items()):
+        by_family.setdefault(family_of(name), []).append(spec)
+
+    ordered_titles = [t for _, t in FAMILIES if t is not None]
+    lines = [
+        "# OPERATORS — live query inventory",
+        "",
+        "Generated from `covid_data_pipeline_spark/registry.py` by "
+        "`gen_operators_md.py`; do not edit by hand.",
+        "",
+        f"**{len(reg)} registered queries** — "
+        f"{sum(1 for s in reg.values() if s.oracle)} DuckDB-oracle-checked, "
+        f"{sum(1 for s in reg.values() if not s.oracle)} rows-only "
+        "(approximate / filesystem side effect / true streaming).",
+        "",
+    ]
+    for title in ordered_titles:
+        specs = by_family.get(title)
+        if not specs:
+            continue
+        lines += [f"## {title}", "", "| query | oracle | summary |", "| --- | --- | --- |"]
+        for s in specs:
+            first = (s.doc or "").split(". ")[0].split(".\n")[0].replace("\n", " ")
+            first = " ".join(first.split())[:160]
+            lines.append(
+                f"| `{s.name}` | {'SQL-checked' if s.oracle else 'rows-only'} | {first} |"
+            )
+        lines.append("")
+    with open("OPERATORS.md", "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote OPERATORS.md ({len(reg)} queries)")
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,23 @@ def test_sink_partitioned_prunes_and_counts(spark):
     rows = reg["sink_parquet_partitioned"].fn(spark, SF_ORACLE).collect()
     assert len(rows) == 1 and rows[0]["event_type"] == "purchase"
     assert rows[0]["n"] > 0
+
+
+def test_framesample_fanout_contract(spark):
+    from covid_data_pipeline_spark.queries.llm_multimodal import frame_count_stub
+
+    reg = load_all()
+    df = reg["multimodal_framesample"].fn(spark, SF_ORACLE)
+    rows = df.collect()
+    assert df.columns == ["doc_id", "frame_idx", "n_frames", "frame_digest"]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 500  # every document fans out
+    for doc_rows in list(by_doc.values())[:20]:
+        n = doc_rows[0]["n_frames"]
+        # every 4th frame, deterministic count
+        assert sorted(r["frame_idx"] for r in doc_rows) == list(range(0, n, 4))
+        assert all(len(r["frame_digest"]) == 64 for r in doc_rows)
+    with pytest.raises(NotImplementedError):
+        frame_count_stub(b"x", real_decode=True)

@@ -1,0 +1,133 @@
+"""Property-based algebraic invariants (SURVEY §5.2.3, hypothesis).
+
+Each property runs the real Spark operators on small random inputs —
+the point is the invariant, not the scale: predicates partition counts,
+distinct is idempotent, row_number is a per-partition permutation, and
+the gaps-and-islands sessionization used as the streaming oracle is
+EQUIVALENT to Spark's native session_window on arbitrary event sets.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Window, functions as F
+
+PROP = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # key
+        st.integers(min_value=0, max_value=100),      # val
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=rows_st)
+@PROP
+def test_filter_partitions_counts(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    p = F.col("v") > 50
+    assert df.filter(p).count() + df.filter(~p).count() == df.count()
+
+
+@given(rows=rows_st)
+@PROP
+def test_distinct_idempotent_and_union_bag_semantics(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    d1 = df.distinct()
+    assert d1.count() == d1.distinct().count()
+    assert df.unionByName(df).count() == 2 * df.count()
+    assert df.unionByName(df).distinct().count() == d1.count()
+
+
+@given(rows=rows_st)
+@PROP
+def test_row_number_is_per_partition_permutation(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)] or [(None, None, None)],
+        "id int, k int, v int",
+    ).filter(F.col("id").isNotNull())
+    w = Window.partitionBy("k").orderBy("v", "id")
+    rn = df.withColumn("rn", F.row_number().over(w))
+    got = {}
+    for r in rn.collect():
+        got.setdefault(r["k"], []).append(r["rn"])
+    for k, rns in got.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), (k, rns)
+
+
+# event streams: (user, ts-seconds) — ts spread chosen so ~30-min session
+# gaps actually occur
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),            # user
+        st.integers(min_value=0, max_value=3 * 3600),     # ts offset sec
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=events_st)
+@PROP
+def test_gaps_and_islands_equals_native_session_window(spark, rows):
+    """The §4.3 equivalence, quantified over random event sets: new
+    session iff gap >= 30 min (gaps-and-islands) == native
+    session_window('30 minutes') ([ts, ts+gap) overlap-merge)."""
+    base = 1_700_000_000
+    df = spark.createDataFrame(
+        [(i, u, (base + t) * 1_000_000) for i, (u, t) in enumerate(rows)],
+        "event_id int, user_id int, ts_us long",
+    ).select("event_id", "user_id", F.timestamp_micros("ts_us").alias("ts"))
+
+    native = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            "n",
+        )
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap >= 1_800_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gi = (
+        df.withColumn("session_no", F.sum(new_s).over(wrun))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("user_id", "start_us", "n")
+    )
+
+    key = lambda df_: sorted(map(tuple, df_.collect()))  # noqa: E731
+    assert key(native) == key(gi)
+
+
+@given(rows=rows_st)
+@PROP
+def test_exact_dedup_keeps_one_row_per_key(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(rows)] or [(None, None)],
+        "id int, k int",
+    ).filter(F.col("id").isNotNull())
+    w = Window.partitionBy("k").orderBy("id")
+    kept = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    assert kept.count() == df.select("k").distinct().count()
+    # survivors are exactly the min-id rows
+    mins = {r["m"] for r in df.groupBy("k").agg(F.min("id").alias("m")).collect()}
+    assert {r["id"] for r in kept.collect()} == mins

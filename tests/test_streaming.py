@@ -168,3 +168,66 @@ def test_foreach_sink_matches_batch(spark):
     batch = TR.tumbling_hourly(load(spark, SF_SMOKE, "events"))
     cols = ["ws_us", "event_type", "n_events", "sum_value"]
     assert _as_sorted_rows(sunk, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stateful_totals_match_batch_groupby(spark):
+    from covid_data_pipeline_spark.registry import load_all
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in load_all()["stream_stateful_totals"].fn(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, s) in want.items():
+        gn, gs = got[uid]
+        assert gn == n, (uid, gn, n)
+        assert abs(gs - s) <= 1e-9 * max(1.0, abs(s)), (uid, gs, s)
+
+
+def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
+    """Two files, one per micro-batch: the second batch's emission must
+    include the first batch's counts — i.e. GroupState actually carries."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    T0 = 1_700_000_000_000_000
+
+    def mk(rows, path):
+        spark.createDataFrame(
+            [
+                Row(event_id=i, user_id=u, event_type="click", value=v, props="{}")
+                for i, (u, v) in enumerate(rows)
+            ],
+            schema="event_id long, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.timestamp_micros(F.lit(T0))).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    mk([(1, 1.0), (1, 2.0), (2, 5.0)], os.path.join(src, "b1"))
+    mk([(1, 4.0)], os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    sunk = run_available_now(
+        TR.stateful_user_totals(stream), output_mode="update"
+    )
+    per_user = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in sunk.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert per_user[1] == (3, 7.0), per_user  # 2 from b1 + 1 from b2
+    assert per_user[2] == (1, 5.0), per_user
