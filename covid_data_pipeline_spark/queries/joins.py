@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..io import load, tune
 from ..registry import query
-from ._helpers import dsum, sql_dsum
+from ._helpers import DEC, dsum, sql_dsum
 
 
 @query(
@@ -341,4 +341,52 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id",
         "b_id",
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )
+
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join by explicit salting: the probe side gets
+    a per-row salt, the build side is replicated across all salt values,
+    and the join keys on (orderkey, salt) — a hot orderkey's rows now
+    spread over 8 shuffle partitions instead of hammering one task.
+    Result is IDENTICAL to the plain join (oracle: the unsalted SQL).
+
+    This is the manual fallback for when AQE's skew-join split can't
+    help (e.g. skew inside an aggregation-feeding join with a downstream
+    partitioning requirement); with AQE on, prefer
+    spark.sql.adaptive.skewJoin.enabled and keep joins unsalted.  Cost:
+    the build side shuffles 8x — only worth it when the probe side's
+    skew dominates."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_li = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_BUCKETS))
+    )
+    salts = spark.range(_SALT_BUCKETS).select(F.col("id").alias("salt"))
+    replicated_o = o.crossJoin(salts)
+    joined = salted_li.join(
+        replicated_o,
+        on=(F.col("l_orderkey") == F.col("o_orderkey"))
+        & (salted_li["salt"] == replicated_o["salt"]),
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(revenue.cast(DEC)).cast("double").alias("revenue"),
     )

@@ -5,13 +5,16 @@ Reference analogue: skip-if-same-hash (exact) and near-duplicate page
 detection over cleaned HTML (approximate).  Three rungs of the same
 ladder, by scale:
 
-- ``dedup_exact``        O(n) hash-groupBy — always correct, 100 TB fine.
-- ``dedup_near_jaccard`` exact pairwise Jaccard inside blocking keys —
-  the correctness oracle for the approximate rungs; quadratic PER BLOCK,
-  so block size must be bounded (here: language).
-- ``dedup_minhash_lsh``  MinHash + banded LSH via pyspark.ml — the
-  100 TB path: candidate pairs come from equi-joins on band buckets,
-  never a full cross product.
+- ``dedup_exact``         O(n) hash-groupBy — always correct, 100 TB fine.
+- ``dedup_near_jaccard``  exact Jaccard via prefix-filtered similarity
+  join (SSJoin/PPJoin): candidates from an equi-join on prefix tokens,
+  recall exactly 1 — the correctness oracle for the approximate rungs.
+- ``dedup_ngram_jaccard`` the same, over order-aware trigram shingles.
+- ``dedup_simhash``       per-doc fingerprints; near-dup = small Hamming
+  distance, bucketable by bit-bands.
+- ``dedup_minhash_lsh``   banded MinHash over seeded xxhash64 — the
+  cheapest candidate generator at 100 TB; approximate (recall < 1),
+  asserted against the exact twin in tests.
 """
 
 from __future__ import annotations
@@ -70,13 +73,15 @@ JACCARD_THRESHOLD = 0.7
 )
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: token-set Jaccard > 0.7 within the same
-    language (blocking key).  |A∩B| / |A∪B| with integer set sizes, so
-    the division is deterministic cross-engine.
+    language.  |A∩B| / |A∪B| with integer set sizes, so the division is
+    deterministic cross-engine.
 
-    Scale note: the self-join is quadratic PER LANGUAGE BLOCK.  At
-    100 TB the blocking key must bound block size (lang × length-bucket
-    × shingle-band); this exact operator is the recall oracle for
-    ``dedup_minhash_lsh``, which replaces it beyond ~10^5 docs/block."""
+    Candidates come from a prefix-filtered similarity join (recall
+    exactly 1 — see dedup_ngram_jaccard for the argument), so the
+    operator is an equi-join on (lang, prefix-token) plus verification,
+    NOT a quadratic block join.  It is the recall oracle for
+    ``dedup_minhash_lsh``, which trades exactness for a far smaller
+    candidate set at 100 TB."""
     tune(spark)
     d = load(spark, sf_dir, "documents")
     # hash tokens to int64 before set ops: Jaccard COUNTS are unchanged
@@ -86,34 +91,45 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         "lang",
-        F.array_distinct(
-            F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok))
+        F.sort_array(
+            F.array_distinct(
+                F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok))
+            )
         ).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
-    a = t.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("lang"),
-        F.col("toks").alias("a_toks"),
-        F.col("n_toks").alias("a_n"),
+    # prefix-filtered similarity join (see dedup_ngram_jaccard for the
+    # recall-1 argument): prefix length n - ceil(0.7*n) + 1
+    prefix = F.slice(
+        "toks",
+        1,
+        (F.col("n_toks") - F.floor((F.col("n_toks") * 7 + 9) / 10) + 1).cast("int"),
     )
-    b = t.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("lang"),
-        F.col("toks").alias("b_toks"),
-        F.col("n_toks").alias("b_n"),
+    pe = t.select("doc_id", "lang", "n_toks", F.explode(prefix).alias("ptok"))
+    ca = pe.select(
+        F.col("doc_id").alias("a_id"), "lang", "ptok", F.col("n_toks").alias("a_n")
     )
-    # J > t implies |A|/|B| and |B|/|A| >= t (J <= min/max for sets), so
-    # the integer size-ratio test prunes pairs BEFORE the expensive
-    # intersection without changing the result set
+    cb = pe.select(
+        F.col("doc_id").alias("b_id"), "lang", "ptok", F.col("n_toks").alias("b_n")
+    )
+    # J > t implies |A|/|B| and |B|/|A| >= t (J <= min/max for sets) —
+    # integer size-ratio prune before candidate dedup
     ratio_ok = (F.col("a_n") * 10 >= F.col("b_n") * 7) & (
         F.col("b_n") * 10 >= F.col("a_n") * 7
     )
+    cand = (
+        ca.join(cb, on=["lang", "ptok"])
+        .filter((F.col("a_id") < F.col("b_id")) & ratio_ok)
+        .select("a_id", "b_id", "lang")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sa = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    sb = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    union = F.col("a_n") + F.col("b_n") - inter
+    union = F.size("a_toks") + F.size("b_toks") - inter
     jac = inter.cast("double") / union
     return (
-        a.join(b, on="lang")
-        .filter((F.col("a_id") < F.col("b_id")) & ratio_ok)
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") > JACCARD_THRESHOLD)
         .select("a_id", "b_id", "lang", F.round("jaccard", 6).alias("jaccard"))
@@ -295,9 +311,17 @@ NGRAM_THRESHOLD = 0.5
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by 3-gram SHINGLE Jaccard (word trigrams) — stricter than
     token-set Jaccard because shingles encode local word ORDER, the
-    standard prefilter for LLM training-corpus dedup.  Same
-    lang-blocked + size-ratio-pruned join shape as the unigram twin;
-    the shingle sets feed the same banded-minhash rung at 100 TB."""
+    standard prefilter for LLM training-corpus dedup.
+
+    EXACT result via prefix-filtered similarity join (SSJoin/PPJoin
+    family) instead of a blocked cross join: with sets sorted in a
+    global order, any pair with J >= t must share its MINIMUM common
+    element within both prefixes of length n - ceil(t*n) + 1 (if it sat
+    outside either prefix, that set's overlap would be under t*n) — so
+    equi-joining on exploded prefix shingles has recall exactly 1, and
+    the expensive intersection runs only on candidates.  This is the
+    exact-dedup shape that survives 100 TB: candidate generation is an
+    equi-join keyed by (lang, shingle), never quadratic in a block."""
     tune(spark)
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -319,24 +343,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = (
         d.filter(F.size(toks) >= 3)
-        .select("doc_id", "lang", trigrams.alias("shingles"))
+        .select("doc_id", "lang", F.sort_array(trigrams).alias("shingles"))
         .withColumn("n_sh", F.size("shingles"))
     )
-    a = t.select(
-        F.col("doc_id").alias("a_id"), "lang",
-        F.col("shingles").alias("a_sh"), F.col("n_sh").alias("a_n"),
+    # prefix length n - ceil(t*n) + 1 at t=0.5 -> floor(n/2) + 1
+    prefix = F.slice(
+        "shingles", 1, (F.floor(F.col("n_sh") / 2) + 1).cast("int")
     )
-    b = t.select(
-        F.col("doc_id").alias("b_id"), "lang",
-        F.col("shingles").alias("b_sh"), F.col("n_sh").alias("b_n"),
+    pe = t.select("doc_id", "lang", "n_sh", F.explode(prefix).alias("psh"))
+    ca = pe.select(
+        F.col("doc_id").alias("a_id"), "lang", "psh", F.col("n_sh").alias("a_n")
     )
-    # J > 0.5 implies size ratio >= 0.5 — prune before intersecting
+    cb = pe.select(
+        F.col("doc_id").alias("b_id"), "lang", "psh", F.col("n_sh").alias("b_n")
+    )
+    # J > 0.5 implies size ratio >= 0.5 — prune candidates before dedup
     ratio_ok = (F.col("a_n") * 2 >= F.col("b_n")) & (F.col("b_n") * 2 >= F.col("a_n"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    jac = inter.cast("double") / (F.col("a_n") + F.col("b_n") - inter)
-    return (
-        a.join(b, on="lang")
+    cand = (
+        ca.join(cb, on=["lang", "psh"])
         .filter((F.col("a_id") < F.col("b_id")) & ratio_ok)
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sa = t.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    sb = t.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter.cast("double") / (
+        F.size("a_sh") + F.size("b_sh") - inter
+    )
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") > NGRAM_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
