@@ -49,7 +49,10 @@ def tune(spark: SparkSession) -> SparkSession:
     value are the policy instead of this constant.
     """
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        )
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -231,3 +231,27 @@ def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
     }
     assert per_user[1] == (3, 7.0), per_user  # 2 from b1 + 1 from b2
     assert per_user[2] == (1, 5.0), per_user
+
+
+def test_native_parquet_sink_exactly_once(spark, tmp_path):
+    """The native file sink (writeStream.format('parquet')) commits via
+    _spark_metadata for exactly-once output: rerunning the drained query
+    against the same checkpoint must not duplicate rows."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        q = (
+            TR.dedup_content(read_events_stream(spark, SF_SMOKE))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    first = run()
+    assert first > 0
+    assert run() == first  # no new data, no duplicated output
