@@ -228,3 +228,19 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
+
+
+@query("stream_change_detect", oracle=None)  # rows-only: custom state op
+def stream_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's change-detection loop as a TRUE incremental
+    stream: per-source last-hash in GroupState (applyInPandasWithState),
+    each snapshot classified new/changed/unchanged as it arrives.
+    Equivalence with the windowed batch formulation
+    (win_lag_change_detect) is asserted in tests/test_streaming.py."""
+    from ..streaming import read_events_stream, run_available_now
+
+    tune(spark)
+    return run_available_now(
+        TR.stateful_change_detect(read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )

@@ -136,3 +136,53 @@ def stateful_user_totals(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_change_detect(df: DataFrame) -> DataFrame:
+    """The reference's core loop as a TRUE incremental stream: GroupState
+    holds each source's last content hash; every arriving snapshot is
+    classified new / changed / unchanged against it and the state
+    advances.  This is ``win_lag_change_detect``'s semantics without any
+    window over history — O(1) state per source, which is the only shape
+    that works on an unbounded scan stream.
+
+    Events within one micro-batch are ordered by (ts, event_id) inside
+    the worker, so replays of the same batch classify identically."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def classify(key, pdfs, state: GroupState):
+        (last_hash,) = state.get if state.exists else (None,)
+        out = {"source_key": [], "event_id": [], "content_hash": [], "status": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                h = row["content_hash"]
+                status = (
+                    "new"
+                    if last_hash is None
+                    else ("changed" if h != last_hash else "unchanged")
+                )
+                out["source_key"].append(key[0])
+                out["event_id"].append(row["event_id"])
+                out["content_hash"].append(h)
+                out["status"].append(status)
+                last_hash = h
+        state.update((last_hash,))
+        yield pd.DataFrame(out)
+
+    hashed = df.select(
+        F.col("user_id").alias("source_key"),
+        "event_id",
+        "ts",
+        F.sha2("props", 256).alias("content_hash"),
+    )
+    return hashed.groupBy("source_key").applyInPandasWithState(
+        classify,
+        outputStructType=(
+            "source_key long, event_id long, content_hash string, status string"
+        ),
+        stateStructType="last_hash string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row, Window, functions as F
 
 from covid_data_pipeline_spark.io import load
 from covid_data_pipeline_spark.schemas import EVENTS
@@ -255,3 +255,67 @@ def test_native_parquet_sink_exactly_once(spark, tmp_path):
     first = run()
     assert first > 0
     assert run() == first  # no new data, no duplicated output
+
+
+def test_stateful_change_detect_equals_batch_lag(spark):
+    """The GroupState change detector must classify exactly like the
+    batch lag-window formulation (first snapshot 'new', hash change
+    'changed', else 'unchanged')."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    stream_rows = {
+        r["event_id"]: r["status"]
+        for r in load_all()["stream_change_detect"].fn(spark, SF_SMOKE).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = F.sha2("props", 256)
+    prev = F.lag(h).over(w)
+    batch_rows = {
+        r["event_id"]: r["status"]
+        for r in load(spark, SF_SMOKE, "events")
+        .select(
+            "event_id",
+            F.when(prev.isNull(), "new")
+            .when(prev != h, "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_stateful_change_detect_carries_hash_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    T0 = 1_700_000_000_000_000
+
+    def mk(rows, path):
+        spark.createDataFrame(
+            [
+                Row(event_id=eid, user_id=1, event_type="scan", value=0.0, props=content)
+                for eid, content in rows
+            ],
+            schema="event_id long, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.timestamp_micros(F.col("event_id") + T0)).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    mk([(1, "AAA"), (2, "AAA"), (3, "BBB")], os.path.join(src, "b1"))
+    mk([(4, "BBB"), (5, "AAA")], os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    got = {
+        r["event_id"]: r["status"]
+        for r in run_available_now(
+            TR.stateful_change_detect(stream), output_mode="append"
+        ).collect()
+    }
+    # batch 2's first row (same content as batch 1's last) must be
+    # 'unchanged' — provable only if the last hash crossed the batch gap
+    assert got == {1: "new", 2: "unchanged", 3: "changed",
+                   4: "unchanged", 5: "changed"}
