@@ -241,3 +241,74 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("b_id").alias("dup_id")).agg(
         F.min("a_id").alias("canon_id")
     )
+
+
+_IVF_NPROBE = 2
+
+
+@query("sim_ann_ivf", oracle=None)  # rows-only: ANN is approximate
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (here: per-label mean vectors,
+    computed with exact decimal sums so the centroids — and therefore
+    cell assignments — are bit-deterministic) partitions the corpus into
+    cells; every vector is assigned to its NEAREST centroid; queries
+    probe their nprobe=2 nearest cells and exact-cosine re-rank only the
+    vectors in those cells.
+
+    This is the second mandated ANN shape beside the LSH buckets
+    (sim_ann_bucketed): candidates come from an equi-join on cell id, so
+    the corpus shuffles once by cell and the quadratic term is bounded
+    by cell size.  At 100 TB the quantizer becomes k-means trained
+    offline and nprobe becomes the recall/latency dial; the join shape
+    is unchanged.  Recall vs brute force asserted in
+    tests/test_llm_ops.py."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("vec")
+    )
+    # centroids: per-label elementwise mean via posexplode + decimal sum
+    per_dim = e.select("label", F.posexplode("vec").alias("pos", "x"))
+    dim_means = per_dim.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m")
+    )
+    centroids = dim_means.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("cvec")
+    ).select(F.col("label").alias("cell"), "cvec")
+
+    # assign: nearest centroid(s) by cosine; corpus keeps rank 1,
+    # queries probe the top nprobe cells
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "vec",
+        "cell",
+        (
+            _dot("vec", "cvec") / (_norm("vec") * _norm("cvec"))
+        ).alias("cscore"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cell"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    corpus_cells = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
+    )
+    query_cells = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("crank") <= _IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "cell")
+    )
+    cos = F.round(_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6)
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

@@ -131,3 +131,20 @@ def test_framesample_fanout_contract(spark):
         assert all(len(r["frame_digest"]) == 64 for r in doc_rows)
     with pytest.raises(NotImplementedError):
         frame_count_stub(b"x", real_decode=True)
+
+
+def test_ivf_recall_and_determinism(spark):
+    reg = load_all()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg["sim_topk_neighbors"].fn(spark, SF_ORACLE).collect()
+    }
+    runs = [
+        sorted(map(tuple, reg["sim_ann_ivf"].fn(spark, SF_ORACLE).collect()))
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1], "IVF ANN must be deterministic"
+    approx = {(q, n) for q, n, _, _ in runs[0]}
+    recall = len(exact & approx) / len(exact)
+    # nprobe=2 of 10 cells; recall depends on label-cluster alignment
+    assert recall >= 0.2, f"IVF ANN recall {recall:.3f} < 0.2"
