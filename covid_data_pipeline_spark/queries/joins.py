@@ -390,3 +390,66 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(revenue.cast(DEC)).cast("double").alias("revenue"),
     )
+
+
+_BUCKETS = 8
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing: both tables are written
+    bucketed (and sorted) by the join key into the session catalog, so
+    the join needs NO shuffle exchange and no sort — each task zips
+    bucket i of lineitem with bucket i of orders.  Result is identical
+    to the plain join (oracle: unsalted SQL); the no-Exchange plan is
+    asserted in tests/test_plans.py.
+
+    This is the recurring-join amortization at 100 TB: pay one bucketed
+    write, then every subsequent join/agg on the bucket key is
+    shuffle-free.  Bucket count scales with data (here 8; thousands on
+    a cluster) and must match on both sides."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    tune(spark)
+    # a fresh session has an empty in-memory catalog but the warehouse
+    # dirs may survive from an earlier run — clear both or saveAsTable
+    # fails with LOCATION_ALREADY_EXISTS
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("cdp_bucketed_lineitem", "cdp_bucketed_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("cdp_bucketed_lineitem")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("cdp_bucketed_orders")
+    )
+    bli = spark.table("cdp_bucketed_lineitem")
+    bo = spark.table("cdp_bucketed_orders")
+    # merge hint: at test scale Spark would broadcast tiny orders and
+    # never show the bucketing; at 100 TB both sides are fact-sized and
+    # SMJ-over-buckets IS the plan this operator exists to produce
+    joined = bli.hint("merge").join(bo, bli["l_orderkey"] == bo["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("total_price"),
+    )

@@ -90,3 +90,21 @@ def test_minhash_lsh_has_no_cartesian(spark):
     plan = plan_of(q("dedup_minhash_lsh", spark))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The whole point of join_bucketed: both sides pre-bucketed on the
+    join key means the SortMergeJoin runs without any Exchange below it
+    (the only exchange in the plan belongs to the downstream groupBy)."""
+    df = q("join_bucketed", spark)
+    df.collect()
+    plan = plan_of(df, mode="simple")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    assert final.count("Bucketed: true") == 2, "both scans must read buckets"
+    # in the tree dump the join's children (the scans) come AFTER the
+    # SortMergeJoin line — no Exchange may appear among them
+    below_join = final.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, (
+        f"shuffle exchange feeding the bucketed join:\n{below_join[:800]}"
+    )
