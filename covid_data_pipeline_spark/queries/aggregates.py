@@ -312,3 +312,50 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 9).alias("var_disc"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
     )
+
+
+@query(
+    "agg_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (p50/p90/p99) of price per returnflag — run-
+    latency-style distribution summaries.  Spark ``percentile`` and
+    DuckDB ``quantile_cont`` both linearly interpolate over the sorted
+    values; rounded to 6 digits to absorb last-ulp interpolation
+    differences.  Exact percentile sorts per group — fine for bounded
+    groups; the unbounded-cardinality path is the approx twin below."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+
+
+@query("agg_approx_percentile", oracle=None)  # rows-only: sketch-based
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL/GK-style sketch
+    (``approx_percentile``, accuracy 10000) — fixed memory per group
+    regardless of cardinality, the 100 TB path for distribution
+    summaries.  Accuracy vs the exact twin asserted in
+    tests/test_llm_ops.py."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+        ).alias("approx_pcts")
+    )

@@ -148,3 +148,19 @@ def test_ivf_recall_and_determinism(spark):
     recall = len(exact & approx) / len(exact)
     # nprobe=2 of 10 cells; recall depends on label-cluster alignment
     assert recall >= 0.2, f"IVF ANN recall {recall:.3f} < 0.2"
+
+
+def test_approx_percentile_accuracy(spark):
+    reg = load_all()
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in reg["agg_quantiles"].fn(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_pcts"]
+        for r in reg["agg_approx_percentile"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, (p50, p90, p99) in exact.items():
+        for got, want in zip(approx[flag], (p50, p90, p99)):
+            assert abs(got - want) / want <= 0.01, (flag, got, want)
