@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load, tune
+from ..operators import connected_components
 from ..registry import query
 
 
@@ -226,10 +227,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 26
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok AS (
+_SIMHASH_SQL_CTES = f"""
+    tok AS (
         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
         FROM documents
     ),
@@ -245,11 +244,20 @@ _SIMHASH_BITS = 26
                SUM(CASE WHEN (thash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
         FROM th CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS bit) b
         GROUP BY doc_id, lang, b.bit
-    )
-    SELECT doc_id, lang,
-           CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id, lang
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id, lang
+    )"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SQL_CTES}
+    SELECT doc_id, lang, simhash FROM sh
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,6 +268,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic -> fully oracle-checkable."""
     tune(spark)
     d = load(spark, sf_dir, "documents")
+    return _simhash(spark, d)
+
+
+def _simhash(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """(doc_id, lang, simhash) — shared by dedup_simhash and the
+    band-collision clustering in dedup_cluster_cc."""
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
     # polynomial hash over char codes: fold (acc*31 + code) mod 2^26
     thash = F.aggregate(
@@ -377,4 +391,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") > NGRAM_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# Cluster canonicalization: 2 bands of 13 bits over the 26-bit simhash.
+# Docs colliding on EITHER half (same lang) are candidate duplicates;
+# clusters are the transitive closure — exactly the graph LSH bucketing
+# induces, and the step every LSH dedup needs before it can DROP rows
+# (pairs alone don't say which doc survives when A~B and B~C but A!~C).
+_CC_BAND_BITS = _SIMHASH_BITS // 2
+_CC_BAND_MASK = (1 << _CC_BAND_BITS) - 1
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_SQL_CTES},
+    bands AS (
+        SELECT doc_id, lang, 0 AS band, simhash & {_CC_BAND_MASK} AS val FROM sh
+        UNION ALL
+        SELECT doc_id, lang, 1 AS band, simhash >> {_CC_BAND_BITS} AS val FROM sh
+    ),
+    gmin AS (
+        SELECT lang, band, val, MIN(doc_id) AS root
+        FROM bands GROUP BY lang, band, val
+    ),
+    e AS (  -- star edges: member -> band-group minimum (same components
+            -- as the full within-bucket clique, O(n) edges instead of O(n^2))
+        SELECT b.doc_id AS s, g.root AS d
+        FROM bands b
+        JOIN gmin g ON b.lang = g.lang AND b.band = g.band AND b.val = g.val
+        WHERE b.doc_id <> g.root
+    ),
+    sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, s.d FROM reach r JOIN sym s ON s.s = r.lbl
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER canonicalization: simhash band-collision edges
+    -> distributed connected components -> every document labeled with
+    its cluster's minimum doc_id (the canonical survivor).
+
+    This is the missing last step of every LSH dedup pipeline: pair
+    lists don't compose (A~B, B~C does not yield A~C), so before any
+    row can be dropped the pairs must be closed into components and one
+    canonical doc chosen per component.  Candidate edges here are
+    13-bit simhash half-collisions within the same lang, STARRED to the
+    bucket minimum — O(n) edges per bucket, never the quadratic clique.
+
+    Components come from operators/graph.py: min-label propagation with
+    pointer jumping (O(log diameter) rounds, two uniform-key shuffles
+    per round, lineage truncated per round).  The DuckDB oracle closes
+    the same edge set with a recursive CTE — the full clustering is
+    hash-checked, not just spot-tested."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    sh = _simhash(spark, d)
+    lo = sh.select(
+        "doc_id",
+        "lang",
+        F.lit(0).alias("band"),
+        F.expr(f"simhash & {_CC_BAND_MASK}").alias("val"),
+    )
+    hi = sh.select(
+        "doc_id",
+        "lang",
+        F.lit(1).alias("band"),
+        F.shiftright("simhash", _CC_BAND_BITS).alias("val"),
+    )
+    bands = lo.unionByName(hi)
+    gmin = bands.groupBy("lang", "band", "val").agg(F.min("doc_id").alias("root"))
+    edges = (
+        bands.join(gmin, ["lang", "band", "val"])
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
+        .distinct()
+    )
+    comps = connected_components(edges, vertices=d.select("doc_id"), vertex="doc_id")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

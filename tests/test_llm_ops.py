@@ -164,3 +164,45 @@ def test_approx_percentile_accuracy(spark):
     for flag, (p50, p90, p99) in exact.items():
         for got, want in zip(approx[flag], (p50, p90, p99)):
             assert abs(got - want) / want <= 0.01, (flag, got, want)
+
+
+def test_cluster_cc_matches_union_find(spark):
+    """dedup_cluster_cc == driver-side union-find over the same edges:
+    same partition of doc_ids, and every label is its cluster's min."""
+    reg = load_all()
+    rows = reg["dedup_cluster_cc"].fn(spark, SF_ORACLE).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    sh = {
+        r["doc_id"]: (r["lang"], r["simhash"])
+        for r in reg["dedup_simhash"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(sh)  # one label per document, singletons included
+    # rebuild the band-collision graph and union-find it
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    groups: dict[tuple, list[int]] = {}
+    for doc, (lang, s) in sh.items():
+        groups.setdefault((lang, 0, s & 0x1FFF), []).append(doc)
+        groups.setdefault((lang, 1, s >> 13), []).append(doc)
+    for members in groups.values():
+        root = min(members)
+        for m in members:
+            ra, rb = find(root), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {doc: find(doc) for doc in sh}
+    assert got == want
+    # labels are cluster minima
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, c in got.items():
+        members[c].append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
