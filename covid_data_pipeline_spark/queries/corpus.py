@@ -1,0 +1,216 @@
+"""Corpus-management operators: the table-maintenance verbs a
+training-data pipeline runs between the analytic queries — reproducible
+sampling, snapshot upsert, data profiling, time-series repair.
+
+Reference analogues: the pipeline re-runs its scrape daily and (a)
+overwrites each source's cache entry with the newest version
+(upsert-latest), (b) summarizes what it holds per run (profiling), and
+(c) reasons over per-source daily series with missing days (gap fill).
+Sampling is the mandated LLM-pipeline addition: corpus subsetting must
+be DETERMINISTIC (hash-based, not rand()) so a 100 TB sample is
+reproducible run-to-run and resumable after partial failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+from ._helpers import davg, sql_davg
+
+# Knuth multiplicative hash on doc_id, folded to a percent bucket.
+# rand(seed) is NOT reproducible cross-engine (or even cross-partitioning
+# in some engines); an explicit integer hash is, everywhere, forever.
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 1 << 32
+_LANG_PCT = {"en": 37, "es": 61, "zh": 23, "de": 50, "fr": 80}
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH r(lang, pct) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _LANG_PCT.items())})
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE (d.doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} % 100 < r.pct
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates applied
+    via a multiplicative integer hash of the key — same sample on every
+    run, every engine, every partitioning (unlike ``df.sample``, whose
+    seed is per-partition).  The rate table is a broadcast dim join, so
+    the corpus side never shuffles; at 100 TB this is a map-only scan
+    that prunes rows AT the parquet reader's exit."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in _LANG_PCT.items()], "lang string, pct int"
+    )
+    bucket = (F.col("doc_id") * _SAMPLE_MULT) % _SAMPLE_MOD % 100
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("pct"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "merge_upsert_latest",
+    oracle="""
+    SELECT doc_id, origin, content_hash FROM (
+        SELECT doc_id, origin, content_hash,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY priority) AS rn
+        FROM (
+            SELECT doc_id, 'base' AS origin, sha256(text) AS content_hash, 1 AS priority
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'update' AS origin, sha256(upper(text)) AS content_hash, 0
+            FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        )
+    ) WHERE rn = 1
+    """,
+)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot merge (the MERGE INTO / upsert verb): an
+    updates batch (re-scraped docs from three sources, content changed)
+    overlaid on the base snapshot, newest version per key surviving —
+    the reference's overwrite-cache-entry-on-change, as a set operation.
+
+    Shape: unionByName + one row_number window partitioned by the key —
+    a single shuffle on doc_id.  At 100 TB this beats a full-outer join
+    formulation (one shuffled table, not two shuffled inputs plus null
+    patching), and generalizes to n-way merges by adding priorities."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.lit("base").alias("origin"),
+        F.sha2("text", 256).alias("content_hash"),
+        F.lit(1).alias("priority"),
+    )
+    upd = d.filter(F.col("source").isin("src0", "src1", "src2")).select(
+        "doc_id",
+        F.lit("update").alias("origin"),
+        F.sha2(F.upper("text"), 256).alias("content_hash"),
+        F.lit(0).alias("priority"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("priority")
+    return (
+        base.unionByName(upd)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "origin", "content_hash")
+    )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name, COUNT(o_orderstatus) AS n_nonnull,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice)
+    FROM orders
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the run-level "what do we hold" summary every
+    ingest pipeline emits: per column, non-null count, distinct count,
+    numeric min/max; one row per column.
+
+    SINGLE-PASS: all per-column aggregates compute in one scan /
+    one aggregate, then ``stack`` unpivots 3x4 values into rows — vs the
+    oracle's 3 scans.  At 100 TB one pass over the fact table is the
+    entire point of the operator (exact distincts shuffle per column;
+    swap in approx_count_distinct when cardinality estimates suffice)."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count("o_orderstatus").alias("n1"),
+        F.countDistinct("o_orderstatus").alias("d1"),
+        F.count("o_orderpriority").alias("n2"),
+        F.countDistinct("o_orderpriority").alias("d2"),
+        F.count("o_totalprice").alias("n3"),
+        F.countDistinct("o_totalprice").alias("d3"),
+        F.min("o_totalprice").alias("mn3"),
+        F.max("o_totalprice").alias("mx3"),
+    )
+    return a.select(
+        F.expr(
+            """stack(3,
+               'o_orderstatus',   n1, d1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               'o_orderpriority', n2, d2, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               'o_totalprice',    n3, d3, mn3, mx3)
+               AS (col_name, n_nonnull, n_distinct, min_num, max_num)"""
+        )
+    )
+
+
+@query(
+    "ts_gapfill_ffill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, {sql_davg("value")} AS v
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    b AS (SELECT MIN(date_trunc('day', ts)) AS lo, MAX(date_trunc('day', ts)) AS hi
+          FROM events),
+    days AS (  -- day-truncated TIMESTAMPs, not DATEs: pandas canon-
+               -- icalizes dates differently per engine, timestamps not
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+    ),
+    spine AS (SELECT u.user_id, days.day
+              FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days)
+    SELECT s.user_id, s.day,
+           last_value(d.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series repair: densify each user's daily series onto the
+    full date spine, then forward-fill gaps with the last observation —
+    the standard resample+ffill the reference needed whenever a source
+    skipped a day's scan.
+
+    The spine is users x sequence(min_day, max_day) — the day list is a
+    1-row aggregate exploded and BROADCAST, so densification is a
+    map-side cross of each user partition with ~30 dates, never a
+    shuffle of the fact table; the fill is one window per user ordered
+    by day (``last(ignorenulls)``), partition-parallel at any scale."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    daily = e.groupBy("user_id", day).agg(davg("value").alias("v"))
+    days = (
+        e.agg(
+            F.min(F.date_trunc("day", "ts")).alias("lo"),
+            F.max(F.date_trunc("day", "ts")).alias("hi"),
+        )
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    )
+    spine = e.select("user_id").distinct().crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "llm_text",
     "llm_multimodal",
     "udfs",
+    "corpus",
 )
 
 
