@@ -244,3 +244,70 @@ def stream_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         TR.stateful_change_detect(read_events_stream(spark, sf_dir)),
         output_mode="append",
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream join: each purchase joined to the same user's
+    views in the preceding hour, both sides streaming with 2-hour
+    watermarks and an event-time range condition — the attribution-join
+    shape (reference: correlating a capture with the scans that led to
+    it).  Inner join + time bound means Spark can emit matches
+    incrementally and EVICT view state older than watermark + range —
+    bounded state at any stream length.  availableNow drains the fixture
+    in one deterministic pass, so the result equals the batch interval
+    join and the DuckDB oracle can hash-check a genuine streaming run
+    (rare for streaming ops).  State is keyed by user_id — at 100 TB the
+    same salting guidance as the batch interval join applies to hot
+    users."""
+    from ..streaming import read_events_stream, run_available_now
+
+    tune(spark)
+    # one state-store instance per shuffle partition: at this scale the
+    # per-instance commit overhead dominates, so run the join narrower
+    # than the batch default (on a cluster: size to cores as usual)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """v_user = user_id
+               AND v_ts <= p_ts
+               AND v_ts >= p_ts - interval 1 hour"""
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+    return run_available_now(joined, output_mode="append")
