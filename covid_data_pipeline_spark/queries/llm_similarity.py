@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..io import load, tune
 from ..registry import query
+from ._helpers import DEC
 
 COSINE_THRESHOLD = 0.25
 
@@ -311,4 +312,78 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    SELECT label, pos,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(v) AS centroid
+    FROM (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the coarse-quantizer TRAINING step an
+    IVF index needs (sim_ann_ivf assigns to cells; this computes the
+    cells), and one k-means iteration in general.
+
+    Shape: posexplode the vectors and hash-aggregate (label, dim) — one
+    shuffle of n_vectors x 64 skinny rows with map-side partial
+    aggregation; no collect, no Python.  The mean goes through the
+    DECIMAL trick (_helpers) so the centroid is bit-identical regardless
+    of partitioning — a reproducibility property most distributed
+    k-means implementations give up."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_vec("embedding")).alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count("v")).alias("centroid")
+    )
+
+
+@query(
+    "sim_normalize_embeddings",
+    oracle=f"""
+    SELECT vec_id, l2, [CAST(x AS DOUBLE) / l2 FOR x IN embedding] AS unit
+    FROM (
+        SELECT vec_id, embedding, {_SQL_NORM.format(a="embedding")} AS l2
+        FROM embeddings
+    )
+    """,
+)
+def sim_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 unit-normalization of the embedding column — the preprocessing
+    step that turns cosine into plain dot product for every operator
+    downstream (one normalize pass amortizes across all similarity
+    queries).  Pure per-row map (transform + ordered-fold norm): no
+    shuffle, whole-stage codegen, trivially 100 TB-parallel.
+
+    Emitted UNROUNDED: the fold order matches DuckDB list_reduce
+    exactly, and IEEE division/sqrt are correctly rounded, so every
+    output double is bit-identical cross-engine.  (Rounding would
+    actually BREAK the hash here — Spark rounds via the exact decimal
+    expansion, DuckDB via a 1e6-scaled multiply, and ~1 in 5k values
+    lands on opposite sides of a half-boundary.)"""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    v = _vec("embedding")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    withn = e.select("vec_id", "embedding", l2.alias("l2"))
+    return withn.select(
+        "vec_id",
+        "l2",
+        F.transform(_vec("embedding"), lambda x: x / F.col("l2")).alias("unit"),
     )

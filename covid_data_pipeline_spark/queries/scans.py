@@ -148,3 +148,21 @@ def source_union_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = spark.createDataFrame(_REG_A, _REG_SCHEMA)
     b = spark.createDataFrame(_REG_B, _REG_SCHEMA)
     return a.unionByName(b).dropDuplicates()
+
+
+@query("sink_orc_roundtrip", oracle=None)  # rows-only: filesystem side effect
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events to ORC, read back with an explicit schema, aggregate
+    — the second columnar format beside parquet (ORC ships in Spark;
+    Avro/Delta need external packages, noted out of scope).  Same
+    explicit-schema discipline as every reader: no footer sampling, plans
+    stable.  Equality with the parquet-sourced aggregate is asserted in
+    tests/test_edge_cases.py."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "orc_roundtrip")
+    ev = load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.schema(EVENTS).orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
+    )

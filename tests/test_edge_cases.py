@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Row, Window, functions as F
 from pyspark.testing import assertDataFrameEqual
 
+from .conftest import SF_ORACLE
+
 
 def test_change_detect_on_empty_and_single_snapshot(spark):
     empty = spark.createDataFrame([], "src int, ts long, content string")
@@ -129,3 +131,23 @@ def test_try_cast_invalid_strings_yield_null(spark):
 def test_assert_dataframe_equal_roundtrip(spark):
     df = spark.createDataFrame([(1, "a")], "id int, s string")
     assertDataFrameEqual(df, spark.createDataFrame([(1, "a")], "id int, s string"))
+
+
+def test_orc_roundtrip_equals_parquet_source(spark):
+    from covid_data_pipeline_spark.io import load
+    from covid_data_pipeline_spark.registry import load_all
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    orc = {
+        (r["event_type"]): (r["n"], r["n_users"])
+        for r in reg["sink_orc_roundtrip"].fn(spark, SF_ORACLE).collect()
+    }
+    pq = {
+        (r["event_type"]): (r["n"], r["n_users"])
+        for r in load(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert orc == pq
