@@ -108,3 +108,33 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange" not in below_join, (
         f"shuffle exchange feeding the bucketed join:\n{below_join[:800]}"
     )
+
+
+def test_sample_is_map_only_broadcast(spark):
+    """Deterministic sampling must not shuffle the corpus: the rate dim
+    is broadcast and the hash predicate evaluates map-side."""
+    plan = plan_of(q("sample_stratified_hash", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_gapfill_broadcasts_day_spine(spark):
+    """Densification joins the fact side to a broadcast day list — the
+    events table must not shuffle for the cross join."""
+    plan = plan_of(q("ts_gapfill_ffill", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_profile_is_single_pass(spark):
+    """One scan of orders computes every per-column metric (the oracle
+    needs three)."""
+    plan = plan_of(q("profile_columns", spark))
+    # one scan NODE (each appears once in the tree and once in the
+    # detail section, which repeats its Location line)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_normalize_has_no_shuffle_no_python(spark):
+    plan = plan_of(q("sim_normalize_embeddings", spark))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
