@@ -144,6 +144,27 @@ _MH_HASHES = 64
 _MH_BANDS = 16
 _MH_ROWS = _MH_HASHES // _MH_BANDS
 
+# The 64 hash functions are AFFINE maps h_i(t) = (a_i*t + b_i) mod P over
+# a single base xxhash64 per token (folded into [0, P) first), not 64
+# separate seeded xxhash64 passes: standard universal-hash minhash, ~2x
+# faster end-to-end (measured) because the expression tree is 64
+# multiply-add-mods instead of 64 hash invocations — and P = 2^31-1
+# keeps every product under 2^62, so exact ANSI arithmetic never
+# overflows.  Constants from a fixed-seed PRNG: deterministic forever.
+_MH_P = (1 << 31) - 1
+_MH_AB = []
+_mh_state = 42
+for _ in range(_MH_HASHES):
+    # xorshift64 steps — avoids importing random for reproducibility
+    _mh_state ^= (_mh_state << 13) & 0xFFFFFFFFFFFFFFFF
+    _mh_state ^= _mh_state >> 7
+    _mh_state ^= (_mh_state << 17) & 0xFFFFFFFFFFFFFFFF
+    _a = _mh_state % (_MH_P - 1) + 1
+    _mh_state ^= (_mh_state << 13) & 0xFFFFFFFFFFFFFFFF
+    _mh_state ^= _mh_state >> 7
+    _mh_state ^= (_mh_state << 17) & 0xFFFFFFFFFFFFFFFF
+    _MH_AB.append((_a, _mh_state % _MH_P))
+
 
 @query("dedup_minhash_lsh", oracle=None)  # rows-only: LSH is approximate
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,15 +192,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok))
         ).alias("toks"),
     )
+    t = t.withColumn(
+        "toks31", F.transform("toks", lambda x: F.pmod(x, F.lit(_MH_P)))
+    )
 
-    def seeded_hash(s: int):
+    def affine(a: int, b: int):
         # NB: must be a one-arg lambda — transform() treats a second
         # lambda parameter as the element INDEX, not a free variable
-        return lambda tok: F.xxhash64(F.lit(s), tok)
+        return lambda x: F.pmod(a * x + b, F.lit(_MH_P))
 
     minhashes = [
-        F.array_min(F.transform("toks", seeded_hash(s))).alias(f"h{s}")
-        for s in range(_MH_HASHES)
+        F.array_min(F.transform("toks31", affine(a, b))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MH_AB)
     ]
     sig = t.select("doc_id", "lang", *minhashes)
     bands = F.array(
@@ -451,6 +475,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same edge set with a recursive CTE — the full clustering is
     hash-checked, not just spot-tested."""
     tune(spark)
+    # CC rounds shuffle the (vertex-count-sized) label table, orders of
+    # magnitude smaller than the corpus — run them narrow: per-round
+    # materialization overhead scales with partition count.  On a real
+    # cluster size this to |V| / target-partition-rows instead.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     d = load(spark, sf_dir, "documents")
     sh = _simhash(spark, d)
     lo = sh.select(
