@@ -359,3 +359,30 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
         ).alias("approx_pcts")
     )
+
+
+@query("agg_sketch_mergeable", oracle=None)  # rows-only: sketch estimates
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL, built
+    into Spark): one per-day sketch of user_id, then the global count
+    from UNIONING the daily sketches — never re-touching the raw data.
+
+    This is the 100 TB pre-aggregation pattern the plain
+    approx_count_distinct can't express: sketch once at the finest
+    grain, persist bytes, answer any coarser rollup (weekly, global,
+    ad-hoc unions) by merging — each merge is bytes-sized, not
+    data-sized.  Estimate accuracy and union-vs-direct agreement are
+    asserted in tests/test_llm_ops.py."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit("global").alias("scope"), "est_users")
+    return per_day.unionByName(merged)

@@ -283,3 +283,62 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("day_first"),
         F.last("value").over(w).alias("day_last"),
     )
+
+
+@query(
+    "win_funnel_conversion",
+    oracle="""
+    WITH vp AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS next_purchase_ts
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_views,
+           COUNT(CASE WHEN next_purchase_ts <= ts + INTERVAL 1 HOUR
+                      THEN 1 END) AS n_converted,
+           CAST(COUNT(CASE WHEN next_purchase_ts <= ts + INTERVAL 1 HOUR
+                           THEN 1 END) AS DOUBLE) / COUNT(*) AS conv_rate
+    FROM vp
+    WHERE event_type = 'view'
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per view, does the same user purchase within the
+    next hour?  Daily view->purchase conversion rates (reference
+    analogue: did a page change lead to a capture within the cycle).
+
+    One window per user (forward-min of purchase timestamps over a
+    FOLLOWING frame) — a single shuffle on user_id, no self-join, no
+    interval explosion; the sequence scan composes with any number of
+    extra funnel stages by adding one forward-min per stage.  At 100 TB
+    this beats the join formulation (which pairs every view with every
+    candidate purchase before aggregating)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    views = ev.withColumn("next_purchase_ts", next_p).filter(
+        F.col("event_type") == "view"
+    )
+    converted = F.when(
+        F.col("next_purchase_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"), 1
+    )
+    return views.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.count(converted).alias("n_converted"),
+        (F.count(converted).cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+    )

@@ -206,3 +206,36 @@ def test_cluster_cc_matches_union_find(spark):
         members[c].append(doc)
     for c, docs in members.items():
         assert c == min(docs)
+
+
+def test_sketch_estimates_and_merge(spark):
+    """Daily HLL estimates within 5% of exact; the global estimate from
+    MERGED daily sketches matches a direct global sketch (mergeability
+    = the property that buys 100 TB rollups)."""
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.io import load
+
+    reg = load_all()
+    got = {
+        r["scope"]: r["est_users"]
+        for r in reg["agg_sketch_mergeable"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = load(spark, SF_ORACLE, "events")
+    exact_daily = {
+        r["scope"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("scope")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_daily["global"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact_daily)
+    for scope, est in got.items():
+        exact = exact_daily[scope]
+        assert abs(est - exact) / exact <= 0.05, (scope, est, exact)
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert got["global"] == direct
