@@ -56,6 +56,13 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # reset confs that single operators (join_bloom_runtime) override
+        # for their own plan, so they never leak into the next query
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
     except Exception:  # conf locked down — proceed with session defaults
         pass
     return spark

@@ -453,3 +453,48 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "join_bloom_runtime",
+    oracle=f"""
+    SELECT l.l_returnflag, COUNT(*) AS n_items,
+           {sql_dsum("l.l_extendedprice")} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective filter on orders
+    makes Catalyst inject ``bloom_filter_agg`` on the filtered side and
+    a ``might_contain`` predicate on the lineitem scan — fact rows that
+    cannot join are dropped BEFORE the shuffle, the semi-join-reduction
+    pattern that matters when both join sides are too big to broadcast.
+
+    Result is the plain join (bloom false positives only pass extra
+    rows to the exact join, never change output) — so this IS
+    oracle-checkable.  Plan audited in tests/test_plans.py.  Local-scale
+    knobs: the application-side size threshold (default 10GB — met
+    trivially at 100 TB, lowered here so the 60 MB fixture qualifies)
+    and broadcast disabled (at 100 TB orders wouldn't fit anyway;
+    ``tune()`` restores both for subsequent queries)."""
+    tune(spark)
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )

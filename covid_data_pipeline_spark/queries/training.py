@@ -1,0 +1,383 @@
+"""Training-data preparation operators: the verbs that turn a raw
+document corpus into LLM training input — chunking, mixture weighting,
+deterministic splits, PII scrubbing, embedding quantization.
+
+Reference analogue: the pipeline's extract stage produced per-page text
+destined for human analysts; these operators are the mandated
+LLM-pipeline generalization of that output side (BASELINE.json:6) —
+what a 100 TB corpus needs between "cleaned text exists" and "tokens
+reach a trainer".
+
+Determinism doctrine (shared with corpus.py): anything that samples or
+splits uses an explicit multiplicative integer hash of the key, never
+``rand()``/``df.sample`` — the same rows are chosen on every run, every
+engine, every partitioning, which is what makes a 100 TB job resumable
+and auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load, tune
+from ..registry import query
+from ._helpers import DEC, davg, dsum, sql_davg
+
+# Same Knuth multiplicative hash as corpus.py.
+_MULT = 2654435761
+_MOD = 1 << 32
+
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+# Mixture weights: epochs per source — >1 upsamples (repeats), <1
+# downsamples (hash-gated keep), integer+fractional split kept in ints
+# so no float compare is involved in the row-multiplication decision.
+_MIX = {  # source -> (whole_epochs, fractional_pct)
+    "src0": (3, 0),  # 3.0 epochs
+    "src3": (2, 50),  # 2.5 epochs
+    "src7": (1, 25),  # 1.25 epochs
+    "src11": (0, 75),  # 0.75 epochs
+    "src15": (0, 30),  # 0.30 epochs
+    "src19": (1, 0),  # 1.0 epoch
+}
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    SELECT doc_id,
+           (s - 1) // {_CHUNK_STRIDE} AS chunk_idx,
+           length(substring(text, CAST(s AS INT), {_CHUNK_LEN})) AS chunk_len,
+           sha256(substring(text, CAST(s AS INT), {_CHUNK_LEN})) AS chunk_hash
+    FROM (
+        SELECT doc_id, text, unnest(generate_series(1, n_chars, {_CHUNK_STRIDE})) AS s
+        FROM documents
+    )
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — fixed-size overlapping chunks
+    (len 200, stride 150), the standard context-window prep for
+    embedding or training over long documents.
+
+    Shape: per-row ``sequence(1, n_chars, stride)`` exploded then
+    ``substring`` — a pure map-side generator, no shuffle, no Python;
+    output rows ≈ corpus_chars / stride regardless of document count.
+    At 100 TB the fan-out is bounded per input split, so task memory is
+    flat; chunk text itself is hashed here (hash + len are what dedup
+    and length-balancing consume) rather than re-materialized."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(f"sequence(1L, CAST(n_chars AS LONG), {_CHUNK_STRIDE}L)")
+        ).alias("s"),
+    )
+    chunk = F.expr(f"substring(text, CAST(s AS INT), {_CHUNK_LEN})")
+    return chunks.select(
+        "doc_id",
+        ((F.col("s") - 1) / F.lit(_CHUNK_STRIDE)).cast("long").alias("chunk_idx"),
+        F.length(chunk).alias("chunk_len"),
+        F.sha2(chunk, 256).alias("chunk_hash"),
+    )
+
+
+@query(
+    "corpus_mixture_epochs",
+    oracle=f"""
+    WITH w(source, whole, fpct) AS (VALUES
+        {", ".join(f"('{s}', {a}, {b})" for s, (a, b) in _MIX.items())}
+    ),
+    picked AS (
+        SELECT d.doc_id, d.source,
+               w.whole + CASE WHEN (d.doc_id * {_MULT}) % {_MOD} % 100 < w.fpct
+                              THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN w ON d.source = w.source
+    )
+    SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy_idx
+    FROM picked WHERE n_copies >= 1
+    """,
+)
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting — per-source epoch counts applied to the
+    corpus: sources with weight >1 are repeated (upsampled), weight <1
+    hash-gated (downsampled), fractional parts resolved per-document by
+    the deterministic key hash.  This is how training mixtures
+    ("3 epochs of wiki, 0.3 of crawl") become a materialized row set.
+
+    Shape: broadcast the weight table (a handful of rows), one map-side
+    explode of ``sequence(1, n_copies)`` — the corpus never shuffles,
+    and the output is reproducible row-for-row, so a resumed 100 TB run
+    regenerates the identical mixture."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        [(s, a, b) for s, (a, b) in _MIX.items()],
+        "source string, whole int, fpct int",
+    )
+    n_copies = F.col("whole") + F.when(
+        (F.col("doc_id") * _MULT) % _MOD % 100 < F.col("fpct"), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(w), "source")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1L, CAST(n_copies AS LONG))")).alias(
+                "copy_idx"
+            ),
+        )
+    )
+
+
+@query(
+    "corpus_split_hash",
+    oracle=f"""
+    SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs, {sql_davg("n_chars")} AS avg_chars
+    FROM (SELECT lang, n_chars, (doc_id * {_MULT}) % {_MOD} % 100 AS b
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10) by key hash, with
+    per-(split, lang) size and length profile — the leak-proof split:
+    membership is a pure function of doc_id, so re-runs, backfills, and
+    incremental appends can never move a document across the boundary
+    (the failure mode of ``randomSplit``, whose assignment depends on
+    partitioning and seed plumbing).
+
+    Map-side bucket computation + one skinny aggregate; at 100 TB the
+    split column is typically materialized at ingest and this query is
+    the audit that distributions stayed balanced."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    b = (F.col("doc_id") * _MULT) % _MOD % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    ).alias("split")
+    return d.groupBy(split, "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+    )
+
+
+# POSIX-safe patterns shared verbatim by both engines.
+_PAT_EMAIL = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]"
+_PAT_PHONE = "555-[0-9]+"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(injected, '{_PAT_EMAIL}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(injected, '{_PAT_PHONE}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(length(injected) - length(
+               regexp_replace(regexp_replace(injected, '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PAT_PHONE}', '<PHONE>', 'g')
+           )) AS BIGINT) AS len_delta
+    FROM (
+        SELECT source,
+               text || ' contact u' || doc_id || '@ex' || (doc_id % 7) ||
+               '.com or 555-0' || (doc_id % 100) AS injected
+        FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — regex redaction of emails and phone-shaped tokens
+    with per-source audit counts.  The fixture corpus is synthetic word
+    soup, so deterministic PII is first INJECTED (a doc_id-derived email
+    + phone per document), then redacted; the audit proves every
+    injected token was caught.
+
+    Pure map-side regexp work in whole-stage codegen (no Python, no
+    shuffle beyond the final skinny aggregate).  At 100 TB redaction is
+    the canonical "cheap scan, run it early" pass; counts-by-source is
+    the compliance artifact.  Dialect note: Spark ``regexp_replace``
+    replaces all matches by default, DuckDB needs the explicit ``'g'``
+    flag (SURVEY §2.8)."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id"),
+        F.lit("@ex"),
+        F.col("doc_id") % 7,
+        F.lit(".com or 555-0"),
+        F.col("doc_id") % 100,
+    )
+    di = d.select("source", injected.alias("injected"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("injected", _PAT_EMAIL, "<EMAIL>"),
+        _PAT_PHONE,
+        "<PHONE>",
+    )
+    return di.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all("injected", F.lit(_PAT_EMAIL), F.lit(0)))
+        ).alias("n_emails"),
+        F.sum(
+            F.size(F.regexp_extract_all("injected", F.lit(_PAT_PHONE), F.lit(0)))
+        ).alias("n_phones"),
+        F.sum(F.length("injected") - F.length(redacted)).alias("len_delta"),
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    SELECT vec_id, scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           list_min(q) AS q_min, list_max(q) AS q_max,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [(v[i] - q[i] / scale) * (v[i] - q[i] / scale) FOR i IN range(1, 65)]),
+               (acc, x) -> acc + x) AS sq_err
+    FROM (
+        SELECT vec_id, v, scale,
+               [CAST(floor(x * scale + 0.5) AS INT) FOR x IN v] AS q
+        FROM (
+            SELECT vec_id, v, 127.0 / list_max([abs(x) FOR x IN v]) AS scale
+            FROM (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+                  FROM embeddings)
+        )
+    )
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — per-vector
+    scale = 127/max|x|, elements mapped to floor(x*scale + 0.5) in
+    [-127, 127] — the 4x storage/bandwidth shrink every vector index at
+    100 TB applies before ANN search; sq_err is the per-vector
+    reconstruction error that audits the precision loss.
+
+    Pure per-row map (transform + ordered folds), no shuffle, whole-
+    stage codegen.  ``floor(x + 0.5)`` is the rounding both engines
+    compute bit-identically — bare round() is HALF_UP in Spark vs
+    HALF_EVEN in DuckDB (SURVEY §2.8) so it can never appear in an
+    oracle-checked quantizer.  Integer q_sum/min/max are order-free;
+    sq_err folds in element order, matching DuckDB list_reduce exactly
+    (same doctrine as sim_normalize_embeddings)."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scale = F.lit(127.0) / F.array_max(F.transform("v", F.abs))
+    withq = ed.select(
+        "vec_id",
+        "v",
+        scale.alias("scale"),
+    ).select(
+        "vec_id",
+        "v",
+        "scale",
+        F.transform(
+            "v", lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int")
+        ).alias("q"),
+    )
+    sq = F.zip_with(
+        "v",
+        "q",
+        lambda x, qi: (x - qi / F.col("scale")) * (x - qi / F.col("scale")),
+    )
+    return withq.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.aggregate(sq, F.lit(0.0), lambda a, x: a + x).alias("sq_err"),
+    )
+
+
+def kmeans_lloyd(
+    spark: SparkSession, sf_dir: str, iters: int = 3, k: int = 10
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's k-means over the embedding table: deterministic init
+    (centroids = the k lowest vec_ids), assign/update iterated
+    ``iters`` times.  Returns (per-cluster summary DF, per-iteration
+    costs) — the costs list is the monotonicity witness for tests.
+
+    Distributed shape per iteration: candidates = corpus x BROADCAST
+    centroids (k rows — model state, legitimately driver-held between
+    iterations, unlike data); nearest via one row_number window keyed
+    (dist, cid) for tie determinism; update via posexplode +
+    DECIMAL-exact per-(cluster, dim) means (bit-identical at any
+    partitioning, same doctrine as sim_label_centroids).  Only k x dim
+    doubles ever reach the driver per iteration; the corpus shuffles
+    once per iteration on vec_id for the window — at 100 TB swap the
+    window for a groupBy(vec_id, min_by(struct(dist, cid))) map-side
+    combine, or mini-batch the update."""
+    tune(spark)
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .cache()
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in e.orderBy("vec_id").limit(k).collect()
+    ]
+    costs: list[float] = []
+    best = None
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cid int, c array<double>")
+        d2 = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cand = e.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "v", "cid", d2.alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        best = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        costs.append(best.agg(dsum("d2").alias("c")).collect()[0]["c"])
+        means = (
+            best.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg((F.sum(F.col("x").cast(DEC)).cast("double") / F.count("x")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], [0.0] * 64)[r["pos"]] = r["m"]
+        cents = [(cid, vec) for cid, vec in sorted(by_cid.items())]
+    summary = best.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"), dsum("d2").alias("cost")
+    )
+    return summary, costs
+
+
+@query("sim_kmeans_lloyd", oracle=None)  # rows-only: iterative algorithm
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering (3 Lloyd iterations, k=10) over embeddings —
+    the genuinely iterative algorithm of the suite (the category the
+    driver contract exempts from SQL oracles) and the real trainer for
+    the IVF coarse quantizer that sim_ann_ivf fakes with labels.
+    Per-cluster member counts + within-cluster cost; convergence
+    (non-increasing cost) and exactness properties are asserted in
+    tests/test_llm_ops.py.  See :func:`kmeans_lloyd` for the
+    distributed shape."""
+    summary, _ = kmeans_lloyd(spark, sf_dir, iters=3, k=10)
+    return summary

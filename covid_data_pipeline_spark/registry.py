@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "llm_multimodal",
     "udfs",
     "corpus",
+    "training",
 )
 
 

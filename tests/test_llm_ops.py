@@ -239,3 +239,33 @@ def test_sketch_estimates_and_merge(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
     ).collect()[0]["e"]
     assert got["global"] == direct
+
+
+def test_kmeans_cost_monotone_and_exact_partition(spark):
+    """Lloyd's algorithm guarantee: per-iteration cost never increases;
+    the summary's per-cluster costs sum exactly (decimal agg) to the
+    last assignment cost, and every vector lands in exactly one
+    cluster."""
+    from covid_data_pipeline_spark.io import load
+    from covid_data_pipeline_spark.queries.training import kmeans_lloyd
+
+    summary, costs = kmeans_lloyd(spark, SF_ORACLE, iters=3, k=10)
+    assert len(costs) == 3
+    assert all(costs[i + 1] <= costs[i] + 1e-9 for i in range(len(costs) - 1)), costs
+    rows = summary.collect()
+    n_vecs = load(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    assert abs(sum(r["cost"] for r in rows) - costs[-1]) < 1e-6
+
+
+def test_quantize_int8_contract(spark):
+    """Quantized values stay in [-127, 127], the extreme element hits
+    +/-127 exactly (that's what the scale is for), and per-element
+    reconstruction error is bounded by half a quantization step."""
+    reg = load_all()
+    rows = reg["embed_quantize_int8"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["q_max"] == 127 or r["q_min"] == -127
+        assert 0.0 <= r["sq_err"] <= 64 * (0.5 / r["scale"]) ** 2 + 1e-12

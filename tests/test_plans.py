@@ -138,3 +138,13 @@ def test_normalize_has_no_shuffle_no_python(spark):
     plan = plan_of(q("sim_normalize_embeddings", spark))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_bloom_runtime_injects_filter(spark):
+    """The semi-join-reduction contract: Catalyst injected a bloom
+    filter built from the selective orders side and probes it on the
+    lineitem side before the join shuffle."""
+    df = q("join_bloom_runtime", spark)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in opt, f"no runtime bloom filter injected:\n{opt[:2000]}"
+    assert "bloom_filter_agg" in opt
