@@ -166,3 +166,42 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
     )
+
+
+@query("join_partition_pruned", oracle=None)  # rows-only: filesystem side effect
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is stored
+    partitioned by event_type; joining it to a dim filtered to two
+    event kinds makes Catalyst inject a runtime subquery that reads the
+    dim FIRST and prunes fact partitions before the scan — only 2 of 5
+    partition directories are ever opened (plan-asserted in
+    tests/test_plans.py).
+
+    This is the 100 TB pattern for star joins onto partitioned facts:
+    the filter lives on the dim (how query authors write it), yet I/O
+    behaves as if the fact were filtered directly.  Static pruning
+    (sink_parquet_partitioned) needs the literal in the query; DPP
+    covers the join-shaped version.  Broadcast of the dim doubles as
+    the DPP value source, so the subquery costs one tiny scan."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "dpp_fact")
+    ev = load(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    # the dim carries a real selective predicate — DPP's heuristic
+    # requires one on the pruning side before it injects the subquery
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "event_type string, metric_class string",
+    ).filter(F.col("metric_class").isin("revenue", "growth"))
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type", "metric_class")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -17,7 +17,7 @@ and auditable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load, tune
@@ -313,14 +313,14 @@ def kmeans_lloyd(
 
     Distributed shape per iteration: candidates = corpus x BROADCAST
     centroids (k rows — model state, legitimately driver-held between
-    iterations, unlike data); nearest via one row_number window keyed
-    (dist, cid) for tie determinism; update via posexplode +
-    DECIMAL-exact per-(cluster, dim) means (bit-identical at any
-    partitioning, same doctrine as sim_label_centroids).  Only k x dim
-    doubles ever reach the driver per iteration; the corpus shuffles
-    once per iteration on vec_id for the window — at 100 TB swap the
-    window for a groupBy(vec_id, min_by(struct(dist, cid))) map-side
-    combine, or mini-batch the update."""
+    iterations, unlike data); nearest via min(struct(dist, cid))
+    hash-aggregate — map-side combinable, no sort, one shuffled row per
+    vector, with ties broken on cid deterministically; update via
+    posexplode + DECIMAL-exact per-(cluster, dim) means (bit-identical
+    at any partitioning, same doctrine as sim_label_centroids).  Only
+    k x dim doubles ever reach the driver per iteration; at 100 TB
+    mini-batch the update step and persist assignments only on the
+    final iteration."""
     tune(spark)
     e = (
         load(spark, sf_dir, "embeddings")
@@ -346,11 +346,23 @@ def kmeans_lloyd(
         cand = e.crossJoin(F.broadcast(cdf)).select(
             "vec_id", "v", "cid", d2.alias("d2")
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        if best is not None:
+            best.unpersist()
+        # nearest centroid via min(struct(d2, cid)) hash-aggregate — a
+        # map-side-combinable agg (no sort, shuffles one row per vector)
+        # instead of a row_number window; ties break on cid exactly like
+        # an ORDER BY d2, cid window would.  v is constant per vec_id so
+        # any() is deterministic.  Persisted: the cost action and the
+        # means action both consume the assignment — without this each
+        # iteration recomputes the distance cross product twice.
         best = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            cand.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid")).alias("s"),
+                F.any_value("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("s.cid").alias("cid"), F.col("s.d2").alias("d2"))
+            .persist()
         )
         costs.append(best.agg(dsum("d2").alias("c")).collect()[0]["c"])
         means = (

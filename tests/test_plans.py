@@ -148,3 +148,25 @@ def test_join_bloom_runtime_injects_filter(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in opt, f"no runtime bloom filter injected:\n{opt[:2000]}"
     assert "bloom_filter_agg" in opt
+
+
+def test_join_partition_pruned_uses_dpp(spark):
+    """The fact scan must carry a dynamicpruning partition filter fed by
+    the dim side — only the joined event_type directories are read."""
+    df = q("join_partition_pruned", spark)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan[:3000]}"
+
+
+def test_analytics_q3_plan_shape(spark):
+    """Composite-query audit: date predicates pushed to both fact scans,
+    the filtered dim broadcast, and the top-10 as TakeOrderedAndProject
+    (never a global sort)."""
+    df = q("analytics_shipping_priority", spark)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThan" in l or "LessThan" in l for l in pushed), (
+        f"date filters not pushed:\n" + "\n".join(pushed)
+    )
