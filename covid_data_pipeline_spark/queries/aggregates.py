@@ -9,7 +9,7 @@ what makes these safe at 100 TB even on skewed group keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load, tune
@@ -386,3 +386,124 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit("global").alias("scope"), "est_users")
     return per_day.unionByName(merged)
+
+
+@query(
+    "reshape_unpivot",
+    oracle=f"""
+    SELECT l_returnflag, measure, {sql_davg("val")} AS avg_val
+    FROM (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via ``DataFrame.unpivot`` (melt) + per-
+    (group, measure) average — the metrics-matrix shape every profiler
+    emits (reference analogue: one row per (source, metric) from the
+    per-run stats dict).  unpivot is a zero-shuffle generator (each
+    input row fans to 3 skinny rows map-side); the oracle spells it as
+    the portable UNION ALL, which scans 3x — the API exists precisely
+    to avoid that."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(davg("val").alias("avg_val"))
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH counted AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, l_quantity) AS rn
+        FROM counted
+    ),
+    med AS (
+        SELECT l_returnflag,
+               round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6)
+                   AS median_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag, r.l_quantity AS mode_qty, m.median_qty, m.n_rows
+    FROM med m JOIN ranked r
+      ON r.l_returnflag = m.l_returnflag AND r.rn = 1
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE + MEDIAN per group.  Built-in ``mode()`` is
+    nondeterministic under ties in BOTH engines (hash order picks the
+    winner), so the mode is spelled as count → row_number with an
+    explicit (cnt DESC, value) tiebreak — same answer on any
+    partitioning, any engine.  Median interpolates sorted doubles;
+    rounded to 6 to absorb the engines' interpolation-arithmetic ulps.
+
+    Scale: the counted CTE is a partial-aggregating groupBy (the heavy
+    lift, map-side combined); the window then runs over GROUPS (distinct
+    values), not rows — cardinality k per key, not n."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity")
+    )
+    modes = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return med.join(modes, on="l_returnflag").select(
+        "l_returnflag", "mode_qty", "median_qty", "n_rows"
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bin,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice")} AS total_value
+    FROM orders
+    GROUP BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: bin = floor(price/50k),
+    top bin clamped — the single-pass distribution profile every data
+    audit starts with.  Binning is arithmetic on the grouping KEY, so
+    it's free (no pre-pass to find ranges — bounds are schema knowledge);
+    the aggregate partial-combines map-side into at most 10 groups, the
+    cheapest shuffle shape there is.  Same float division + floor in
+    both engines → identical bin assignment bit-for-bit."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("int")
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+    )

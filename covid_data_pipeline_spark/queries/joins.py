@@ -498,3 +498,36 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_price
+    FROM customer c, LATERAL (
+        SELECT COUNT(*) AS n_orders, MAX(o.o_totalprice) AS max_price
+        FROM orders o WHERE o.o_custkey = c.c_custkey
+    ) t
+    WHERE c.c_mktsegment = 'MACHINERY' AND t.n_orders >= 3
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL surface for per-row
+    dependent subqueries (reference analogue: "for each source, summarize
+    its fetch history").  Catalyst DECORRELATES it into the same
+    aggregate-then-join plan a hand-written groupBy+join produces — the
+    rewrite is the point: the user writes the dependent loop, the engine
+    runs one shuffle, nothing per-row.  Same SQL text runs on DuckDB."""
+    tune(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_price
+        FROM customer c, LATERAL (
+            SELECT COUNT(*) AS n_orders, MAX(o.o_totalprice) AS max_price
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+        ) t
+        WHERE c.c_mktsegment = 'MACHINERY' AND t.n_orders >= 3
+        """
+    )

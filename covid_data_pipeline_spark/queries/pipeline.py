@@ -192,3 +192,326 @@ def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("n_name")
         .agg(F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "analytics_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def analytics_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped composite: cross-border trade volume — revenue
+    between (supplier nation in ASIA) x (customer nation in EUROPE) per
+    ship-year.  An 8-table join where BOTH nation dims must be aliased
+    (same physical table joined twice with different roles), the classic
+    self-join-of-a-dim shape.
+
+    Plan discipline: the two region filters prune their nation sides
+    BEFORE those broadcasts reach the fact — so the big
+    lineitem⋈orders⋈customer intermediate is filtered by two broadcast
+    hash joins, never shuffled on nation.  At 100 TB the facts shuffle
+    once each on their join keys; every dim is a broadcast.  The date
+    band is pushed to the lineitem scan (min/max row-group pruning on
+    l_shipdate)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    r1 = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").alias("r1")
+    r2 = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").alias("r2")
+    supp_nations = (
+        n1.join(F.broadcast(r1), F.col("n1.n_regionkey") == F.col("r1.r_regionkey"))
+        .select(F.col("n1.n_nationkey").alias("sn_key"), F.col("n1.n_name").alias("supp_nation"))
+    )
+    cust_nations = (
+        n2.join(F.broadcast(r2), F.col("n2.n_regionkey") == F.col("r2.r_regionkey"))
+        .select(F.col("n2.n_nationkey").alias("cn_key"), F.col("n2.n_name").alias("cust_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(supp_nations), F.col("sn_key") == s["s_nationkey"])
+        .join(F.broadcast(cust_nations), F.col("cn_key") == c["c_nationkey"])
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "analytics_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped composite: which customers returned the most
+    value this half-year — the lost-revenue report.  Join facts first
+    (orders date-banded, lineitem flag-filtered), enrich with the nation
+    dim by broadcast, aggregate per customer, deterministic top-20
+    (c_custkey tiebreaker, SURVEY §2.6 discipline).
+
+    Scale notes: the returnflag filter is a dictionary-encoded parquet
+    predicate (pushed); the group key is c_custkey so the agg shuffle is
+    the customer cardinality, not lineitem's; the final top-20 is
+    TakeOrderedAndProject — per-partition heaps then a driver merge,
+    never a global sort of the aggregate."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@query(
+    "analytics_priority_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def analytics_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped composite (adapted: the fixture lineitem has no
+    shipmode/commitdate, so linestatus plays the grouping role): did
+    high-priority orders ship promptly — conditional aggregation
+    (CASE-inside-SUM) over a fact-fact join, one year of shipments.
+
+    The conditional-count pair is ONE pass over the joined rows — the
+    anti-pattern it replaces is two filtered joins unioned.  Both counts
+    partial-aggregate map-side; the join itself is the only shuffle
+    (orders projected to 2 columns before it — ReadSchema shows just
+    o_orderkey, o_orderpriority reach the scan)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_linestatus")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "analytics_large_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 140
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 25
+    """,
+)
+def analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped composite: large-volume orders — customers whose
+    single orders total > 140 units.  The shape is agg-then-semi-join:
+    a grouped HAVING subquery feeds an IN predicate over a 3-way join,
+    then re-aggregation and a deterministic top-25.
+
+    Spark formulation: compute qualifying orderkeys ONCE (groupBy +
+    filter), then LEFT SEMI join lineitem to it — Catalyst runs the
+    subquery as its own stage and semi-joins without duplicating rows.
+    At 100 TB the qualifying set is tiny (heavy-hitter orders), so the
+    semi join is broadcast — a runtime-filter shape: the expensive fact
+    re-scan is pruned by an aggregate of itself."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .filter(F.col("q") > 140)
+        .select("l_orderkey")
+    )
+    li_big = li.join(F.broadcast(big), on="l_orderkey", how="left_semi")
+    return (
+        li_big.join(o, li_big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "analytics_promo_revenue",
+    oracle="""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,6))
+                    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+               AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped composite: what share of one month's revenue
+    came from promotional parts — a global (ungrouped) conditional
+    ratio over a fact⋈dim join.
+
+    The month filter makes lineitem small; part is the BIG side here at
+    tiny SF but at real scale part is the dim → joined broadcast-wise on
+    p_partkey after pruning to 2 columns.  Both sums go through exact
+    decimal (order-independent) and the ratio divides two exact values
+    as the LAST step, so the result is bit-identical on any partitioning
+    — the only safe way to oracle-check a float division of aggregates."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (
+        li.join(p, p["p_partkey"] == li["l_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+            ).cast("double").alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "analytics_brand_revenue_or",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 20 AND 50)
+    GROUP BY l.l_returnflag
+    """,
+)
+def analytics_brand_revenue_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped composite: revenue from three brand/size/
+    quantity bands OR-ed together — the disjunctive-predicate join.
+    Catalyst's constraint propagation derives the table-local residue of
+    the OR: part rows must satisfy (brand1 AND size...) OR (brand2 ...)
+    OR (brand3 ...), lineitem rows must satisfy one of the quantity
+    bands — BOTH derived filters run BEFORE the join, so only candidate
+    rows shuffle; the full disjunction re-checks after the join.
+
+    At 100 TB this rewrite is the difference between joining 3 brands'
+    worth of parts vs the whole dim — free, because it's expressed
+    declaratively and the optimizer does the algebra."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .filter(cond)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -417,3 +417,104 @@ def json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_int"),
         F.to_json(parsed).alias("normalized_json"),
     )
+
+
+@query(
+    "array_hof",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(toks, t -> length(t) > 4)) AS n_long,
+           len(list_filter(toks, t -> t = 'spark')) > 0 AS has_spark,
+           len(list_filter(toks, t -> length(t) >= 1)) = len(toks) AS all_nonempty,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                (a, x) -> a + x) AS BIGINT) AS total_chars
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter / exists / forall /
+    transform+aggregate over token arrays, the lambda surface that keeps
+    per-row collection logic in whole-stage codegen instead of Python
+    (reference analogue: per-page token screening in html_extracter).
+    Integer outputs, so order of the fold is moot; the fold still runs
+    element-ordered to match DuckDB list_reduce."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.exists(toks, lambda t: t == "spark").alias("has_spark"),
+        F.forall(toks, lambda t: F.length(t) >= 1).alias("all_nonempty"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "str_url_normalize",
+    oracle="""
+    SELECT norm_url,
+           COUNT(*) AS n_pages,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM (
+        SELECT lang,
+               regexp_replace(
+                   regexp_replace(
+                       lower(concat('HTTPS://', source, '.Example.GOV/Covid/',
+                                    CAST(doc_id % 7 AS VARCHAR), '/',
+                                    CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'index.html' END,
+                                    '?utm_source=feed&session=', CAST(doc_id AS VARCHAR),
+                                    '#section-', lang)),
+                       '[?#].*$', ''),
+                   '/(index\\.html?)?$', '') AS norm_url
+        FROM documents
+    )
+    GROUP BY norm_url
+    """,
+)
+def str_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the reference's source-registry hygiene
+    step: the same page arrives as HTTP/HTTPS, mixed case, with tracking
+    params, fragments, trailing slashes or an explicit index.html, and
+    must collapse to ONE registry key or every downstream change-compare
+    splits across ghosts.  Synthesizes the messy variants
+    deterministically from (source, doc_id, lang), then normalizes:
+    lowercase -> strip query+fragment -> strip trailing /index.html.
+
+    Pure string expressions in whole-stage codegen (regexp_replace is
+    per-row, no shuffle until the final count); Spark replaces all
+    matches by default while DuckDB needs the explicit 'g' flag — the
+    anchored `$` patterns here match at most once, sidestepping the
+    divergence entirely (SURVEY §2.8 flag)."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    raw = F.lower(
+        F.concat(
+            F.lit("HTTPS://"),
+            F.col("source"),
+            F.lit(".Example.GOV/Covid/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("")).otherwise(F.lit("index.html")),
+            F.lit("?utm_source=feed&session="),
+            F.col("doc_id").cast("string"),
+            F.lit("#section-"),
+            F.col("lang"),
+        )
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(raw, r"[?#].*$", ""), r"/(index\.html?)?$", ""
+    )
+    return (
+        d.select("lang", norm.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

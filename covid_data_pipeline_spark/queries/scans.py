@@ -205,3 +205,62 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "metric_class")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# Deterministic synthetic source registry emitted by the custom source:
+# the same rows the reference's curated URL list would carry.
+_DS_STATES = [f"s{i:02d}" for i in range(56)]
+_DS_KINDS = ["html", "dashboard", "api"]
+
+
+def _registry_rows(shard: int, n_shards: int = 4):
+    for i, st in enumerate(_DS_STATES):
+        if i % n_shards == shard:
+            yield (st, f"https://{st}.example.gov/covid", _DS_KINDS[i % 3], shard)
+
+
+@query(
+    "source_python_datasource",
+    oracle=f"""
+    SELECT * FROM (VALUES {", ".join(
+        f"('{r[0]}', '{r[1]}', '{r[2]}', {r[3]})"
+        for sh in range(4) for r in _registry_rows(sh)
+    )}) AS t(state, url, kind, shard)
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE (Spark 4 DataSource API): the source
+    registry exposed as a first-class ``spark.read.format(...)`` with
+    explicit input partitions — the extension point for reading systems
+    Spark has no built-in connector for (reference analogue: the
+    Google-Sheets-backed URL list is exactly such a source).
+
+    Each InputPartition becomes one task reading one shard — this is how
+    a scrape-frontier/API source parallelizes across executors.  Rows
+    are deterministic literals, so the oracle is the VALUES list.  At
+    100 TB the partition planner (``partitions()``) is the scale knob:
+    one partition per key-range/API page, never one giant generator."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    tune(spark)
+
+    class _RegistryReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(4)]
+
+        def read(self, partition):
+            yield from _registry_rows(partition.value)
+
+    class RegistryDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "cdp_registry"
+
+        def schema(self):
+            return "state string, url string, kind string, shard int"
+
+        def reader(self, schema):
+            return _RegistryReader()
+
+    spark.dataSource.register(RegistryDataSource)
+    return spark.read.format("cdp_registry").load()

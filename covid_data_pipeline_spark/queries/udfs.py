@@ -114,3 +114,49 @@ def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(agg_jvm, on="l_returnflag")
         .select("l_returnflag", "n_rows", "max_revenue", "sum_qty", "max_charge")
     )
+
+
+class _TokenizeUDTF:
+    """Python UDTF (Spark 3.5+ user-defined TABLE function): one input
+    row -> many output rows, the generator shape ``explode`` can't
+    express when per-row logic is genuinely imperative.  Mirrors
+    posexplode(split(...)) so the oracle checks it exactly."""
+
+    def eval(self, text: str, doc_id: int):  # noqa: ANN001 - UDTF protocol
+        if text is None:
+            return
+        for pos, token in enumerate(text.split(" ")):
+            if len(token) >= 6:  # imperative per-row predicate
+                yield doc_id, token, pos
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, token, pos FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents WHERE source = 'src0'
+    ) WHERE length(token) >= 6
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rung 5 of the Python-interop ladder: a UDTF registered and
+    invoked through SQL ``LATERAL`` — the table-function extension
+    point (reference analogue: html_extracter emitting n text segments
+    per page).  Python-per-row like rung 1, so the corpus is filtered
+    to one source first; at 100 TB the same logic belongs in
+    ``explode(filter(split(...)))`` built-ins (rows-equal here, that's
+    the point of the oracle) or an Arrow-batched mapInPandas."""
+    tune(spark)
+    spark.udtf.register("cdp_tokenize", F.udtf(
+        _TokenizeUDTF, returnType="doc_id bigint, token string, pos int"
+    ))
+    load(spark, sf_dir, "documents").filter(
+        F.col("source") == "src0"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.token, t.pos "
+        "FROM udtf_docs, LATERAL cdp_tokenize(text, doc_id) t"
+    )

@@ -342,3 +342,123 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(converted).alias("n_converted"),
         (F.count(converted).cast("double") / F.count(F.lit(1))).alias("conv_rate"),
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH hashed AS (
+        SELECT user_id AS source_key, ts, event_id,
+               sha256(props) AS content_hash
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN content_hash IS DISTINCT FROM
+                            LAG(content_hash) OVER w THEN 1 ELSE 0 END AS changed
+        FROM hashed WINDOW w AS (PARTITION BY source_key ORDER BY ts, event_id)
+    ),
+    versions AS (SELECT * FROM flagged WHERE changed = 1)
+    SELECT source_key, content_hash, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY source_key
+                          ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY source_key
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM versions
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: collapse each source's snapshot stream
+    into validity intervals — one row per distinct content version with
+    [valid_from, valid_to) and an is_current flag.  This is the
+    reference's directory-cache-of-versions expressed as a table: the
+    change list tells you WHAT changed, this tells you WHEN each version
+    was live.
+
+    Two windows over the same (source_key, ts) partitioning — Catalyst
+    plans ONE shuffle and one sort for both lag and lead.  At 100 TB
+    this is the standard one-pass history derivation; the alternative
+    (join each snapshot to its successor) pays a second shuffle for
+    nothing."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("source_key").orderBy("ts", "event_id")
+    hashed = e.select(
+        F.col("user_id").alias("source_key"),
+        "ts",
+        "event_id",
+        F.sha2("props", 256).alias("content_hash"),
+    )
+    versions = hashed.withColumn(
+        "changed",
+        F.when(
+            ~F.col("content_hash").eqNullSafe(F.lag("content_hash").over(w)), 1
+        ).otherwise(0),
+    ).filter(F.col("changed") == 1)
+    lead_ts = F.lead("ts").over(w)
+    return versions.select(
+        "source_key",
+        "content_hash",
+        F.col("ts").alias("valid_from"),
+        lead_ts.alias("valid_to"),
+        lead_ts.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, COUNT(*) AS streak_len,
+               MIN(d) AS streak_start
+        FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(streak_len) AS BIGINT) AS max_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(streak_len) AS BIGINT) AS active_days
+    FROM streaks
+    GROUP BY user_id
+    HAVING MAX(streak_len) >= 3
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the gaps-and-islands
+    idiom on DATES: distinct active days, then `day - row_number()` is
+    constant within a run of consecutive days (the island anchor), group
+    by anchor for streak lengths, then per-user maxima.  The reference
+    analogue is "how many days in a row did this source change?" — the
+    volatility profile behind its daily change list.
+
+    One shuffle for distinct, one sort for the window, two skinny
+    aggregations — all partitioned by user_id, so the chain reuses one
+    partitioning end-to-end at any scale.  The date-minus-int anchor is
+    exact integer arithmetic: no float, no tz, identical in both
+    engines."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("max_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("streak_len").alias("active_days"),
+        )
+        .filter(F.col("max_streak") >= 3)
+    )
