@@ -1,13 +1,23 @@
 #!/usr/bin/env python3
-"""Bench harness: run every registered query at $SPARK_GRAFT_SF_DIR
+"""Bench harness: run the headline query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed by full materialization (count of the action via
-``df.write.format("noop")`` — pulls every row through the plan without
-driver-side collection overhead).  One warm-up run of the flagship
-excluded from timings (JVM + codegen warm-up).
+The printed line stays under ~1.5 KB on purpose: the driver keeps only a
+bounded tail of stdout, and a line carrying all 130+ per-query timings
+overflows it and becomes unparseable (this is exactly what happened in
+round 1 — BENCH_r01.json recorded ``"parsed": null``).  The HEADLINE
+suite (24 queries spanning scan/filter/join/agg/window/set/string/
+pipeline/dedup/similarity/text/streaming/analytics) is what's printed;
+the full suite still runs by default and its per-query timings land in
+BENCH_FULL.json next to this script.  Set SPARK_GRAFT_BENCH_ALL=0 to
+time only the headline suite.
+
+Each query is timed by full materialization (``df.write.format("noop")``
+— pulls every row through the plan without driver-side collection
+overhead).  One warm-up run of the flagship excluded from timings
+(JVM + codegen warm-up).
 """
 
 from __future__ import annotations
@@ -22,41 +32,89 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from covid_data_pipeline_spark.registry import load_all  # noqa: E402
 from covid_data_pipeline_spark.session import get_spark  # noqa: E402
 
+# Representative slice of SURVEY.md §2 — one familiar face per family.
+HEADLINE = (
+    "agg_groupby",            # flagship TPC-H-Q1 shape
+    "scan_parquet",
+    "filter_compound",
+    "join_inner",
+    "join_multikey_chain",
+    "join_asof",
+    "join_interval",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "win_row_number_topk",
+    "win_lag_change_detect",
+    "limit_topk_global",
+    "set_except",
+    "str_clean_pipeline",
+    "pipeline_change_report",
+    "dedup_exact",
+    "dedup_near_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_pairs",
+    "sim_topk_neighbors",
+    "text_tfidf",
+    "stream_session",
+    "analytics_shipping_priority",
+    "analytics_large_orders",
+)
 
-def materialize(df) -> int:
+
+def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
-    return 0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") != "0"
     spark = get_spark("cdp-spark-bench")
     reg = load_all()
 
     # warm-up (not timed): JVM, codegen, parquet footer caches
     materialize(reg["agg_groupby"].fn(spark, sf_dir))
 
+    names = list(HEADLINE) + (sorted(set(reg) - set(HEADLINE)) if bench_all else [])
     timings: dict[str, float] = {}
-    for name in sorted(reg):
+    for name in names:
         t0 = time.perf_counter()
         try:
             materialize(reg[name].fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
+            timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record failures without killing the bench
             timings[name] = -1.0
             print(f"# BENCH FAIL {name}: {exc}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    headline = {n: timings[n] for n in HEADLINE if n in timings}
+    total = round(sum(t for t in headline.values() if t >= 0), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "per-query wall-clock, all registered queries",
+                "headline_total_sec": total,
+                "all_total_sec": round(sum(t for t in timings.values() if t >= 0), 3),
+                "n_queries": len(timings),
+                "queries": timings,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+        )
+
     print(
         json.dumps(
             {
-                "metric": "total wall-clock, all declared queries",
+                "metric": "headline suite wall-clock (24 queries; full timings in BENCH_FULL.json)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": headline,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -22,21 +22,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """One cached footer sniff: is events.ts stored as TIMESTAMP(NANOS)?
+
+    The fixture generator has shipped both ns and µs files across rounds;
+    Spark's vectorized reader needs different handling for each (it has
+    no native nanos type), so we branch on the actual footer rather than
+    assuming.  One footer read per (path) per process — at 100 TB this is
+    one file's metadata, not a directory listing."""
+    if path not in _TS_NANOS_CACHE:
+        import pyarrow.parquet as pq
+
+        unit = getattr(pq.read_schema(path).field("ts").type, "unit", "us")
+        _TS_NANOS_CACHE[path] = unit == "ns"
+    return _TS_NANOS_CACHE[path]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one fixture table with its explicit schema.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; we read it as epoch-nanos int64 (legacy nanosAsLong conf)
-    and truncate ns -> µs, matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
-    cast so both engines see identical values.
+    ``events.ts`` needs a footer sniff: when stored as TIMESTAMP(NANOS)
+    (which Spark's reader rejects) we read epoch-nanos int64 (legacy
+    nanosAsLong conf) and truncate ns -> µs, matching DuckDB's
+    TIMESTAMP_NS -> TIMESTAMP cast; when stored as µs it reads directly.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
-    if name == "events":
+    path = table_path(sf_dir, name)
+    if name == "events" and _events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(EVENTS_RAW_NS).parquet(table_path(sf_dir, name))
+        raw = spark.read.schema(EVENTS_RAW_NS).parquet(path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def tune(spark: SparkSession) -> SparkSession:

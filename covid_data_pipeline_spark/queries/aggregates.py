@@ -245,18 +245,24 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_sorted",
     oracle="""
-    SELECT o_custkey, list_sort(list(o_orderstatus)) AS statuses
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses
     FROM orders GROUP BY o_custkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer version-history list (reference: per-source snapshot
     history).  collect_list is unordered across partitions — sort_array
-    makes it deterministic, always."""
+    makes it deterministic, always.  Emitted as a CSV string: the
+    comparison harness canonicalizes scalar columns only (list-typed
+    pandas columns are unsortable), and the joined form is equally
+    deterministic."""
     tune(spark)
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderstatus")).alias("statuses")
+        F.array_join(F.sort_array(F.collect_list("o_orderstatus")), ",").alias(
+            "statuses"
+        )
     )
 
 
@@ -354,10 +360,13 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
+    pcts = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile(
-            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
-        ).alias("approx_pcts")
+        F.element_at(pcts, 1).alias("p50_approx"),
+        F.element_at(pcts, 2).alias("p90_approx"),
+        F.element_at(pcts, 3).alias("p99_approx"),
     )
 
 

@@ -214,3 +214,96 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
+
+
+_PACK_BUDGET = 2048  # approx-LLM-token budget per packed sequence
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, tokens,
+               CAST(floor((SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT lang, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, bin_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: documents are laid
+    end-to-end per language stream and cut into fixed token-budget bins
+    (greedy sequential fill — a doc lands in the bin where its span
+    starts).  Deterministic because the layout order is the key order,
+    not arrival order.
+
+    One window (cumulative token sum per lang, ordered by doc_id) + one
+    groupBy — a single shuffle on lang.  At 100 TB the lang partition is
+    too coarse (hot stream = one task), so the production variant packs
+    per (lang, shard) with shard = hash(doc_id) % n_shards — same plan
+    shape, shard count sized to cluster cores; packing quality is
+    unaffected because bins never span shards."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tokens = F.ceil(F.col("n_chars").cast("double") / 4).alias("tokens")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("doc_id", "lang", tokens)
+    packed = toks.select(
+        "lang",
+        "tokens",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / _PACK_BUDGET)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("bin_tokens")
+    )
+
+
+_RESERVOIR_K = 5
+
+
+@query(
+    "sample_topk_per_group",
+    oracle=f"""
+    SELECT doc_id, lang, source, rk FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                   ORDER BY (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum subsample (the reproducible stand-in
+    for per-group reservoir sampling): rank rows inside each (lang,
+    source) stratum by an integer hash of the key and keep the first k.
+    Unlike a true reservoir it is order-independent and re-runnable —
+    the same k docs survive on every run and every partitioning, which
+    is what makes 100 TB eval-set carving auditable.
+
+    One window shuffle on (lang, source); with heavy strata the
+    hash-rank window is still O(n log n) per stratum, and the top-k
+    filter prunes before anything downstream."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        (F.col("doc_id") * _SAMPLE_MULT) % _SAMPLE_MOD, "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+    )

@@ -353,21 +353,24 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_normalize_embeddings",
     oracle=f"""
-    SELECT vec_id, l2, [CAST(x AS DOUBLE) / l2 FOR x IN embedding] AS unit
+    SELECT vec_id, l2, t.pos, CAST(embedding[t.pos + 1] AS DOUBLE) / l2 AS unit
     FROM (
         SELECT vec_id, embedding, {_SQL_NORM.format(a="embedding")} AS l2
         FROM embeddings
-    )
+    ), range(64) t(pos)
     """,
 )
 def sim_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 unit-normalization of the embedding column — the preprocessing
     step that turns cosine into plain dot product for every operator
     downstream (one normalize pass amortizes across all similarity
-    queries).  Pure per-row map (transform + ordered-fold norm): no
-    shuffle, whole-stage codegen, trivially 100 TB-parallel.
+    queries).  Pure per-row map (transform + ordered-fold norm +
+    posexplode): no shuffle, whole-stage codegen, trivially
+    100 TB-parallel.  Emitted one row per (vec_id, pos) — scalar columns
+    only for the comparison harness; stringifying the array would break
+    bit-exactness (double→text formatting differs across engines).
 
-    Emitted UNROUNDED: the fold order matches DuckDB list_reduce
+    Components are UNROUNDED: the fold order matches DuckDB list_reduce
     exactly, and IEEE division/sqrt are correctly rounded, so every
     output double is bit-identical cross-engine.  (Rounding would
     actually BREAK the hash here — Spark rounds via the exact decimal
@@ -385,5 +388,5 @@ def sim_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withn.select(
         "vec_id",
         "l2",
-        F.transform(_vec("embedding"), lambda x: x / F.col("l2")).alias("unit"),
-    )
+        F.posexplode(_vec("embedding")).alias("pos", "comp"),
+    ).select("vec_id", "l2", "pos", (F.col("comp") / F.col("l2")).alias("unit"))

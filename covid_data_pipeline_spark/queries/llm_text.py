@@ -286,3 +286,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 31 + c) % 2147483647,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, n_chars,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains({_SQL_STOPWORDS}, x))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN n_chars < 50 THEN 'too_short'
+                WHEN n_chars > 1000 THEN 'too_long'
+                WHEN distinct_ratio <= 0.1 THEN 'low_diversity'
+                WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+                ELSE 'kept' END AS verdict,
+           COUNT(*) AS n_docs
+    FROM scored GROUP BY lang, verdict
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/RefinedWeb-style heuristic filter funnel: every document
+    gets exactly one verdict — the FIRST failing rule in a fixed
+    priority order (length gates, then lexical diversity, then stopword
+    density) or 'kept' — and the report is the per-language drop
+    breakdown data teams audit before a training run.
+
+    Single pass: all rule inputs are per-row expressions (no joins), the
+    CASE picks the verdict, one groupBy (lang, verdict) shuffles ~25
+    rows.  At 100 TB: map-side partial aggregation means the shuffle
+    carries one row per (lang, verdict) per task — this funnel costs one
+    scan regardless of corpus size, and the same CASE column doubles as
+    the keep/drop predicate for the actual filter write."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / n_tok
+    )
+    verdict = (
+        F.when(F.col("n_chars") < 50, "too_short")
+        .when(F.col("n_chars") > 1000, "too_long")
+        .when(distinct_ratio <= 0.1, "low_diversity")
+        .when(stopword_ratio < 0.01, "low_stopword")
+        .otherwise("kept")
+    )
+    return (
+        d.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -316,18 +316,24 @@ def cast_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            list_contains(string_split(text, ' '), 'join') AS has_join,
-           list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+           COALESCE(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '), '')
+               AS vocab,
            len(list_distinct(string_split(text, ' '))) AS n_vocab,
-           list_slice(string_split(text, ' '), 1, 5) AS first5,
-           list_sort(list_intersect(list_distinct(string_split(text, ' ')),
-                                    ['join', 'filter', 'window', 'scan'])) AS ops_used
+           COALESCE(array_to_string(
+               list_slice(string_split(text, ' '), 1, 5), ' '), '') AS first5,
+           COALESCE(array_to_string(
+               list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+                                        ['join', 'filter', 'window', 'scan'])), ' '),
+               '') AS ops_used
     FROM documents
     """,
 )
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level text handling: split -> size/contains/distinct/slice/
     intersect.  array_distinct & array_intersect output order is engine-
-    specific, so every set-valued array is sorted before comparison."""
+    specific, so every set-valued array is sorted before comparison, and
+    arrays are joined back to strings for the scalar-only harness."""
     tune(spark)
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -335,14 +341,19 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "join").alias("has_join"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), " ").alias("vocab"),
         F.size(F.array_distinct(toks)).alias("n_vocab"),
-        F.slice(toks, 1, 5).alias("first5"),
-        F.sort_array(
-            F.array_intersect(
-                F.array_distinct(toks),
-                F.array(F.lit("join"), F.lit("filter"), F.lit("window"), F.lit("scan")),
-            )
+        F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),
+        F.array_join(
+            F.sort_array(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(
+                        F.lit("join"), F.lit("filter"), F.lit("window"), F.lit("scan")
+                    ),
+                )
+            ),
+            " ",
         ).alias("ops_used"),
     )
 

@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 
 from ..io import load, tune
 from ..registry import query
-from ..schemas import EVENTS
+from ..schemas import DOCUMENTS, EVENTS
 
 # fixed scratch root: side-effect queries overwrite their own subdir per run
 SCRATCH = os.path.join(tempfile.gettempdir(), "cdp_spark_scratch")
@@ -264,3 +264,42 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(RegistryDataSource)
     return spark.read.format("cdp_registry").load()
+
+
+@query("sink_compact_small_files", oracle=None)  # rows-only: filesystem side effect
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance verb that keeps a
+    100 TB lake readable: a fragmented write (64 shards of a 5k-row
+    table, the classic too-many-output-files failure) is rewritten into
+    size-targeted files, and the report row proves rows survived and the
+    file count collapsed.
+
+    The compacted layout comes from ``repartition(n)`` with n =
+    ceil(bytes / target_file_size) measured from the fragmented layout
+    itself — the same arithmetic a production compactor runs off the
+    file listing.  At 100 TB: compaction is incremental per partition
+    directory (only fragmented partitions rewrite), n per partition, and
+    the write uses maxRecordsPerFile as the guardrail; a full-table
+    repartition would be a cluster-wide shuffle for no reason."""
+    import glob
+
+    tune(spark)
+    frag_path = os.path.join(SCRATCH, "compact_fragmented")
+    out_path = os.path.join(SCRATCH, "compact_done")
+    d = load(spark, sf_dir, "documents")
+    d.repartition(64).write.mode("overwrite").parquet(frag_path)
+
+    def data_files(p: str) -> list[str]:
+        return glob.glob(os.path.join(p, "part-*.parquet"))
+
+    frag_files = data_files(frag_path)
+    frag_bytes = sum(os.path.getsize(f) for f in frag_files)
+    target = 32 << 20  # 32 MB files at this scale; 128-512 MB on a cluster
+    n_out = max(1, -(-frag_bytes // target))
+    back = spark.read.schema(DOCUMENTS).parquet(frag_path)
+    back.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    n_rows = spark.read.schema(DOCUMENTS).parquet(out_path).count()
+    return spark.createDataFrame(
+        [(len(frag_files), len(data_files(out_path)), int(n_rows))],
+        "files_before int, files_after int, n_rows bigint",
+    )

@@ -14,21 +14,29 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..schemas import EVENTS_RAW_NS
+from ..io import _events_ts_is_nanos, table_path
+from ..schemas import EVENTS, EVENTS_RAW_NS
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet, same ns->µs handling as
-    the batch reader (io.load) so batch and stream see identical rows."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """``readStream`` over the events parquet, same footer-sniffed
+    ns-vs-µs handling as the batch reader (io.load) so batch and stream
+    see identical rows."""
     # the file stream source wants a directory: stream sf_dir itself,
     # glob-filtered down to the events table
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_NS)
+    if _events_ts_is_nanos(table_path(sf_dir, "events")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_NS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_available_now(

@@ -157,7 +157,7 @@ def test_approx_percentile_accuracy(spark):
         for r in reg["agg_quantiles"].fn(spark, SF_ORACLE).collect()
     }
     approx = {
-        r["l_returnflag"]: r["approx_pcts"]
+        r["l_returnflag"]: (r["p50_approx"], r["p90_approx"], r["p99_approx"])
         for r in reg["agg_approx_percentile"].fn(spark, SF_ORACLE).collect()
     }
     assert set(exact) == set(approx)
