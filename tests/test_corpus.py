@@ -67,3 +67,63 @@ def test_gapfill_densifies_and_fills_forward(spark):
             seen_value[u] = True
         else:
             assert not seen_value.get(u, False), f"null after value for user {u}"
+
+
+def test_pack_sequences_bins_are_contiguous_and_budgeted(spark):
+    """Greedy sequential fill: per lang, bin ids are a contiguous 0..m
+    range; every bin except the last STARTS under budget (a doc may
+    overflow its bin, never open a new one early)."""
+    from covid_data_pipeline_spark.queries.corpus import _PACK_BUDGET
+
+    reg = load_all()
+    rows = reg["corpus_pack_sequences"].fn(spark, SF_ORACLE).collect()
+    d = load(spark, SF_ORACLE, "documents")
+    max_tok = d.agg(
+        F.max(F.ceil(F.col("n_chars").cast("double") / 4)).alias("m")
+    ).collect()[0]["m"]
+    by_lang: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bin_id"]] = r["bin_tokens"]
+    for lang, bins in by_lang.items():
+        ids = sorted(bins)
+        # contiguous while every doc < budget (none spans multiple bins)
+        assert ids == list(range(len(ids))), (lang, ids[:5])
+        # a bin closes only when the next doc starts past the boundary,
+        # so it can fall short of budget by at most one doc's tokens
+        for b in ids[:-1]:
+            assert bins[b] > _PACK_BUDGET - max_tok, (lang, b, bins[b])
+
+
+def test_sample_topk_per_group_bounds_and_determinism(spark):
+    from covid_data_pipeline_spark.queries.corpus import _RESERVOIR_K
+
+    reg = load_all()
+    a = reg["sample_topk_per_group"].fn(spark, SF_ORACLE).collect()
+    b = reg["sample_topk_per_group"].fn(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    per_group: dict[tuple, int] = {}
+    for r in a:
+        per_group[(r["lang"], r["source"])] = per_group.get((r["lang"], r["source"]), 0) + 1
+    assert per_group and all(v <= _RESERVOIR_K for v in per_group.values())
+
+
+def test_quality_filter_funnel_partitions_corpus(spark):
+    """Every doc gets exactly one verdict: funnel counts sum to corpus
+    size, per language."""
+    reg = load_all()
+    rows = reg["quality_filter_funnel"].fn(spark, SF_ORACLE).collect()
+    d = load(spark, SF_ORACLE, "documents")
+    per_lang_total: dict[str, int] = {}
+    for r in rows:
+        per_lang_total[r["lang"]] = per_lang_total.get(r["lang"], 0) + r["n_docs"]
+    truth = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_lang_total == truth
+
+
+def test_compact_small_files_reduces_file_count(spark):
+    reg = load_all()
+    row = reg["sink_compact_small_files"].fn(spark, SF_ORACLE).collect()[0]
+    assert row["files_before"] == 64
+    assert 1 <= row["files_after"] < row["files_before"]
+    d = load(spark, SF_ORACLE, "documents")
+    assert row["n_rows"] == d.count()  # compaction loses nothing

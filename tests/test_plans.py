@@ -170,3 +170,40 @@ def test_analytics_q3_plan_shape(spark):
     assert any("GreaterThan" in l or "LessThan" in l for l in pushed), (
         f"date filters not pushed:\n" + "\n".join(pushed)
     )
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    """Q6 shape is scan-bandwidth bound ONLY if every predicate reaches
+    the parquet reader."""
+    plan = plan_of(q("analytics_forecast_revenue", spark))
+    pushed = next(line for line in plan.splitlines() if "PushedFilters" in line)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed:\n{pushed}"
+
+
+def test_late_orders_is_semi_join(spark):
+    """The EXISTS must plan as a semi join (no duplication, no right
+    columns), never an inner join + distinct."""
+    plan = plan_of(q("analytics_late_orders", spark))
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_small_qty_revenue_single_lineitem_window_shuffle(spark):
+    """The correlated scalar subquery must decorrelate into ONE window
+    over l_partkey — not an aggregate + self-join (two shuffles of the
+    selection)."""
+    plan = plan_of(q("analytics_small_qty_revenue", spark))
+    assert "Window" in plan
+    # part dim joins broadcast-wise; lineitem appears in one scan only
+    # (formatted mode lists each scan twice: tree node + detail section,
+    # so count distinct scan detail headers via their Location lines)
+    assert plan.count("Location: InMemoryFileIndex") <= 2, plan[:2000]
+
+
+def test_idle_balances_no_collect_roundtrip(spark):
+    """The scalar threshold must stay in the plan (broadcast nested loop
+    over a 1-row aggregate), not be collect()ed — one job end-to-end."""
+    plan = plan_of(q("analytics_idle_balances", spark))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
