@@ -303,3 +303,106 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(frag_files), len(data_files(out_path)), int(n_rows))],
         "files_before int, files_after int, n_rows bigint",
     )
+
+
+@query(
+    "sink_python_datasource",
+    oracle=f"""
+    SELECT kind, COUNT(*) AS n_sources FROM (VALUES {", ".join(
+        f"('{r[0]}', '{r[1]}', '{r[2]}', {r[3]})"
+        for sh in range(4) for r in _registry_rows(sh)
+    )}) AS t(state, url, kind, shard)
+    GROUP BY kind
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE **writer** (Spark 4 DataSource API) —
+    the sink-side twin of ``source_python_datasource``: each task's rows
+    land in one JSON-lines shard via ``DataSourceWriter.write``, commit
+    messages flow back to the driver's ``commit`` — the two-phase-commit
+    extension point for writing to systems Spark has no built-in
+    connector for (reference analogue: pushing the change list to an
+    external archive/API).
+
+    The written registry is deterministic, so the read-back aggregate is
+    oracle-checkable against the VALUES list — proving the round trip,
+    not just the write.  At 100 TB: one writer instance per partition,
+    commit is all-or-nothing at the driver (abort removes shards), and
+    the shard-per-task layout is exactly how a scrape-frontier checkpoint
+    or feature-store push parallelizes."""
+    import glob
+    import json as _json
+    import shutil
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    tune(spark)
+    out_dir = os.path.join(SCRATCH, "pyds_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    class _ShardCommit(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            shard = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(shard, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _ShardCommit(shard, n)
+
+        def commit(self, messages):
+            # two-phase commit: a real sink would publish the manifest
+            # here; shards from failed/aborted tasks never appear in it
+            manifest = os.path.join(self.path, "_MANIFEST")
+            with open(manifest, "w") as f:
+                for m in messages:
+                    f.write(f"{m.path}\t{m.n}\n")
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "cdp_jsonl_sink"
+
+        def schema(self):
+            return "state string, url string, kind string, shard int"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options["path"])
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    registry = spark.createDataFrame(
+        [r for sh in range(4) for r in _registry_rows(sh)],
+        "state string, url string, kind string, shard int",
+    ).repartition(4, "shard")
+    (
+        registry.write.format("cdp_jsonl_sink")
+        .option("path", out_dir)
+        .mode("append")
+        .save()
+    )
+    assert os.path.exists(os.path.join(out_dir, "_MANIFEST"))
+    back = spark.read.schema(
+        "state string, url string, kind string, shard int"
+    ).json(glob.glob(os.path.join(out_dir, "part-*.jsonl")))
+    return back.groupBy("kind").agg(F.count(F.lit(1)).alias("n_sources"))

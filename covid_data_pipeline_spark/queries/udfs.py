@@ -164,3 +164,60 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.token, t.pos "
         "FROM udtf_docs, LATERAL cdp_tokenize(text, doc_id) t"
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                         / 100.0 AS DECIMAL(28,6))) AS DOUBLE) AS revenue_rounded
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rung 6 of the Python-interop ladder: ``mapInArrow`` — raw Arrow
+    RecordBatches in and out, zero pandas materialization.  This is the
+    integration point for Arrow-native libraries (tokenizers, image
+    codecs, vector kernels) where even the pandas conversion of
+    ``mapInPandas`` is measurable overhead.
+
+    The batch function computes cent-rounded revenue with
+    pyarrow.compute (C++ vectorized kernels) via explicit
+    floor(x*100+0.5)/100 — NOT pc.round, whose half-to-even mode
+    disagrees with DuckDB's half-away rounding on exact half-cent
+    doubles (~1 in 150 rows here; the same engine-rounding trap as
+    Spark's round, see SURVEY §2.8).  The JVM aggregation that follows
+    proves Arrow output re-enters Catalyst as a first-class DataFrame.
+    At 100 TB the Python boundary processes each batch once with no
+    per-row cost — the practical ceiling for Python in the row path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tune(spark)
+
+    def add_revenue(batches):
+        for b in batches:
+            rev = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            cents = pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5)))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), pc.divide(cents, pa.scalar(100.0))],
+                ["l_returnflag", "revenue_rounded"],
+            )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    mapped = li.mapInArrow(
+        add_revenue, schema="l_returnflag string, revenue_rounded double"
+    )
+    return mapped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("revenue_rounded").cast(T.DecimalType(28, 6)))
+        .cast("double")
+        .alias("revenue_rounded"),
+    )
