@@ -585,3 +585,75 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "lang", dist.cast("int").alias("edit_dist"))
     )
+
+
+_PARA_TOKENS = 10  # pseudo-paragraph length (fixture text has no punctuation)
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(toks) / {_PARA_TOKENS}.0) AS BIGINT)))
+                   AS seg,
+               toks
+        FROM t
+    ),
+    hashed AS (
+        SELECT doc_id, seg,
+               md5(array_to_string(list_slice(toks,
+                       CAST(seg * {_PARA_TOKENS} + 1 AS BIGINT),
+                       CAST(seg * {_PARA_TOKENS} + {_PARA_TOKENS} AS BIGINT)), ' '))
+                   AS seg_hash
+        FROM segs
+    ),
+    ranked AS (
+        SELECT doc_id, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg) AS rn
+        FROM hashed
+    )
+    SELECT doc_id, COUNT(*) AS n_segs,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup (the C4/CCNet move: drop REPEATED
+    PARAGRAPHS across the whole corpus, not whole documents): each doc
+    splits into fixed {10}-token segments, the globally-first occurrence
+    of each segment hash survives, and the report shows per-doc
+    kept-vs-total — the input to the actual rewrite (reassemble kept
+    segments in order).
+
+    All codegen built-ins: sequence+explode fans out segments map-side,
+    one shuffle on the segment hash ranks first-occurrence, one skinny
+    groupBy(doc_id) folds the report.  At 100 TB the hash shuffle
+    carries (hash, doc_id, seg) — 3 skinny columns, uniform key
+    distribution by construction; the reassembly join (not materialized
+    here) is a co-partitioned join back on doc_id."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(_PARA_TOKENS))).cast("long")
+    segs = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_segs - 1)).alias("seg"),
+    )
+    seg_text = F.array_join(
+        F.slice(
+            "toks",
+            (F.col("seg") * _PARA_TOKENS + 1).cast("int"),
+            _PARA_TOKENS,
+        ),
+        " ",
+    )
+    hashed = segs.select("doc_id", "seg", F.md5(seg_text).alias("seg_hash"))
+    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+    )

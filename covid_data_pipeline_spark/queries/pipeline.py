@@ -732,3 +732,48 @@ def analytics_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
     )
+
+
+@query(
+    "analytics_top_supplier_revenue",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l.l_suppkey,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_rev
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def analytics_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the quarter's top revenue supplier — a derived
+    aggregate ("view") consumed twice: once for the per-supplier revenue
+    rows, once reduced to the scalar MAX that selects the winner.
+
+    The revenue aggregate is computed once and reused (persist-free: the
+    1-row MAX rides a broadcast cross join, the same no-collect pattern
+    as analytics_idle_balances).  Revenue goes through exact decimal so
+    the equality join on a double is bit-stable — float equality against
+    an aggregate is only safe because both sides are the same exact
+    value.  At 100 TB: one shuffle on l_suppkey for the aggregate; the
+    winner filter is map-side."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )

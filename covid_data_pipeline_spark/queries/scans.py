@@ -42,11 +42,17 @@ def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
 
 
-@query("scan_csv_roundtrip", oracle=None)  # rows-only: filesystem side effect
+@query(
+    "scan_csv_roundtrip",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write events to CSV, read back with an explicit schema (never
     inferSchema), count by event_type — the source-registry CSV ingest
-    path of the reference."""
+    path of the reference.  The round trip is lossless for these
+    columns, so the read-back aggregate equals the direct aggregate —
+    which makes the filesystem side effect fully ORACLE-CHECKABLE (a
+    dropped or duplicated row would break the count)."""
     tune(spark)
     path = os.path.join(SCRATCH, "csv_roundtrip")
     ev = load(spark, sf_dir, "events")
@@ -92,12 +98,19 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_parquet_partitioned", oracle=None)  # rows-only: filesystem side effect
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE event_type = 'purchase' GROUP BY event_type
+    """,
+)
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-list-style persist: write per-(type) status rows partitioned
     by event_type, read back ONE partition and count — exercises dynamic
     partition layout + partition pruning on read (reference: directory
-    cache persist keyed by source)."""
+    cache persist keyed by source).  Oracle-checked: the partitioned
+    round trip must reproduce the direct filtered count exactly."""
     tune(spark)
     path = os.path.join(SCRATCH, "sink_partitioned")
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
@@ -150,7 +163,13 @@ def source_union_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).dropDuplicates()
 
 
-@query("sink_orc_roundtrip", oracle=None)  # rows-only: filesystem side effect
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write events to ORC, read back with an explicit schema, aggregate
     — the second columnar format beside parquet (ORC ships in Spark;
@@ -168,7 +187,19 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("join_partition_pruned", oracle=None)  # rows-only: filesystem side effect
+@query(
+    "join_partition_pruned",
+    oracle="""
+    SELECT e.event_type, d.metric_class, COUNT(*) AS n_events
+    FROM events e
+    JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                 ('purchase', 'revenue'), ('signup', 'growth'),
+                 ('error', 'ops')) AS d(event_type, metric_class)
+      ON e.event_type = d.event_type
+    WHERE d.metric_class IN ('revenue', 'growth')
+    GROUP BY e.event_type, d.metric_class
+    """,
+)
 def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning (DPP): the fact table is stored
     partitioned by event_type; joining it to a dim filtered to two

@@ -189,14 +189,25 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_foreach_sink", oracle=None)  # rows-only: real streaming run
+@query(
+    "stream_foreach_sink",
+    oracle=f"""
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)  # oracle-checked: complete-mode final batch == full batch aggregate
 def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch incremental archive: a TRUE Structured Streaming run
     (availableNow trigger, checkpoint) draining the event stream through
     the tumbling aggregation, each micro-batch appended to a parquet
     sink stamped with its batch id — the reference's per-run archive
     write.  Returns the final batch's snapshot read back from the
-    sink."""
+    sink; in complete output mode that snapshot IS the full aggregate,
+    so this true streaming run hash-checks against the batch oracle."""
     from ..streaming import read_events_stream
     from ..streaming.runner import run_foreach_parquet
     import os

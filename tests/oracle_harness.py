@@ -92,8 +92,25 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
     raise AssertionError(f"{name}: VALUE MISMATCH ({len(mism)}+ rows differ):\n{detail}")
 
 
+def _assert_scalar_columns(name: str, sdf) -> None:
+    """The DRIVER's comparator (unlike this replica) crashes outright on
+    list/map/struct output columns — even for rows-only queries
+    (CORRECTNESS_r01: `unhashable type: 'list'`).  Enforce scalar-only
+    outputs here so a regression fails loudly in OUR preflight first."""
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — join arrays to strings "
+        "or posexplode doubles (see SCALE.md round-2 lesson)"
+    )
+
+
 def run_compare(name, spec, spark, con, sf_dir) -> None:
     sdf = spec.fn(spark, sf_dir)
+    _assert_scalar_columns(name, sdf)
     spark_pdf = sdf.toPandas()
     if spec.oracle is None:
         assert len(spark_pdf) >= 0  # rows-only: just materializes
