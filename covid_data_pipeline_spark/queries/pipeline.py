@@ -519,7 +519,7 @@ def analytics_brand_revenue_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- round-2 additions: the remaining expressible TPC-H query shapes ----
 
-from ._helpers import davg, dsum, sql_davg, sql_dsum  # noqa: E402
+from ._helpers import DEC, davg, dsum, sql_davg, sql_dsum  # noqa: E402
 
 
 @query(
@@ -776,4 +776,45 @@ def analytics_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "pipeline_observe_metrics",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_value,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-level observability via ``DataFrame.observe`` (the Observation
+    API): named metrics ride the SAME job that does the real work — the
+    reference logged per-run scan counters exactly this way, as a side
+    product of the run, not a second pass.
+
+    The observed metrics (row count, exact-decimal value total, urgent
+    count) are collected from the Observation after one pass over the
+    filtered orders and re-emitted as the result row, hash-checked
+    against the oracle recomputing them in SQL.  At 100 TB this is the
+    zero-extra-cost pattern for data-quality counters on every ingest
+    job (vs. a separate audit query that doubles the scan)."""
+    from pyspark.sql import Observation
+
+    tune(spark)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
+    obs = Observation("run_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_value"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real job
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_value"], m["n_urgent"])],
+        "n_rows bigint, total_value double, n_urgent bigint",
     )

@@ -39,9 +39,21 @@ FAMILIES = (
     ("stream_", "Streaming (§2.9)"),
     ("dedup_", "LLM-pipeline: dedup (§2.10)"),
     ("sim_", "LLM-pipeline: similarity search (§2.10)"),
+    ("embed_", None),
     ("text_", "LLM-pipeline: text analysis (§2.10)"),
+    ("quality_", None),
     ("multimodal_", "LLM-pipeline: multimodal (§2.10)"),
     ("udf_", "LLM-pipeline: UDF migration ladder (§2.10)"),
+    ("udtf_", None),
+    ("pipeline_", "Composed pipelines & analytics (§2.11)"),
+    ("analytics_", None),
+    ("scd2_", None),
+    ("merge_", None),
+    ("reshape_", None),
+    ("profile_", None),
+    ("corpus_", "Corpus management & training prep (§2.11)"),
+    ("sample_", None),
+    ("doc_", None),
 )
 
 
@@ -63,7 +75,8 @@ def main() -> None:
     for name, spec in sorted(reg.items()):
         by_family.setdefault(family_of(name), []).append(spec)
 
-    ordered_titles = [t for _, t in FAMILIES if t is not None]
+    # "Other" catches any prefix not mapped above — emitted, never dropped
+    ordered_titles = [t for _, t in FAMILIES if t is not None] + ["Other"]
     lines = [
         "# OPERATORS — live query inventory",
         "",
