@@ -173,3 +173,69 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return d.mapInPandas(sample_frames, schema=_FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("feature_digest", T.StringType()),
+    ]
+)
+
+
+def probe_audio_stub(payload: bytes, real_decode: bool = False) -> tuple[int, int]:
+    """Deterministic fake audio probe: (sample_rate, duration_ms) derived
+    from payload bytes.  Same stub boundary contract as
+    decode_image_stub — a production build swaps in soundfile/ffmpeg
+    behind the identical signature."""
+    if real_decode:
+        raise NotImplementedError(
+            "real audio decode requires codec libraries not present in this "
+            "environment"
+        )
+    rates = (8000, 16000, 22050, 44100)
+    return rates[len(payload) % 4], 500 + (len(payload) * 13) % 9500
+
+
+@query("multimodal_audio_features", oracle=None)  # rows-only: stubbed decode
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary columns: probe (stubbed) for
+    sample rate + duration, window into 250 ms hops, and emit one
+    feature row per payload with the window count and a deterministic
+    digest standing in for the MFCC/fbank tensor — the
+    speech-training-data shape (one blob -> fixed-rate feature frames).
+
+    Same mapInPandas doctrine as the image/video twins: Arrow batch in,
+    typed metadata out, no shuffle, no per-row serde; the feature tensor
+    itself would be a BinaryType column at 100 TB (Arrow-packed floats),
+    written back alongside the payload for the training reader."""
+    import hashlib
+
+    tune(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_bytes": [], "sample_rate": [],
+                "duration_ms": [], "n_windows": [], "feature_digest": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, dur = probe_audio_stub(payload)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(dur)
+                out["n_windows"].append(-(-dur // 250))
+                out["feature_digest"].append(
+                    hashlib.sha256(payload + rate.to_bytes(4, "big")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(extract, schema=_AUDIO_SCHEMA)
