@@ -207,3 +207,51 @@ def test_idle_balances_no_collect_roundtrip(spark):
     plan = plan_of(q("analytics_idle_balances", spark))
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The skew story at 100 TB is AQE's, not ours: a hot key that
+    lands half the probe side in one shuffle partition must be split at
+    runtime (SortMergeJoin(skew=true)) with NO query rewrite.  The
+    manual salting fallback (join_skew_salted) exists for the cases AQE
+    can't reach; this test proves the default path works so operators
+    stay unsalted."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        # thresholds scaled down so the 2M-row fixture-free skew (half
+        # the rows on key 0) is flagged at test scale
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "262144")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        big = spark.range(2_000_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        j.collect()  # AQE decisions only exist in the finalized plan
+        assert "skew=true" in plan_of(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
