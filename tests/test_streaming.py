@@ -319,3 +319,49 @@ def test_stateful_change_detect_carries_hash_across_batches(spark, tmp_path):
     # 'unchanged' — provable only if the last hash crossed the batch gap
     assert got == {1: "new", 2: "unchanged", 3: "changed",
                    4: "unchanged", 5: "changed"}
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The 100 TB state backend: RocksDBStateStoreProvider keeps
+    streaming state off-heap/on-disk (bounded memory at any key
+    cardinality) where the default HDFSBackedStateStore holds it in
+    executor memory.  The same stateful drain must produce identical
+    results under both providers — state semantics cannot depend on the
+    backend."""
+    from covid_data_pipeline_spark.registry import load_all
+    from covid_data_pipeline_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        sunk = run_available_now(
+            TR.stateful_user_totals(read_events_stream(spark, SF_SMOKE)),
+            output_mode="update",
+        )
+        rocks = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in sunk.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("sum_value", "n_events").alias("sum_value"),
+            )
+            .collect()
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    default = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in load_all()["stream_stateful_totals"].fn(spark, SF_SMOKE).collect()
+    }
+    assert rocks == default
