@@ -84,7 +84,23 @@ def decode_image_stub(payload: bytes, real_decode: bool = False) -> tuple[int, i
     return (64 + n % 192, 64 + (n * 7) % 192, "RGB" if n % 2 == 0 else "L")
 
 
-@query("multimodal_decode_pipeline", oracle=None)  # rows-only: stubbed decode
+@query(
+    "multimodal_decode_pipeline",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+           CAST(64 + octet_length(CAST(text AS BLOB)) % 192 AS INTEGER) AS width,
+           CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 192 AS INTEGER)
+               AS height,
+           CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0
+                THEN 'RGB' ELSE 'L' END AS mode,
+           CAST(((64 + octet_length(CAST(text AS BLOB)) % 192) // 4)
+                * ((64 + (octet_length(CAST(text AS BLOB)) * 7) % 192) // 4)
+                AS INTEGER) AS thumb_bytes
+    FROM documents
+    """,
+)  # the codec is stubbed, but the stub is deterministic arithmetic on the
+   # payload bytes — so the full mapInPandas round trip IS hash-checkable
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode / feature-extract / thumbnail shape over binary
     columns via mapInPandas: Arrow batches of (id, payload) in, typed
@@ -201,7 +217,24 @@ def probe_audio_stub(payload: bytes, real_decode: bool = False) -> tuple[int, in
     return rates[len(payload) % 4], 500 + (len(payload) * 13) % 9500
 
 
-@query("multimodal_audio_features", oracle=None)  # rows-only: stubbed decode
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH t AS (SELECT doc_id, text,
+                      octet_length(CAST(text AS BLOB)) AS n,
+                      500 + (octet_length(CAST(text AS BLOB)) * 13) % 9500 AS dur
+               FROM documents)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_bytes,
+           CAST(CASE n % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+               AS sample_rate,
+           CAST(dur AS INTEGER) AS duration_ms,
+           CAST(ceil(CAST(dur AS DOUBLE) / 250) AS INTEGER) AS n_windows,
+           sha256(text) AS feature_digest
+    FROM t
+    """,
+)  # stubbed codec, deterministic arithmetic -> hash-checkable round trip
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over binary columns: probe (stubbed) for
     sample rate + duration, window into 250 ms hops, and emit one
@@ -233,9 +266,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["sample_rate"].append(rate)
                 out["duration_ms"].append(dur)
                 out["n_windows"].append(-(-dur // 250))
-                out["feature_digest"].append(
-                    hashlib.sha256(payload + rate.to_bytes(4, "big")).hexdigest()
-                )
+                out["feature_digest"].append(hashlib.sha256(payload).hexdigest())
             yield pd.DataFrame(out)
 
     return d.mapInPandas(extract, schema=_AUDIO_SCHEMA)
