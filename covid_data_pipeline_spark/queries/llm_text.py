@@ -345,3 +345,104 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "verdict")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_CONTAM_N = 3          # n-gram length (fixture demo; production uses 8+)
+_CONTAM_EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out "eval" doc
+_CONTAM_MIN_RATIO = 0.04  # fixture demo; production uses ~0.3
+
+
+@query(
+    "corpus_contamination_check",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, CAST(g + 1 AS BIGINT),
+                                          CAST(g + {_CONTAM_N} AS BIGINT)), ' ')
+                   AS gram
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, CAST(len(t) - {_CONTAM_N} + 1 AS BIGINT)))
+                         AS g
+              FROM toks
+              WHERE len(t) >= {_CONTAM_N})
+    ),
+    eval_grams AS (
+        SELECT doc_id AS eval_id, gram FROM grams
+        WHERE doc_id % {_CONTAM_EVAL_MOD} = 0
+        GROUP BY doc_id, gram
+    ),
+    eval_sizes AS (
+        SELECT eval_id, COUNT(*) AS n_eval_grams FROM eval_grams GROUP BY eval_id
+    ),
+    hits AS (
+        SELECT g.doc_id AS train_id, e.eval_id,
+               COUNT(DISTINCT g.gram) AS shared
+        FROM grams g JOIN eval_grams e ON g.gram = e.gram
+        WHERE g.doc_id % {_CONTAM_EVAL_MOD} <> 0
+        GROUP BY g.doc_id, e.eval_id
+    )
+    SELECT h.train_id, h.eval_id, h.shared,
+           ROUND(CAST(h.shared AS DOUBLE) / s.n_eval_grams, 6) AS contamination
+    FROM hits h JOIN eval_sizes s ON h.eval_id = s.eval_id
+    WHERE CAST(h.shared AS DOUBLE) / s.n_eval_grams >= {_CONTAM_MIN_RATIO}
+    """,
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination detection — the pre-training hygiene check
+    every lab runs: which training documents share a large fraction of
+    an eval document's n-gram shingles (verbatim leakage survives
+    paraphrase-level edits poorly, so 8-to-13-gram overlap is the
+    standard detector, cf. GPT-3/PaLM appendix methodology).  The
+    fixture's near-dups are token-shuffled word soup — zero verbatim
+    8-gram overlap exists by construction — so this demo runs at n=3
+    with a floor-level ratio; the OPERATOR (shingle -> broadcast join
+    -> per-pair overlap ratio) is unchanged at production settings.
+
+    The eval side (deterministic doc_id % {97} holdout here; the real
+    benchmark set in production) is orders of magnitude smaller than the
+    corpus, so its distinct shingles BROADCAST and the scan side joins
+    map-side — the corpus never shuffles by shingle.  Per (train, eval)
+    pair the shared-shingle count shuffles only (train_id, eval_id)
+    pairs that actually hit.  At 100 TB: the same plan, with the eval
+    shingle set ~10-100 MB broadcast and contamination output feeding
+    the document kill-list."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _CONTAM_N),
+        lambda i: F.array_join(F.slice(toks, i + 1, _CONTAM_N), " "),
+    )
+    grams = (
+        d.filter(F.size(toks) >= _CONTAM_N)
+        .select("doc_id", F.explode(grams_arr).alias("gram"))
+    )
+    is_eval = F.col("doc_id") % _CONTAM_EVAL_MOD == 0
+    eval_grams = (
+        grams.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_id"), "gram")
+        .distinct()
+    )
+    eval_sizes = eval_grams.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_eval_grams")
+    )
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.countDistinct("gram").alias("shared"))
+    )
+    contamination = F.col("shared").cast("double") / F.col("n_eval_grams")
+    return (
+        hits.join(F.broadcast(eval_sizes), "eval_id")
+        .filter(contamination >= _CONTAM_MIN_RATIO)
+        .select(
+            "train_id",
+            "eval_id",
+            "shared",
+            F.round(contamination, 6).alias("contamination"),
+        )
+    )

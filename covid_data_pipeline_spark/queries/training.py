@@ -393,3 +393,90 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed shape."""
     summary, _ = kmeans_lloyd(spark, sf_dir, iters=3, k=10)
     return summary
+
+
+_PCA_K = 8
+
+
+def _vec_d(col):
+    """float32 array -> double array (cast before arithmetic)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@query("sim_pca_project", oracle=None)  # rows-only: eigvecs sign/order are numpy's
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to {8} components — the
+    dimensionality-reduction step before cheap ANN / clustering /
+    visualization in an embedding pipeline.
+
+    Split exactly like distributed PCA at 100 TB:
+    1. DATA-SIZED work in Spark: mean vector and the 64x64 second-moment
+       matrix via posexplode pairs + groupBy(i,j) — map-side partial
+       aggregation means each task ships AT MOST 4096 partial sums,
+       regardless of row count; the shuffle is O(dim^2), never O(rows).
+    2. MODEL-SIZED work on the driver: eigendecomposition of the 64x64
+       covariance (numpy) — model state, like k-means centroids
+       (sim_kmeans_lloyd), not a data collect.
+    3. Projection back in Spark: components broadcast inside the plan
+       as literals, per-row dot products in codegen'd higher-order
+       functions, output exploded to (vec_id, pc, value) scalars.
+
+    Rows-only: eigenvector sign and near-degenerate ordering are
+    numpy-implementation detail; variance ordering + reconstruction
+    quality are asserted in tests/test_llm_ops.py instead."""
+    import numpy as np
+
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    pos = e.select("vec_id", F.posexplode(_vec_d("embedding")).alias("i", "xi"))
+    # mean vector (exact decimal per position)
+    mean_rows = (
+        pos.groupBy("i")
+        .agg((F.sum(F.col("xi").cast(DEC)).cast("double") / n).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(64)
+    for r in mean_rows:
+        mu[r["i"]] = r["mu"]
+    # second-moment matrix: sum over rows of x_i * x_j, shuffled as 4096
+    # (i, j, partial-sum) cells thanks to map-side combine
+    pairs = pos.alias("a").join(
+        pos.alias("b"), F.col("a.vec_id") == F.col("b.vec_id")
+    ).select(
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (F.col("a.xi") * F.col("b.xi")).alias("xx"),
+    )
+    mom_rows = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("xx").cast(DEC)).cast("double").alias("s"))
+        .collect()
+    )
+    moment = np.zeros((64, 64))
+    for r in mom_rows:
+        moment[r["i"], r["j"]] = r["s"]
+    cov = moment / n - np.outer(mu, mu)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    comps = eigvecs[:, ::-1][:, :_PCA_K]  # top-k columns, descending variance
+    # 3) projection: components as literal arrays, dot product in codegen
+    centered = F.zip_with(
+        _vec_d("embedding"),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x - m,
+    )
+    proj_cols = []
+    for k in range(_PCA_K):
+        comp = F.array(*[F.lit(float(c)) for c in comps[:, k]])
+        dot = F.aggregate(
+            F.zip_with(centered, comp, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append(dot.alias(f"pc{k}"))
+    wide = e.select("vec_id", *proj_cols)
+    stack_expr = ", ".join(f"{k}, pc{k}" for k in range(_PCA_K))
+    return wide.select(
+        "vec_id",
+        F.expr(f"stack({_PCA_K}, {stack_expr}) AS (pc, value)"),
+    )

@@ -114,7 +114,7 @@ SHOWCASE = (
     "sim_normalize_embeddings",
     "text_tfidf",
     "text_langid",
-    "text_quality",
+    "corpus_contamination_check",
     "udf_suite",
     "udtf_tokenize",
     "corpus_split_hash",

@@ -269,3 +269,22 @@ def test_quantize_int8_contract(spark):
         assert -127 <= r["q_min"] <= r["q_max"] <= 127
         assert r["q_max"] == 127 or r["q_min"] == -127
         assert 0.0 <= r["sq_err"] <= 64 * (0.5 / r["scale"]) ** 2 + 1e-12
+
+
+def test_pca_components_ordered_and_centered(spark):
+    """PCA contract: per-component projection variance is the
+    descending eigenvalue sequence, and projections are centered
+    (mean ~ 0) because the mean vector was subtracted."""
+    import statistics
+
+    reg = load_all()
+    rows = reg["sim_pca_project"].fn(spark, SF_ORACLE).collect()
+    by_pc: dict[int, list[float]] = {}
+    for r in rows:
+        by_pc.setdefault(r["pc"], []).append(r["value"])
+    assert sorted(by_pc) == list(range(8))
+    variances = [statistics.pvariance(by_pc[k]) for k in sorted(by_pc)]
+    for a, b in zip(variances, variances[1:]):
+        assert a >= b - 1e-9, f"variance not descending: {variances}"
+    for k, vals in by_pc.items():
+        assert abs(statistics.fmean(vals)) < 1e-6, (k, statistics.fmean(vals))
