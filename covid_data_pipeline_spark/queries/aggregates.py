@@ -516,3 +516,30 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_value"),
         )
     )
+
+
+@query("agg_sliding_sketch_union", oracle=None)  # rows-only: sketch estimates
+def agg_sliding_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct users from MERGEABLE daily sketches: one
+    DataSketches HLL per day, then a window that UNIONS the last 7
+    sketches per row — the raw events are touched exactly once no
+    matter how many overlapping windows read the result.
+
+    This is THE pre-aggregation pattern for distinct counts at 100 TB:
+    exact sliding distinct must re-scan every event 7 times (one per window
+    membership) or keep per-user state; sketch union works on ~1 KB
+    day-summaries, so the window stage processes rows proportional to
+    DAYS, not events.  Accuracy vs the exact recompute is asserted in
+    tests (HLL lgK default → ~2% rsd)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    return daily.select(
+        "day",
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk) OVER "
+            "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"
+        ).alias("users_7d"),
+    )

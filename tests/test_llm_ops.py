@@ -288,3 +288,35 @@ def test_pca_components_ordered_and_centered(spark):
         assert a >= b - 1e-9, f"variance not descending: {variances}"
     for k, vals in by_pc.items():
         assert abs(statistics.fmean(vals)) < 1e-6, (k, statistics.fmean(vals))
+
+
+def test_sliding_sketch_union_accuracy(spark):
+    """The 7-day sketch-union estimate must track exact sliding distinct
+    within HLL tolerance, day by day."""
+    from covid_data_pipeline_spark.io import load as load_table
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    est = {
+        r["day"]: r["users_7d"]
+        for r in reg["agg_sliding_sketch_union"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    days = ev.select("day").distinct()
+    exact = {
+        r["day"]: r["n"]
+        for r in days.alias("d")
+        .join(
+            ev.alias("e"),
+            (F.col("e.day") <= F.col("d.day"))
+            & (F.col("e.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy("d.day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n <= 0.05, (day, est[day], n)
