@@ -537,3 +537,88 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'MACHINERY' AND t.n_orders >= 3
         """
     )
+
+
+_ASOF_TOL_US = 1_800_000_000  # 30-minute nearest-match tolerance
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_view,
+               FIRST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_view
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CASE
+             WHEN prev_view IS NOT NULL AND epoch_us(ts) - epoch_us(prev_view)
+                      <= {_ASOF_TOL_US}
+                  AND (next_view IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_view)
+                          <= epoch_us(next_view) - epoch_us(ts))
+             THEN epoch_us(prev_view)
+             WHEN next_view IS NOT NULL AND epoch_us(next_view) - epoch_us(ts)
+                      <= {_ASOF_TOL_US}
+             THEN epoch_us(next_view)
+             ELSE NULL
+           END AS matched_view_us
+    FROM e WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with tolerance (pandas merge_asof
+    direction='nearest' semantics): each purchase matches the closest
+    view — before OR after — within 30 minutes, ties resolved backward.
+    The sensor-alignment variant of join_asof: backward-only is the
+    change-detection shape, nearest-with-tolerance is the
+    clock-skew-tolerant one.
+
+    Same scalable formulation as join_asof: both candidate neighbors
+    come from ONE window pass per direction over (user_id, ts) — one
+    shuffle total, no self-join, tolerance applied as a map-side CASE.
+    At 100 TB identical partitioning discipline applies (shuffle on the
+    entity key, sort within)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    prev_view = F.last(view_ts, ignorenulls=True).over(wb)
+    next_view = F.first(view_ts, ignorenulls=True).over(wf)
+    back_gap = F.unix_micros("ts") - F.unix_micros(F.col("prev_view"))
+    fwd_gap = F.unix_micros(F.col("next_view")) - F.unix_micros("ts")
+    matched = (
+        F.when(
+            F.col("prev_view").isNotNull()
+            & (back_gap <= _ASOF_TOL_US)
+            & (F.col("next_view").isNull() | (back_gap <= fwd_gap)),
+            F.unix_micros(F.col("prev_view")),
+        )
+        .when(
+            F.col("next_view").isNotNull() & (fwd_gap <= _ASOF_TOL_US),
+            F.unix_micros(F.col("next_view")),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return (
+        ev.withColumn("prev_view", prev_view)
+        .withColumn("next_view", next_view)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", matched.alias("matched_view_us"))
+    )
