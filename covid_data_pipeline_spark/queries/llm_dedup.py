@@ -657,3 +657,138 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_segs"),
         F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
     )
+
+
+@query(
+    "pipeline_dedup_funnel",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, lang, sha256(text) AS h,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    exact_kept AS (
+        SELECT doc_id, lang, toks FROM (
+            SELECT doc_id, lang, toks,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM hashed
+        ) WHERE rn = 1
+    ),
+    near_pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM exact_kept a JOIN exact_kept b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              > {JACCARD_THRESHOLD}
+    ),
+    near_dropped AS (SELECT DISTINCT b_id AS doc_id FROM near_pairs)
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE e.doc_id IS NULL) AS drop_exact,
+           COUNT(*) FILTER (WHERE e.doc_id IS NOT NULL AND n.doc_id IS NOT NULL)
+               AS drop_near,
+           COUNT(*) FILTER (WHERE e.doc_id IS NOT NULL AND n.doc_id IS NULL)
+               AS kept
+    FROM documents d
+    LEFT JOIN exact_kept e ON d.doc_id = e.doc_id
+    LEFT JOIN near_dropped n ON d.doc_id = n.doc_id
+    GROUP BY d.lang
+    """,
+)
+def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stages composed END-TO-END into one keep-list report —
+    the dedup-side twin of pipeline_change_report: stage 1 drops exact
+    duplicates (min doc_id per content hash survives), stage 2 drops
+    near-duplicates among the survivors (greedy: the higher doc_id of
+    each Jaccard>{0.7} pair), and the report is the per-language funnel
+    (total / dropped-exact / dropped-near / kept) a data team signs off
+    before training.
+
+    Composition stays declarative — Catalyst fuses the stages into one
+    plan: hash window (shuffle on h), prefix-filtered candidate join on
+    the survivors (same plan as dedup_near_jaccard), two LEFT joins back
+    onto the corpus, one skinny groupBy(lang).  At 100 TB each stage's
+    partitioning discipline is unchanged from its standalone operator;
+    the greedy higher-id drop (vs cluster-canonical dedup_cluster_cc) is
+    the cheap policy — one pass, no iteration — at the cost of possibly
+    dropping both ends of a chain a<b<c."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    h = F.sha2("text", 256)
+    hashed = d.select(
+        "doc_id",
+        "lang",
+        h.alias("h"),
+        F.sort_array(
+            F.array_distinct(
+                F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok))
+            )
+        ).alias("toks"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    exact_kept = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "toks")
+        .withColumn("n_toks", F.size("toks"))
+    )
+    # prefix-filtered candidates among exact survivors (dedup_near_jaccard plan)
+    prefix = F.slice(
+        "toks",
+        1,
+        (F.col("n_toks") - F.floor((F.col("n_toks") * 7 + 9) / 10) + 1).cast("int"),
+    )
+    pe = exact_kept.select("doc_id", "lang", "n_toks", F.explode(prefix).alias("ptok"))
+    ca = pe.select(
+        F.col("doc_id").alias("a_id"), "lang", "ptok", F.col("n_toks").alias("a_n")
+    )
+    cb = pe.select(
+        F.col("doc_id").alias("b_id"), "lang", "ptok", F.col("n_toks").alias("b_n")
+    )
+    ratio_ok = (F.col("a_n") * 10 >= F.col("b_n") * 7) & (
+        F.col("b_n") * 10 >= F.col("a_n") * 7
+    )
+    cand = (
+        ca.join(cb, on=["lang", "ptok"])
+        .filter((F.col("a_id") < F.col("b_id")) & ratio_ok)
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sa = exact_kept.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    sb = exact_kept.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    union = F.size("a_toks") + F.size("b_toks") - inter
+    near_dropped = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(inter.cast("double") / union > JACCARD_THRESHOLD)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    e = exact_kept.select("doc_id", F.lit(1).alias("is_exact_kept"))
+    n = near_dropped.withColumn("is_near_dropped", F.lit(1))
+    return (
+        d.select("doc_id", "lang")
+        .join(e, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("is_exact_kept").isNull(), 1)).alias("drop_exact"),
+            F.count(
+                F.when(
+                    F.col("is_exact_kept").isNotNull()
+                    & F.col("is_near_dropped").isNotNull(),
+                    1,
+                )
+            ).alias("drop_near"),
+            F.count(
+                F.when(
+                    F.col("is_exact_kept").isNotNull()
+                    & F.col("is_near_dropped").isNull(),
+                    1,
+                )
+            ).alias("kept"),
+        )
+    )
