@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..io import load, tune
 from ..registry import query
-from ._helpers import davg, dsum, sql_davg, sql_dsum
+from ._helpers import DEC, davg, dsum, sql_davg, sql_dsum
 
 # --------------------------------------------------------------------------
 # agg_groupby — the flagship (TPC-H-Q1-shaped pricing summary).
@@ -542,4 +542,32 @@ def agg_sliding_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_sketch_estimate(hll_union_agg(sk) OVER "
             "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"
         ).alias("users_7d"),
+    )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+                AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+               AS wavg_price,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the weighted
+    mean every pricing/quality report needs but SQL has no builtin for:
+    sum(w*x)/sum(w), both sums through exact decimal so the final
+    double division is bit-stable at any partitioning (the same
+    last-step-division discipline as analytics_promo_revenue)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    wx = (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(wx).cast("double") / F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .alias("wavg_price"),
+        F.count(F.lit(1)).alias("n_items"),
     )

@@ -307,3 +307,64 @@ def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _RESERVOIR_K)
     )
+
+
+@query(
+    "ts_backfill_bfill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    bounds AS (
+        SELECT MIN(date_trunc('day', ts)) AS lo, MAX(date_trunc('day', ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT u.user_id, d.day
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                    FROM bounds) d
+    )
+    SELECT s.user_id, s.day,
+           FIRST_VALUE(d.v IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS v_filled
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def ts_backfill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward fill — the complement of ts_gapfill_ffill: each missing
+    day takes the NEXT observation (the fill direction for
+    known-in-advance schedules, e.g. backfilling a metric series up to
+    its first measurement).  Same densify-then-window plan: broadcast
+    day spine, one window per user ordered by day with a FOLLOWING
+    frame; partition-parallel at any scale."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    daily = e.groupBy("user_id", day).agg(davg("value").alias("v"))
+    days = (
+        e.agg(
+            F.min(F.date_trunc("day", "ts")).alias("lo"),
+            F.max(F.date_trunc("day", "ts")).alias("hi"),
+        )
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    )
+    spine = e.select("user_id").distinct().crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.first("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
