@@ -622,3 +622,51 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", matched.alias("matched_view_us"))
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+        FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+        SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+               COUNT(*) AS n_odd
+        FROM events WHERE event_id % 2 = 1
+        GROUP BY 1
+    )
+    SELECT a.k, COUNT(*) AS n_even, MAX(b.n_odd) AS n_odd
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): the failed
+    fetches (event_type nulled for errors here) of two runs must MATCH
+    each other when reconciling, where ordinary ``=`` would silently
+    drop every NULL-keyed row from both sides — the reconciliation bug
+    this operator exists to prevent.
+
+    ``eqNullSafe`` stays a hash-join key (Catalyst plans it as an
+    equi-join on a null-wrapped key, NOT a nested loop), so the 100 TB
+    cost is identical to a plain equi-join; the one caveat is that ALL
+    null keys land in one partition — if nulls are a large fraction,
+    pre-split them (they only ever match other nulls) and union."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", None).otherwise(F.col("event_type"))
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_id", k.alias("k"))
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(k.alias("bk"))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["bk"]))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_even"), F.max("n_odd").alias("n_odd"))
+    )
