@@ -571,3 +571,35 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wavg_price"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "agg_argmax_struct",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS best_orderkey,
+           MAX(o_totalprice) AS best_price,
+           arg_min(o_orderkey, o_totalprice) AS worst_orderkey
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN per group (``max_by``/``min_by``): which order was
+    each customer's most/least expensive — the per-entity
+    representative-row selection that otherwise costs a window +
+    row_number + filter (two passes); as an aggregate it is ONE hash-agg
+    with map-side partials carrying a single (value, key) pair per
+    group per task.
+
+    Determinism caveat baked in: o_totalprice ties would make
+    max_by/arg_max engine-arbitrary — the fixture's continuous prices
+    have no per-customer ties (verified: max tie-group size is 1), so
+    the hash is stable; on tie-prone data, break ties in the value
+    (struct of (price, pk)) on BOTH engines."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_orderkey"),
+        F.max("o_totalprice").alias("best_price"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_orderkey"),
+    )

@@ -462,3 +462,44 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_streak") >= 3)
     )
+
+
+@query(
+    "win_lag_change_rate",
+    oracle="""
+    SELECT event_id, user_id,
+           value - LAG(value) OVER w AS delta,
+           ROUND((value - LAG(value) OVER w)
+                 / (CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS DOUBLE)
+                    / 1000000.0), 6) + 0.0 AS rate_per_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete derivative per entity stream: value delta and
+    per-second rate against the previous observation — the numeric twin
+    of win_lag_change_detect (there: did content change; here: how fast
+    is the metric moving).  First observation per user yields NULLs, as
+    a derivative should.
+
+    One window, one shuffle on user_id; the division is guarded by the
+    strictly-increasing (ts, event_id) order so the gap is never zero.
+    Rounded(6) because the µs->s division is engine-identical IEEE but
+    the display canon isn't worth risking on 12-significant-digit
+    ratios."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    gap_s = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ).cast("double") / 1_000_000.0
+    return ev.select(
+        "event_id",
+        "user_id",
+        delta.alias("delta"),
+        # + 0.0 folds IEEE -0.0 to +0.0 (the engines round tiny
+        # negatives to different zero signs)
+        (F.round(delta / gap_s, 6) + 0.0).alias("rate_per_s"),
+    )
