@@ -105,12 +105,17 @@ def main() -> None:
             indent=1,
         )
 
+    all_total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
                 "metric": "headline suite wall-clock (24 queries; full timings in BENCH_FULL.json)",
                 "value": total,
                 "unit": "sec",
+                # full-suite total stays visible so the one-line metric is
+                # comparable across rounds without the BENCH_FULL sidecar
+                "all_total_sec": all_total,
+                "n_all": len(timings),
                 "queries": headline,
                 "sf": sf_val,
             },

@@ -530,7 +530,12 @@ def agg_sliding_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership) or keep per-user state; sketch union works on ~1 KB
     day-summaries, so the window stage processes rows proportional to
     DAYS, not events.  Accuracy vs the exact recompute is asserted in
-    tests (HLL lgK default → ~2% rsd)."""
+    tests (HLL lgK default → ~2% rsd).
+
+    The global (partition-less) window — the "No Partition Defined"
+    WARN — runs on the already-aggregated DAILY table: one sketch row
+    per calendar day at any data scale, so the single-task sort is
+    bounded by construction (same justification as win_moving_avg)."""
     tune(spark)
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(

@@ -99,27 +99,52 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
     # prefix-filtered similarity join (see dedup_ngram_jaccard for the
-    # recall-1 argument): prefix length n - ceil(0.7*n) + 1
-    prefix = F.slice(
-        "toks",
-        1,
-        (F.col("n_toks") - F.floor((F.col("n_toks") * 7 + 9) / 10) + 1).cast("int"),
+    # recall-1 argument): prefix length n - ceil(0.7*n) + 1; posexplode
+    # keeps each prefix token's 1-based POSITION for the PPJoin filter
+    plen = (F.col("n_toks") - F.floor((F.col("n_toks") * 7 + 9) / 10) + 1).cast("int")
+    pe = t.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.posexplode(F.slice("toks", 1, plen)).alias("pos0", "ptok"),
     )
-    pe = t.select("doc_id", "lang", "n_toks", F.explode(prefix).alias("ptok"))
     ca = pe.select(
-        F.col("doc_id").alias("a_id"), "lang", "ptok", F.col("n_toks").alias("a_n")
+        F.col("doc_id").alias("a_id"),
+        "lang",
+        "ptok",
+        F.col("n_toks").alias("a_n"),
+        (F.col("pos0") + 1).alias("ai"),
     )
     cb = pe.select(
-        F.col("doc_id").alias("b_id"), "lang", "ptok", F.col("n_toks").alias("b_n")
+        F.col("doc_id").alias("b_id"),
+        "lang",
+        "ptok",
+        F.col("n_toks").alias("b_n"),
+        (F.col("pos0") + 1).alias("bj"),
     )
     # J > t implies |A|/|B| and |B|/|A| >= t (J <= min/max for sets) —
     # integer size-ratio prune before candidate dedup
     ratio_ok = (F.col("a_n") * 10 >= F.col("b_n") * 7) & (
         F.col("b_n") * 10 >= F.col("a_n") * 7
     )
+    # PPJoin positional filter: arrays are sorted, so for a shared token
+    # at positions (i, j) the true overlap o is bounded by
+    #   o <= min(i-1, j-1) + 1 + min(|A|-i, |B|-j)
+    # (shared-before <= min of the prefixes, shared-after <= min of the
+    # suffixes).  J > 0.7 needs o > 0.7(|A|+|B|)/1.7, i.e.
+    # o >= floor(7(|A|+|B|)/17) + 1; every shared token of a TRUE pair
+    # satisfies the bound (it upper-bounds o), so keeping pairs where ANY
+    # match passes loses no recall while pruning candidates whose match
+    # position already proves J <= 0.7.
+    ub = (
+        F.least(F.col("ai") - 1, F.col("bj") - 1)
+        + 1
+        + F.least(F.col("a_n") - F.col("ai"), F.col("b_n") - F.col("bj"))
+    )
+    o_min = F.floor((F.col("a_n") + F.col("b_n")) * 7 / 17) + 1
     cand = (
         ca.join(cb, on=["lang", "ptok"])
-        .filter((F.col("a_id") < F.col("b_id")) & ratio_ok)
+        .filter((F.col("a_id") < F.col("b_id")) & ratio_ok & (ub >= o_min))
         .select("a_id", "b_id", "lang")
         .dropDuplicates(["a_id", "b_id"])
     )

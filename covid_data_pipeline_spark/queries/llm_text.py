@@ -35,7 +35,15 @@ from ..registry import query
 )
 def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens by global term frequency, rank materialized with a
-    token tiebreaker for determinism."""
+    token tiebreaker for determinism.
+
+    Scale shape: ``orderBy(...).limit(20)`` compiles to
+    TakeOrderedAndProject — per-partition partial top-20, merge of
+    20·p rows — so the vocabulary (which grows with the corpus) is never
+    globally sorted; the round-2 version ranked it with an unpartitioned
+    window, a single-task sort unbounded at 100 TB.  The 20 survivors
+    are then ranked via sort_array(collect_list(...)) + posexplode over
+    ONE 20-element array — constant-sized by construction, no WindowExec."""
     tune(spark)
     d = load(spark, sf_dir, "documents")
     tf = (
@@ -43,8 +51,22 @@ def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
-    return tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    top = tf.orderBy(F.col("tf").desc(), F.col("token")).limit(20)
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("tf")).alias("neg_tf"),
+                    F.col("token").alias("token"),
+                    F.col("tf").alias("tf"),
+                )
+            )
+        ).alias("xs")
+    )
+    return (
+        packed.select(F.posexplode("xs").alias("rn0", "x"))
+        .select("x.token", "x.tf", (F.col("rn0") + 1).alias("rn"))
+    )
 
 
 @query(

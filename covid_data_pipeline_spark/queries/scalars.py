@@ -38,21 +38,13 @@ from ..registry import query
     oracle="""
     SELECT doc_id,
            trim(regexp_replace(
-               regexp_replace(
-                   regexp_replace(
-                       '<html><script>var t=' || CAST(doc_id AS VARCHAR)
-                           || ';</script><body>' || upper(text) || '</body></html>',
-                       '<script>.*?</script>', '', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-               '\\s+', ' ', 'g')) AS cleaned,
+               '<html><script>var t=' || CAST(doc_id AS VARCHAR)
+                   || ';</script><body>' || upper(text) || '</body></html>',
+               '(?:<script>.*?</script>|<[^>]*>|\\s)+', ' ', 'g')) AS cleaned,
            length(trim(regexp_replace(
-               regexp_replace(
-                   regexp_replace(
-                       '<html><script>var t=' || CAST(doc_id AS VARCHAR)
-                           || ';</script><body>' || upper(text) || '</body></html>',
-                       '<script>.*?</script>', '', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-               '\\s+', ' ', 'g'))) AS n_clean
+               '<html><script>var t=' || CAST(doc_id AS VARCHAR)
+                   || ';</script><body>' || upper(text) || '</body></html>',
+               '(?:<script>.*?</script>|<[^>]*>|\\s)+', ' ', 'g'))) AS n_clean
     FROM documents
     """,
 )
@@ -61,7 +53,16 @@ def str_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags, collapse whitespace, trim — the canonicalization that makes
     content hashing stable.  (HTML wrapper synthesized from doc_id +
     text since fixtures carry plain text; upper() stands in for the
-    case-normalization step.)"""
+    case-normalization step.)
+
+    The three round-2 regex passes (script-strip, tag-strip, whitespace
+    collapse) are FUSED into one alternation: any run of script spans /
+    tags / whitespace becomes a single space, which is exactly what the
+    three-pass pipeline produced (a stripped span is always flanked by a
+    tag or whitespace here, so ''-vs-' ' replacement cannot glue words).
+    Script alternative is listed FIRST — leftmost-first matching in both
+    java.util.regex and RE2 — so script CONTENT is dropped, not just the
+    <script> tags.  One regex pass over the corpus instead of three."""
     tune(spark)
     d = load(spark, sf_dir, "documents")
     html = F.concat(
@@ -72,15 +73,7 @@ def str_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</body></html>"),
     )
     cleaned = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(html, "<script>.*?</script>", ""),
-                "<[^>]*>",
-                " ",
-            ),
-            r"\s+",
-            " ",
-        )
+        F.regexp_replace(html, r"(?:<script>.*?</script>|<[^>]*>|\s)+", " ")
     )
     return d.select(
         "doc_id", cleaned.alias("cleaned"), F.length(cleaned).alias("n_clean")

@@ -361,7 +361,6 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit is all-or-nothing at the driver (abort removes shards), and
     the shard-per-task layout is exactly how a scrape-frontier checkpoint
     or feature-store push parallelizes."""
-    import glob
     import json as _json
     import shutil
     import uuid
@@ -432,8 +431,14 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("append")
         .save()
     )
-    assert os.path.exists(os.path.join(out_dir, "_MANIFEST"))
+    # Read back ONLY the shards the commit() manifest published — a
+    # part-* glob would also count orphan shards from retried or
+    # speculative tasks, silently voiding the two-phase-commit check.
+    manifest = os.path.join(out_dir, "_MANIFEST")
+    assert os.path.exists(manifest)
+    with open(manifest) as f:
+        committed = [line.split("\t", 1)[0] for line in f if line.strip()]
     back = spark.read.schema(
         "state string, url string, kind string, shard int"
-    ).json(glob.glob(os.path.join(out_dir, "part-*.jsonl")))
+    ).json(committed)
     return back.groupBy("kind").agg(F.count(F.lit(1)).alias("n_sources"))

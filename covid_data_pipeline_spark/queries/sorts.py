@@ -21,6 +21,15 @@ from ..io import load, tune
 from ..registry import query
 
 
+# Deterministic price bands for the two-phase global rank below.  TPC-H
+# o_totalprice spans ~[850, 600k]; 20k-wide bands give ~30 bands per
+# priority — wide enough that band count stays metadata-sized, narrow
+# enough that no band holds more than a few percent of the table.  At a
+# larger SF, shrink the width (or derive it from approxQuantile) — the
+# rank stays exact for ANY width; width only tunes balance.
+_PRICE_BAND_WIDTH = 20_000
+
+
 @query(
     "sort_multi_nulls",
     oracle="""
@@ -37,22 +46,70 @@ from ..registry import query
 def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column sort, mixed asc/desc with explicit NULLS FIRST; the
     ordering is proven to the (order-insensitive) oracle by emitting the
-    global position as a column."""
+    global position as a column.
+
+    TWO-PHASE GLOBAL RANK — no unpartitioned window (the round-2 version
+    ranked with ``row_number() OVER (ORDER BY ...)``, which funnels the
+    whole table through ONE task; at 100 TB that's the classic scale
+    killer).  Instead:
+
+    1. Bucket every row by a DETERMINISTIC pure function of its sort key
+       (priority value x fixed-width price band) — no sampling, so the
+       assignment is identical across jobs with no caching required.
+    2. Rank WITHIN each bucket with a partitioned window (distributed,
+       one hash shuffle).
+    3. Count rows per bucket (metadata-sized: one row per bucket),
+       cumulative-sum the counts in bucket order on the driver — the
+       same model-state pattern as ``zipWithIndex``'s count job — and
+       broadcast the offsets back.  global_rank = offset + local_rank.
+    """
     tune(spark)
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",
         F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("delayed_priority"),
     )
-    w = Window.orderBy(
-        F.col("delayed_priority").asc_nulls_first(),
-        F.col("o_totalprice").desc(),
-        F.col("o_orderkey"),
+    bucketed = o.withColumn(
+        "_pband", F.floor(F.col("o_totalprice") / _PRICE_BAND_WIDTH).cast("int")
     )
-    return o.withColumn("sort_pos", F.row_number().over(w)).orderBy(
-        F.col("delayed_priority").asc_nulls_first(),
-        F.col("o_totalprice").desc(),
-        F.col("o_orderkey"),
+    # metadata-sized count job: one row per (priority, band) bucket
+    counts = (
+        bucketed.groupBy("delayed_priority", "_pband")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    # bucket order == global sort order: priority ASC NULLS FIRST, band DESC
+    counts.sort(
+        key=lambda r: (
+            r["delayed_priority"] is not None,
+            r["delayed_priority"] or "",
+            -r["_pband"],
+        )
+    )
+    off, offsets = 0, []
+    for r in counts:
+        offsets.append((r["delayed_priority"], r["_pband"], off))
+        off += r["cnt"]
+    off_df = spark.createDataFrame(
+        offsets, "dp string, pb int, _off bigint"
+    )
+    w = Window.partitionBy("delayed_priority", "_pband").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = bucketed.withColumn("_lrn", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(off_df),
+            ranked["delayed_priority"].eqNullSafe(off_df["dp"])
+            & (ranked["_pband"] == off_df["pb"]),
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "delayed_priority",
+            (F.col("_off") + F.col("_lrn")).alias("sort_pos"),
+        )
+        .orderBy("sort_pos")  # presentation order: range sort on a long
     )
 
 

@@ -410,13 +410,18 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     visualization in an embedding pipeline.
 
     Split exactly like distributed PCA at 100 TB:
-    1. DATA-SIZED work in Spark: mean vector and the 64x64 second-moment
-       matrix via posexplode pairs + groupBy(i,j) — map-side partial
-       aggregation means each task ships AT MOST 4096 partial sums,
-       regardless of row count; the shuffle is O(dim^2), never O(rows).
-    2. MODEL-SIZED work on the driver: eigendecomposition of the 64x64
-       covariance (numpy) — model state, like k-means centroids
-       (sim_kmeans_lloyd), not a data collect.
+    1. DATA-SIZED work in Spark: ONE ``mapInPandas`` pass computes
+       per-partition (count, sum-vector, 64x64 Gramian) partials with a
+       numpy matmul over each Arrow batch — every task ships exactly
+       64 + 4096 doubles no matter how many rows it scanned, so the
+       "shuffle" is one model-sized row per partition.  (Round 2 built
+       the moment matrix by posexploding each row into 64 cells and
+       self-joining — a 4,096x row fan-out with the same O(dim^2)
+       shuffle bound but ~10x the CPU; the Gramian partial keeps the
+       bound and drops the fan-out.)
+    2. MODEL-SIZED work on the driver: combine the partials and
+       eigendecompose the 64x64 covariance (numpy) — model state, like
+       k-means centroids (sim_kmeans_lloyd), not a data collect.
     3. Projection back in Spark: components broadcast inside the plan
        as literals, per-row dot products in codegen'd higher-order
        functions, output exploded to (vec_id, pc, value) scalars.
@@ -428,34 +433,30 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     e = load(spark, sf_dir, "embeddings")
-    n = e.count()
-    pos = e.select("vec_id", F.posexplode(_vec_d("embedding")).alias("i", "xi"))
-    # mean vector (exact decimal per position)
-    mean_rows = (
-        pos.groupBy("i")
-        .agg((F.sum(F.col("xi").cast(DEC)).cast("double") / n).alias("mu"))
-        .collect()
+
+    def _partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        cnt, s, g = 0, _np.zeros(64), _np.zeros((64, 64))
+        for pdf in batches:
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            cnt += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if cnt:
+            yield _pd.DataFrame(
+                {"cnt": [cnt], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = (
+        e.select("embedding")
+        .mapInPandas(_partials, schema="cnt long, s array<double>, g array<double>")
+        .collect()  # model-sized: one (count, sums, Gramian) row per partition
     )
-    mu = np.zeros(64)
-    for r in mean_rows:
-        mu[r["i"]] = r["mu"]
-    # second-moment matrix: sum over rows of x_i * x_j, shuffled as 4096
-    # (i, j, partial-sum) cells thanks to map-side combine
-    pairs = pos.alias("a").join(
-        pos.alias("b"), F.col("a.vec_id") == F.col("b.vec_id")
-    ).select(
-        F.col("a.i").alias("i"),
-        F.col("b.i").alias("j"),
-        (F.col("a.xi") * F.col("b.xi")).alias("xx"),
-    )
-    mom_rows = (
-        pairs.groupBy("i", "j")
-        .agg(F.sum(F.col("xx").cast(DEC)).cast("double").alias("s"))
-        .collect()
-    )
-    moment = np.zeros((64, 64))
-    for r in mom_rows:
-        moment[r["i"], r["j"]] = r["s"]
+    n = sum(r["cnt"] for r in parts)
+    mu = np.sum([r["s"] for r in parts], axis=0) / n
+    moment = np.sum([np.array(r["g"]).reshape(64, 64) for r in parts], axis=0)
     cov = moment / n - np.outer(mu, mu)
     eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
     comps = eigvecs[:, ::-1][:, :_PCA_K]  # top-k columns, descending variance

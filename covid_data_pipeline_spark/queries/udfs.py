@@ -89,7 +89,22 @@ def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     per returnflag; every output mirrors a built-in aggregation the
     oracle recomputes in pure SQL.  (The scalar UDF and pandas UDF
     produce identical IEEE doubles to the SQL expressions because the
-    operation sequence is identical.)"""
+    operation sequence is identical.)
+
+    The session is shared by ~160 other bench/correctness queries, so
+    the per-flag result (3 rows) is pinned locally and the cached fact
+    table RELEASED before returning — a long-lived session must not
+    carry a lineitem-sized cache for the rest of the run."""
+    with_rev, out = _udf_suite_lazy(spark, sf_dir)
+    rows = out.collect()
+    with_rev.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _udf_suite_lazy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build the (cached input, lazy result) pair — split out so
+    tests/test_plans.py can assert the Arrow/Python plan shape on the
+    SAME lazy plan :func:`udf_suite` executes."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
@@ -113,11 +128,12 @@ def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_jvm = with_rev.groupBy("l_returnflag").agg(
         F.max("charge").alias("max_charge")
     )
-    return (
+    out = (
         grouped.join(agg_py, on="l_returnflag")
         .join(agg_jvm, on="l_returnflag")
         .select("l_returnflag", "n_rows", "max_revenue", "sum_qty", "max_charge")
     )
+    return with_rev, out
 
 
 class _TokenizeUDTF:

@@ -470,7 +470,7 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            value - LAG(value) OVER w AS delta,
            ROUND((value - LAG(value) OVER w)
-                 / (CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS DOUBLE)
+                 / (CAST(NULLIF(epoch_us(ts) - epoch_us(LAG(ts) OVER w), 0) AS DOUBLE)
                     / 1000000.0), 6) + 0.0 AS rate_per_s
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -483,8 +483,11 @@ def win_lag_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the metric moving).  First observation per user yields NULLs, as
     a derivative should.
 
-    One window, one shuffle on user_id; the division is guarded by the
-    strictly-increasing (ts, event_id) order so the gap is never zero.
+    One window, one shuffle on user_id.  The gap is NULLIF-guarded on
+    BOTH engines: (ts, event_id) ordering makes ties unlikely but a
+    duplicate (user_id, ts) pair in a regenerated fixture would hit
+    0/0 — Spark (non-ANSI) yields NULL while DuckDB (IEEE) yields inf,
+    breaking the hash; NULLIF degrades both to NULL identically.
     Rounded(6) because the µs->s division is engine-identical IEEE but
     the display canon isn't worth risking on 12-significant-digit
     ratios."""
@@ -492,9 +495,8 @@ def win_lag_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     delta = F.col("value") - F.lag("value").over(w)
-    gap_s = (
-        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-    ).cast("double") / 1_000_000.0
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap_s = F.nullif(gap_us, F.lit(0)).cast("double") / 1_000_000.0
     return ev.select(
         "event_id",
         "user_id",

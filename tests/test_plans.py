@@ -74,9 +74,20 @@ def test_jvm_only_queries_have_no_python_workers(spark):
 
 
 def test_udf_suite_uses_arrow_not_row_python_for_vectorized_steps(spark):
-    plan = plan_of(q("udf_suite", spark))
-    # the suite deliberately includes one row-Python UDF and the Arrow paths
-    assert "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
+    # udf_suite returns an eagerly-localized 3-row result (so it can
+    # unpersist its cache in the shared session); assert the Arrow plan
+    # shape on the lazy plan it actually executed
+    from covid_data_pipeline_spark.queries.udfs import _udf_suite_lazy
+
+    from .conftest import SF_ORACLE
+
+    with_rev, out = _udf_suite_lazy(spark, SF_ORACLE)
+    try:
+        plan = plan_of(out)
+        # the suite deliberately includes one row-Python UDF and the Arrow paths
+        assert "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
+    finally:
+        with_rev.unpersist()
 
 
 def test_topk_global_avoids_full_sort(spark):
