@@ -153,13 +153,34 @@ def frame_count_stub(payload: bytes, real_decode: bool = False) -> int:
     return 4 + len(payload) % 29
 
 
-@query("multimodal_framesample", oracle=None)  # rows-only: stubbed decode
+@query(
+    "multimodal_framesample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               4 + octet_length(CAST(text AS BLOB)) % 29 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(g AS INTEGER) AS frame_idx,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           sha256(text || ':' || CAST(g AS VARCHAR)) AS frame_digest
+    FROM (SELECT doc_id, text, n_frames,
+                 unnest(range(0, n_frames, 4)) AS g
+          FROM t)
+    """,
+)  # stubbed codec, deterministic arithmetic -> hash-checkable fan-out
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-like binary columns: each payload is
     probed for its frame count (stubbed), every 4th frame is sampled,
     and one output row is emitted per sampled frame with a deterministic
     per-frame digest — the training-data shape for video corpora (one
     input blob fans out to N frame rows).
+
+    The per-frame digest is sha256(payload || ':' || frame_idx) — the
+    ':'-delimited ASCII form (not packed big-endian bytes) so the SAME
+    bytes are expressible in the DuckDB oracle, upgrading this query
+    from rows-only to fully hash-checked like its audio/image siblings.
 
     mapInPandas keeps the fan-out INSIDE the Python worker (an Arrow
     batch in, a larger Arrow batch out) — no explode shuffle, no
@@ -184,7 +205,9 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame_idx"].append(idx)
                     out["n_frames"].append(n)
                     out["frame_digest"].append(
-                        hashlib.sha256(payload + idx.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(
+                            payload + b":" + str(idx).encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame(out)
 

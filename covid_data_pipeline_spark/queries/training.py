@@ -378,7 +378,15 @@ def kmeans_lloyd(
     summary = best.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"), dsum("d2").alias("cost")
     )
-    return summary, costs
+    # localize the k-row summary so both caches (corpus projection + last
+    # assignment) can be RELEASED — the session is shared with ~160 other
+    # queries and must not keep an embeddings-sized cache alive after the
+    # model fit finishes (same discipline as udf_suite)
+    rows = summary.collect()
+    schema = summary.schema
+    best.unpersist()
+    e.unpersist()
+    return spark.createDataFrame(rows, schema), costs
 
 
 @query("sim_kmeans_lloyd", oracle=None)  # rows-only: iterative algorithm

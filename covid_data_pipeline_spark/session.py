@@ -20,6 +20,9 @@ def get_spark(app: str = "covid-data-pipeline-spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local-mode driver == the only executor.  8g vs 32g was A/B'd at
+        # r3 on the heavy dedup queries: no consistent difference (run
+        # variance dominates), so the smaller footprint stays the default
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -97,6 +97,30 @@ def test_topk_global_avoids_full_sort(spark):
     )
 
 
+def test_sort_multi_nulls_rank_window_is_partitioned(spark):
+    """The global-rank query must NOT funnel the table through one task:
+    its Window is partitioned by the deterministic bucket and the
+    offsets join back as a broadcast."""
+    plan = plan_of(q("sort_multi_nulls", spark), mode="simple")
+    assert "Window" in plan
+    # an unpartitioned window plans as 'Window [...], [order...]' with a
+    # SinglePartition exchange below it — assert the partition spec made
+    # it into the window operator instead
+    win_line = next(ln for ln in plan.splitlines() if "Window [" in ln)
+    assert "windowspecdefinition(delayed_priority" in win_line, win_line
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_text_tf_topk_avoids_vocabulary_sort(spark):
+    """Top-20 terms must be TakeOrderedAndProject over the term counts —
+    the vocabulary (which grows with the corpus) is never globally
+    sorted by an unpartitioned window."""
+    plan = plan_of(q("text_tf", spark), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_minhash_lsh_has_no_cartesian(spark):
     plan = plan_of(q("dedup_minhash_lsh", spark))
     assert "CartesianProduct" not in plan
