@@ -175,6 +175,77 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- extensions beyond the survey's 4 text rows -------------------------
 
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks,
+               [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+                   AS bigrams,
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                FOR i IN range(1, len(toks) - 1)] AS trigrams
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                       / len(bigrams), 6) AS dup_bigram_ratio,
+           ROUND(1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+                       / len(trigrams), 6) AS dup_trigram_ratio,
+           ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks), 6) AS dup_token_ratio,
+           (1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+                  / len(trigrams)) <= 0.2 AS passes_repetition
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals — the Gopher/RefinedWeb heuristic
+    family ``text_quality`` doesn't cover: the fraction of DUPLICATE
+    word bigrams / trigrams / tokens per document, plus the standard
+    keep gate (duplicate-trigram fraction <= 0.2).  Boilerplate, spam
+    and degenerate generations score high on these while passing
+    stopword/diversity checks, which is why production filters run both
+    families.
+
+    One pass, zero joins, zero shuffles beyond the scan: the n-gram
+    arrays are built by zipping the token array with its own tails
+    (same primitive as text_ngrams) and every ratio is a codegen'd
+    size/array_distinct expression — at 100 TB this filter is
+    scan-bandwidth bound, exactly like quality_filter_funnel."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    trigrams = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.slice(toks, 2, n - 2),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        F.slice(toks, 3, n - 2),
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+
+    def dup_ratio(arr):
+        return 1.0 - F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
+
+    return d.select(
+        "doc_id",
+        F.round(dup_ratio(bigrams), 6).alias("dup_bigram_ratio"),
+        F.round(dup_ratio(trigrams), 6).alias("dup_trigram_ratio"),
+        F.round(dup_ratio(toks), 6).alias("dup_token_ratio"),
+        (dup_ratio(trigrams) <= 0.2).alias("passes_repetition"),
+    )
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 _SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 

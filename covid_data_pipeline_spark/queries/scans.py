@@ -69,6 +69,61 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+_BINFILE_IDS = (1, 2, 3, 4, 5, 6, 7, 8)  # fixture docs materialized as blobs
+
+
+@query(
+    "scan_binary_files",
+    oracle=f"""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS filename,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents WHERE doc_id IN {_BINFILE_IDS}
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — Spark's standard ingestion path for
+    opaque image/audio/video payloads (one row per file: path, length,
+    content bytes) and the missing first stage in front of the
+    multimodal_* decode queries, which all start from an
+    already-columnar payload.
+
+    A handful of fixture documents are materialized as .bin blobs in
+    scratch, read back through ``spark.read.format("binaryFile")``, and
+    reduced to (filename, byte length, sha256-of-content) — so the
+    filesystem round trip is fully ORACLE-CHECKABLE against the source
+    table (a truncated or corrupted read breaks the digest).  At 100 TB:
+    binaryFile parallelizes per-file (set maxPartitionBytes /
+    pathGlobFilter for many-small-files layouts, or compact blobs into
+    parquet binary columns — sink_compact_small_files — once files
+    outnumber tasks by enough to matter)."""
+    import shutil
+
+    tune(spark)
+    bin_dir = os.path.join(SCRATCH, "binary_files")
+    shutil.rmtree(bin_dir, ignore_errors=True)  # no stale blobs across runs
+    os.makedirs(bin_dir, exist_ok=True)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(*_BINFILE_IDS))
+        .select("doc_id", "text")
+        .collect()  # |_BINFILE_IDS| rows: fixture blobs for the scratch dir
+    )
+    for r in docs:
+        with open(os.path.join(bin_dir, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(bin_dir)
+    )
+    return back.select(
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("digest"),
+    )
+
+
 @query(
     "scan_json_lines",
     oracle="""

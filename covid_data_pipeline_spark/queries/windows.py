@@ -505,3 +505,65 @@ def win_lag_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # negatives to different zero signs)
         (F.round(delta / gap_s, 6) + 0.0).alias("rate_per_s"),
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "win_sessionize",
+    oracle=f"""
+    WITH marks AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_seq
+        FROM marks
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization — the gaps-and-islands twin of
+    ``stream_session``: a session starts wherever the inactivity gap
+    exceeds 30 minutes, the running count of starts IS the per-user
+    session sequence number, and the report is one row per session.
+    This is how historical event logs are sessionized for retention /
+    funnel analysis when the stream has already landed in parquet.
+
+    Two windows and one aggregate, ALL partitioned by user_id — the
+    chain reuses a single hash partitioning end-to-end (one shuffle at
+    any scale); ties on ts break on event_id so session boundaries are
+    deterministic cross-engine."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    marked = ev.select("user_id", "event_id", "ts", is_start.alias("is_start"))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = marked.withColumn("session_seq", F.sum("is_start").over(run))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
