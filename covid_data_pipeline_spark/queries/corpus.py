@@ -368,3 +368,63 @@ def ts_backfill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id,
+               (epoch_us(ts) // 900000000) * 900000000 AS bucket_us,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS seq_key
+        FROM events
+    )
+    SELECT user_id, bucket_us,
+           arg_min(value, seq_key) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, seq_key) AS close,
+           COUNT(*) AS n_obs
+    FROM keyed
+    GROUP BY user_id, bucket_us
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each user's value stream into 15-minute OHLC bars
+    (open/high/low/close + observation count) — the resampling primitive
+    under every metrics dashboard and anomaly detector, and the third
+    leg of the time-series family next to gap-fill (repair) and moving
+    windows (smoothing).
+
+    ONE hash aggregate, no window, no sort: open/close are min_by/max_by
+    on a zero-padded (epoch-µs, event_id) string key — total order even
+    when two observations share a timestamp, identical on both engines —
+    so the whole bar computes map-side-combinably in a single shuffle of
+    (user, bucket) partials.  At 100 TB this beats the window
+    formulation (first/last over partitioned sort) because no per-user
+    sort ever happens and state per group is four scalars."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    seq_key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.select(
+            "user_id",
+            (F.floor(us / 900_000_000) * 900_000_000).alias("bucket_us"),
+            "value",
+            seq_key.alias("seq_key"),
+        )
+        .groupBy("user_id", "bucket_us")
+        .agg(
+            F.min_by("value", "seq_key").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "seq_key").alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

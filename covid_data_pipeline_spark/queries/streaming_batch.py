@@ -220,6 +220,52 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sunk.filter(F.col("batch_id") == last).drop("batch_id")
 
 
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)  # oracle-checked: complete-mode final batch == full batch join+aggregate
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-STATIC join — the dimension-enrichment pattern every
+    event pipeline runs (reference: tagging each scan with its source
+    registry row): the streaming events join a static customer dim
+    per micro-batch, then aggregate per market segment in complete mode.
+
+    Stream-static inner joins are STATELESS on the stream side — no
+    watermark, no join state, the static side is simply (broadcast)
+    joined inside every micro-batch — so unlike stream_stream_join this
+    costs no state store and tolerates any stream length; the dim is
+    re-resolvable between batches, which is how slowly-refreshing
+    dimension tables stay current mid-stream.  The availableNow drain
+    makes the run deterministic: its final complete-mode snapshot equals
+    the batch join, so a genuine streaming execution hash-checks against
+    the DuckDB oracle.  At 100 TB: keep the dim broadcast-sized or
+    pre-bucket both sides; the aggregation state is bounded by segment
+    cardinality."""
+    from ..streaming import read_events_stream, run_available_now
+
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = read_events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
 @query("stream_stateful_totals", oracle=None)  # rows-only: custom state op
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming run of the applyInPandasWithState custom operator
