@@ -398,33 +398,46 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg of the time-series family next to gap-fill (repair) and moving
     windows (smoothing).
 
-    ONE hash aggregate, no window, no sort: open/close are min_by/max_by
-    on a zero-padded (epoch-µs, event_id) string key — total order even
-    when two observations share a timestamp, identical on both engines —
-    so the whole bar computes map-side-combinably in a single shuffle of
-    (user, bucket) partials.  At 100 TB this beats the window
-    formulation (first/last over partitioned sort) because no per-user
-    sort ever happens and state per group is four scalars."""
+    ONE aggregate, one shuffle, no window: open/close are min/max over a
+    (epoch-µs, event_id, value) STRUCT — lexicographic struct order is a
+    total order even when two observations share a timestamp.  Spark
+    plans struct-buffer min/max as a SortAggregate (per-partition
+    grouping-key sort; a HashAggregate needs primitive buffers), but
+    PARTIAL aggregation still applies: each task ships one 4-scalar bar
+    per (user, bucket), so the shuffle carries bars, not observations.
+    That still beats the window formulation at 100 TB — a first/last
+    window has no partial side, sorts on the much wider (user, ts) key,
+    and moves every observation through the shuffle.  The oracle spells
+    the same total order as arg_min/arg_max on a zero-padded string
+    key."""
     tune(spark)
     e = load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
-    seq_key = F.concat(
-        F.lpad(us.cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    seq = F.struct(
+        us.alias("u"), F.col("event_id").alias("e"), F.col("value").alias("v")
     )
     return (
         e.select(
             "user_id",
             (F.floor(us / 900_000_000) * 900_000_000).alias("bucket_us"),
             "value",
-            seq_key.alias("seq_key"),
+            seq.alias("seq"),
         )
         .groupBy("user_id", "bucket_us")
         .agg(
-            F.min_by("value", "seq_key").alias("open"),
+            F.min("seq").alias("_first"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "seq_key").alias("close"),
+            F.max("seq").alias("_last"),
             F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            "user_id",
+            "bucket_us",
+            F.col("_first.v").alias("open"),
+            "high",
+            "low",
+            F.col("_last.v").alias("close"),
+            "n_obs",
         )
     )

@@ -231,6 +231,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(_MH_AB)
     ]
     sig = t.select("doc_id", "lang", *minhashes)
+    # NB: a b-bit-minhash pre-verification prune (Li & Koenig — pack the
+    # low bit of each minhash into one int64, drop candidates whose
+    # popcount(xor) says J is far below threshold) was prototyped and
+    # MEASURED SLOWER here (same-process A/B at sf0.1: 17.5 s vs 8-14 s)
+    # — this fixture's band collisions are mostly true high-J cluster
+    # pairs, so the prune pays its signature+join cost and kills almost
+    # nothing.  On a real corpus whose collision tail is dominated by
+    # low-J accidents the same ~30-line change is the standard fix; see
+    # SCALE.md "measured dead ends".
     bands = F.array(
         *[
             F.struct(
