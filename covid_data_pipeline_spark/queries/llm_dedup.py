@@ -826,3 +826,67 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept"),
         )
     )
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 = 0
+    ),
+    increment AS (
+        SELECT doc_id, lang, sha256(text) AS h FROM documents
+        WHERE doc_id % 5 <> 0
+    ),
+    surviving AS (
+        SELECT i.doc_id, i.lang, i.h,
+               ROW_NUMBER() OVER (PARTITION BY i.h ORDER BY i.doc_id) AS rn
+        FROM increment i
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = i.h)
+    )
+    SELECT lang,
+           COUNT(*) AS n_increment,
+           COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_admitted
+    FROM (SELECT i.lang, s.rn
+          FROM increment i LEFT JOIN surviving s ON i.doc_id = s.doc_id)
+    GROUP BY lang
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the daily-ingest production shape the batch
+    dedup family doesn't cover: a new document increment is admitted
+    only if its content hash appears neither in the EXISTING corpus nor
+    earlier within the increment itself.  (Existing corpus stood in by
+    the ``doc_id % 5 == 0`` slice; in production it is the accumulated
+    hash index, not re-hashed documents.)
+
+    Plan: the corpus side reduces to its 32-byte hash column — at 100 TB
+    the hash index is ~1/1000th of the corpus and is the ONLY thing the
+    increment joins against (left-anti, hash-partitioned, no skew on
+    uniform sha256); intra-increment dedup is the usual first-occurrence
+    window.  The report is per-lang admitted/offered counts — the
+    ingest-audit number a corpus owner actually watches."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    h = F.sha2("text", 256)
+    corpus_hashes = d.filter(F.col("doc_id") % 5 == 0).select(h.alias("h"))
+    increment = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang", h.alias("h")
+    )
+    fresh = increment.join(corpus_hashes, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    admitted = fresh.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    offered = increment.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_increment")
+    )
+    kept = admitted.groupBy("lang").agg(F.count(F.lit(1)).alias("n_admitted"))
+    return (
+        offered.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_increment",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+        )
+    )

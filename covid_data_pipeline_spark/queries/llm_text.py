@@ -539,3 +539,82 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(contamination, 6).alias("contamination"),
         )
     )
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    contrib AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               tf.tf * ln(CAST(vocab.c AS DOUBLE) / tot.n) AS contrib
+        FROM tf JOIN vocab USING (token) CROSS JOIN tot
+    ),
+    packed AS (
+        SELECT doc_id,
+               list(contrib ORDER BY token) AS cs,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                             (a, x) -> a + x) / n_tokens, 6) AS avg_logprob
+    FROM packed
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency scoring — the CCNet-style quality signal: train
+    a unigram language model ON the corpus itself (token frequency /
+    corpus size) and score each document by its average token log-prob.
+    Gibberish and off-distribution documents score far below the corpus
+    mode; production pipelines threshold or bucket on exactly this
+    number (with a wiki-trained 5-gram KenLM in place of the unigram).
+
+    Determinism discipline: the per-document sum of tf·ln(p) is folded
+    over the token-SORTED contribution list (collect_list + sort_array +
+    aggregate — same ordered-fold doctrine as sim_normalize_embeddings),
+    because a plain SUM would add floats in partition order and drift
+    against the oracle.  Plan: two aggregates over the exploded tokens
+    (both map-side combinable), the vocabulary rejoined to per-doc terms
+    by token — vocab is corpus-bounded and BROADCASTS after min-count
+    pruning at scale; the corpus-total is a 1-row broadcast."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    contrib = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(F.col("c").cast("double") / F.col("n"))
+            ).alias("contrib"),
+        )
+    )
+    packed = contrib.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("token", "contrib"))
+        ).alias("cs"),
+        F.sum("tf").alias("n_tokens"),
+    )
+    folded = F.aggregate(
+        "cs", F.lit(0.0), lambda acc, x: acc + x.getField("contrib")
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.round(folded / F.col("n_tokens"), 6).alias("avg_logprob"),
+    )
