@@ -82,7 +82,7 @@ def main() -> None:
 
     try:
         with tempfile.TemporaryDirectory() as ckpt:
-            (
+            wq = (
                 spark.readStream.format("rate")
                 .option("rowsPerSecond", "1")
                 .load()
@@ -90,8 +90,14 @@ def main() -> None:
                 .trigger(availableNow=True)
                 .option("checkpointLocation", ckpt)
                 .start()
-                .awaitTermination(30)
             )
+            try:
+                # awaitTermination returns False on timeout (no raise) —
+                # always stop, or a straggling warm-up stream would lose
+                # its checkpoint dir and keep running into the timed loop
+                wq.awaitTermination(30)
+            finally:
+                wq.stop()
     except Exception as exc:  # warm-up must never fail the bench
         print(f"# streaming warm-up skipped: {exc}", file=sys.stderr)
     # 3. Python worker pool + Arrow serde path
@@ -117,6 +123,7 @@ def main() -> None:
 
     headline = {n: timings[n] for n in HEADLINE if n in timings}
     total = round(sum(t for t in headline.values() if t >= 0), 3)
+    all_total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
@@ -125,7 +132,7 @@ def main() -> None:
             {
                 "metric": "per-query wall-clock, all registered queries",
                 "headline_total_sec": total,
-                "all_total_sec": round(sum(t for t in timings.values() if t >= 0), 3),
+                "all_total_sec": all_total,
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf_val,
@@ -134,7 +141,6 @@ def main() -> None:
             indent=1,
         )
 
-    all_total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {

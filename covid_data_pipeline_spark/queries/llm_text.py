@@ -192,13 +192,13 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
-                       / len(bigrams), 6) AS dup_bigram_ratio,
+                       / NULLIF(len(bigrams), 0), 6) AS dup_bigram_ratio,
            ROUND(1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
-                       / len(trigrams), 6) AS dup_trigram_ratio,
+                       / NULLIF(len(trigrams), 0), 6) AS dup_trigram_ratio,
            ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
-                       / len(toks), 6) AS dup_token_ratio,
+                       / NULLIF(len(toks), 0), 6) AS dup_token_ratio,
            (1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
-                  / len(trigrams)) <= 0.2 AS passes_repetition
+                  / NULLIF(len(trigrams), 0)) <= 0.2 AS passes_repetition
     FROM g
     """,
 )
@@ -220,23 +220,31 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
+    # slice lengths clamped at 0: a 1-token document makes n-2 negative,
+    # which Spark's slice() rejects at runtime; and the ratios NULL out
+    # on empty n-gram arrays (0/0 is NULL in Spark but inf/NaN in
+    # DuckDB's IEEE mode — the same cross-engine trap win_lag_change_rate
+    # guards with NULLIF, mirrored in this oracle)
     bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda x, y: F.concat_ws(" ", x, y),
     )
     trigrams = F.zip_with(
         F.zip_with(
-            F.slice(toks, 1, n - 2),
-            F.slice(toks, 2, n - 2),
+            F.slice(toks, 1, F.greatest(n - 2, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 2, F.lit(0))),
             lambda x, y: F.concat_ws(" ", x, y),
         ),
-        F.slice(toks, 3, n - 2),
+        F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
         lambda xy, z: F.concat_ws(" ", xy, z),
     )
 
     def dup_ratio(arr):
-        return 1.0 - F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
+        sz = F.size(arr)
+        return 1.0 - F.size(F.array_distinct(arr)).cast("double") / F.nullif(
+            sz, F.lit(0)
+        )
 
     return d.select(
         "doc_id",

@@ -540,10 +540,7 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
 
-    class _ShardOffset:
-        # DataSourceStreamReader offsets are dicts serialized as JSON
-        pass
-
+    # DataSourceStreamReader offsets are plain dicts serialized as JSON
     class _RegistryStreamReader(DataSourceStreamReader):
         def initialOffset(self):
             return {"shard": 0}
