@@ -69,8 +69,74 @@ def family_of(name: str) -> str:
     return current
 
 
+# One-line justification per rows-only id: WHY no DuckDB oracle can
+# hash-check it, and what asserts its correctness instead.  Keyed by
+# query id; the generator fails if an id here is stale or a rows-only
+# query lacks an entry — so this list can never drift from the registry.
+ROWS_ONLY_WHY = {
+    "sink_compact_small_files": (
+        "output is a FILE-COUNT audit of a filesystem rewrite; DuckDB has no "
+        "view of Spark's task file layout. Row preservation is proven by the "
+        "in-query count; layout collapse asserted in tests/test_corpus.py."
+    ),
+    "agg_approx_distinct": (
+        "HyperLogLog++ estimate — implementation-defined value with no "
+        "DuckDB twin. Accuracy vs exact COUNT(DISTINCT) asserted in tests."
+    ),
+    "agg_approx_percentile": (
+        "sketch-based percentile — implementation-defined. 1% agreement vs "
+        "exact percentiles asserted in tests."
+    ),
+    "agg_sketch_mergeable": (
+        "DataSketches HLL binary sketches + union — engine-specific "
+        "representation. Union-vs-direct agreement and accuracy asserted in "
+        "tests."
+    ),
+    "agg_sliding_sketch_union": (
+        "window over DataSketches HLL sketches — engine-specific. 5% "
+        "agreement vs exact sliding distinct asserted day-by-day in tests."
+    ),
+    "stream_change_detect": (
+        "custom GroupState operator on a TRUE incremental stream; emission "
+        "set depends on micro-batch boundaries. Equivalence with the batch "
+        "win_lag_change_detect asserted in tests/test_streaming.py."
+    ),
+    "stream_stateful_totals": (
+        "applyInPandasWithState custom operator (update-mode emissions). "
+        "Final state equals the batch aggregate — asserted in "
+        "tests/test_streaming.py."
+    ),
+    "dedup_minhash_lsh": (
+        "LSH is approximate BY DESIGN (recall < 1); an exact oracle would "
+        "assert the wrong contract. Recall >= 0.8 vs the exact Jaccard twin "
+        "asserted in tests/test_llm_ops.py."
+    ),
+    "sim_ann_bucketed": (
+        "approximate nearest neighbours — bucket boundaries decide the "
+        "result set. Recall vs brute-force top-k asserted in tests."
+    ),
+    "sim_ann_ivf": (
+        "approximate (nprobe-bounded cell search). Recall vs brute force "
+        "asserted in tests."
+    ),
+    "sim_kmeans_lloyd": (
+        "genuinely iterative algorithm (driver contract exempts these). "
+        "Cost monotonicity + deterministic init asserted in tests."
+    ),
+    "sim_pca_project": (
+        "eigenvector sign/order are numpy implementation detail. Variance "
+        "ordering, centering and reconstruction quality asserted in tests."
+    ),
+}
+
+
 def main() -> None:
     reg = load_all()
+    rows_only = {n for n, s in reg.items() if s.oracle is None}
+    assert rows_only == set(ROWS_ONLY_WHY), (
+        f"ROWS_ONLY_WHY drift: missing={sorted(rows_only - set(ROWS_ONLY_WHY))} "
+        f"stale={sorted(set(ROWS_ONLY_WHY) - rows_only)}"
+    )
     by_family: dict[str, list] = {}
     for name, spec in sorted(reg.items()):
         by_family.setdefault(family_of(name), []).append(spec)
@@ -101,6 +167,15 @@ def main() -> None:
                 f"| `{s.name}` | {'SQL-checked' if s.oracle else 'rows-only'} | {first} |"
             )
         lines.append("")
+    lines += [
+        "## Rows-only queries: why no SQL oracle, and what checks them instead",
+        "",
+        "| query | justification |",
+        "| --- | --- |",
+    ]
+    for name in sorted(ROWS_ONLY_WHY):
+        lines.append(f"| `{name}` | {ROWS_ONLY_WHY[name]} |")
+    lines.append("")
     with open("OPERATORS.md", "w") as f:
         f.write("\n".join(lines))
     print(f"wrote OPERATORS.md ({len(reg)} queries)")
