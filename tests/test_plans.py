@@ -290,3 +290,49 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---- shuffle-budget regression guards -----------------------------------
+# Each heavy query's static plan must not grow shuffle exchanges: a new
+# Exchange in one of these is a scale regression (at 100 TB every extra
+# shuffle re-moves the working set).  Budgets are the current plan's
+# count at sf0.01 — broadcast exchanges are deliberately NOT counted
+# (they are the cheap alternative we WANT the planner to pick).
+
+_SHUFFLE_BUDGET = {
+    "agg_groupby": 1,
+    "join_inner": 1,
+    "dedup_exact": 1,
+    "dedup_near_jaccard": 4,
+    "dedup_minhash_lsh": 4,
+    "sim_cosine_pairs": 1,
+    "text_tfidf": 5,
+    "win_sessionize": 1,
+    "ts_resample_ohlc": 1,
+    "dedup_incremental_exact": 3,
+    "text_perplexity_proxy": 4,
+    "quality_filter_funnel": 1,
+    "text_repetition_ratio": 0,
+    "sort_multi_nulls": 2,
+    "text_tf": 1,
+}
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGET))
+def test_shuffle_budget(name, spark):
+    import re
+
+    plan = plan_of(q(name, spark), mode="simple")
+    shuffles = len(
+        re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles <= _SHUFFLE_BUDGET[name], (
+        f"{name}: {shuffles} shuffle exchanges > budget "
+        f"{_SHUFFLE_BUDGET[name]} — a new Exchange crept into the plan:\n{plan}"
+    )
