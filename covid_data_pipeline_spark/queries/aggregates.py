@@ -608,3 +608,68 @@ def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("best_price"),
         F.min_by("o_orderkey", "o_totalprice").alias("worst_orderkey"),
     )
+
+
+@query(
+    "agg_regr_exact",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6)))
+                    AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def agg_regr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend fit (slope / intercept / r²) of
+    price on quantity — the regression verb behind every forecast
+    report, computed EXACTLY: the five moment sums (Σx, Σy, Σxy, Σx²,
+    Σy²) go through decimal so they are bit-identical at any
+    partitioning, and the closed-form combination runs in a fixed
+    double-expression order on both engines (the built-in regr_slope /
+    corr aggregates are order-sensitive float reductions — the same
+    reason agg_stats has to round to 2 digits while this rounds to 6).
+
+    Scale shape: ONE hash aggregate with map-side partials carrying
+    five decimals + a count per group — trend fitting at 100 TB costs
+    exactly one scan, like any other sum."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 from ..io import load, tune
 from ..registry import query
 from ..schemas import DOCUMENTS, EVENTS
+from ._helpers import DEC
 
 # fixed scratch root: side-effect queries overwrite their own subdir per run
 SCRATCH = os.path.join(tempfile.gettempdir(), "cdp_spark_scratch")
@@ -582,3 +583,56 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("shard").alias("max_shard"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CAST(event_id % 2 AS INTEGER) AS writer_version_parity,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN event_id % 2 = 1 THEN value END) AS n_with_value,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                         THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY event_id % 2
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION read — the lake-maintenance reality every
+    long-lived table hits: an old writer produced files WITHOUT the
+    ``value`` column, a new writer adds it, and one mergeSchema read
+    must serve both vintages with the missing column as NULL.
+
+    Even-id events are written v1-style (no value column), odd-id
+    events v2-style (with it), into sibling directories of one table
+    root; ``spark.read.option("mergeSchema", true)`` unions the footers
+    and the per-vintage aggregate proves NULL-backfill semantics
+    exactly (count and decimal sum of value must match the source table
+    rows that carried it).  At 100 TB: mergeSchema costs a footer read
+    per file — pin the table schema in a catalog once evolution
+    stabilizes, exactly like io.load's explicit StructType everywhere
+    else in this repo."""
+    import shutil
+
+    tune(spark)
+    root = os.path.join(SCRATCH, "schema_evolution")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id")
+    v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "v1"), os.path.join(root, "v2"))
+    )
+    return merged.groupBy(
+        (F.col("event_id") % 2).cast("int").alias("writer_version_parity")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )

@@ -567,3 +567,72 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_us"
         ),
     )
+
+
+_Z_LOOKBACK = 20   # trailing observations the baseline is fit on
+_Z_MIN_N = 5       # below this the baseline is too thin to score
+
+
+@query(
+    "win_anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_id, user_id, ts, value,
+               COUNT(value) OVER w AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n >= {_Z_MIN_N}
+                THEN ROUND((value - s1 / n)
+                           / NULLIF(sqrt((s2 - s1 * s1 / n) / (n - 1)), 0), 6)
+                     + 0.0
+           END AS zscore,
+           CAST(CASE WHEN n >= {_Z_MIN_N}
+                     THEN abs((value - s1 / n)
+                              / NULLIF(sqrt((s2 - s1 * s1 / n) / (n - 1)), 0)) > 3
+                END AS INTEGER) AS is_anomaly
+    FROM stats
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the monitoring verb over every
+    metric stream: each observation scored against the mean/std of its
+    user's previous {20} observations (current row EXCLUDED from its own
+    baseline), |z| > 3 flagged.
+
+    Determinism discipline: rolling mean and variance come from EXACT
+    decimal window sums of value and value² (bit-identical at any
+    partitioning), combined in a fixed double-expression order — the
+    built-in stddev-over-window is an order-sensitive float reduction
+    both engines would disagree on.  NULLIF guards the constant-baseline
+    (zero variance) case, and windows thinner than {5} observations
+    score NULL rather than pretending confidence.  One window, one
+    shuffle on user_id — the same scale shape as every entity-stream
+    operator here."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    n = F.count("value").over(w)
+    s1 = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w).cast("double")
+    mean = s1 / n
+    sd = F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    z = (F.col("value") - mean) / F.nullif(sd, F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(n >= _Z_MIN_N, F.round(z, 6) + 0.0).alias("zscore"),
+        # int, not boolean: a NULL boolean canonicalizes differently per
+        # engine through pandas (object None vs float NaN) — as a nullable
+        # int both sides degrade identically to NaN
+        F.when(n >= _Z_MIN_N, (F.abs(z) > 3).cast("int")).alias("is_anomaly"),
+    )
