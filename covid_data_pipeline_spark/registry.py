@@ -29,6 +29,7 @@ _QUERY_MODULES = (
     "scalars",
     "streaming_batch",
     "pipeline",
+    "tpch_extra",
     "llm_dedup",
     "llm_similarity",
     "llm_text",
