@@ -441,3 +441,99 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_obs",
         )
     )
+
+
+@query(
+    "sample_importance_weighted",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split(text, ' '))) AS q_num,
+               len(string_split(text, ' ')) AS q_den
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(CAST(q_num AS DOUBLE) / q_den, 6) AS quality
+    FROM scored
+    WHERE (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} % 1000000
+          < 1000000 * q_num * q_num / (q_den * q_den)
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE-weighted corpus sampling — the data-curation policy
+    between 'keep everything above a threshold' and 'uniform sample':
+    each document's keep probability is its quality score squared
+    (lexical diversity here; squaring sharpens toward high quality the
+    way quality-classifier-weighted sampling does in production
+    pipelines), decided by the same deterministic multiplicative hash
+    as sample_stratified_hash — reproducible row-for-row on any engine,
+    any partitioning, forever, unlike rand(seed).
+
+    The keep test is EXACT integer arithmetic: hash-bucket (integer) vs
+    1e6 * q_num^2 / q_den^2 compared cross-multiplied in integers on
+    both engines — no float boundary can flip a row.  Single scan,
+    map-only, scan-bandwidth bound at any scale."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q_num = F.size(F.array_distinct(toks)).cast("long")
+    q_den = F.size(toks).cast("long")
+    bucket = (F.col("doc_id") * _SAMPLE_MULT) % _SAMPLE_MOD % 1_000_000
+    # integer cross-multiplication: bucket * q_den^2 < 1e6 * q_num^2
+    keep = bucket * q_den * q_den < F.lit(1_000_000) * q_num * q_num
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(q_num.cast("double") / q_den, 6).alias("quality"),
+        keep.alias("_keep"),
+    ).filter(F.col("_keep")).drop("_keep")
+
+
+_EMA_ALPHA = 0.3
+
+
+@query(
+    "ts_ema_level",
+    oracle=f"""
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           list_reduce(vs, (acc, x) -> {_EMA_ALPHA} * x
+                                       + {1 - _EMA_ALPHA} * acc) AS ema_level
+    FROM (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def ts_ema_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity exponential moving average — the smoothing the
+    moving-average family can't express through a window frame (EMA is
+    recursive: every prefix feeds the next step).  Emits each user's
+    CURRENT smoothed level, the number an alerting threshold actually
+    compares against.
+
+    Exact-order fold: per user the values are collected, sorted by
+    (ts, event_id) and folded left with acc' = α·x + (1−α)·acc seeded
+    from the first observation — the identical operation sequence
+    DuckDB's list_reduce performs, so every output double is
+    bit-identical cross-engine UNROUNDED.  State per user is one array
+    of its own events (bounded by per-entity history, the same bound as
+    any per-user window sort); one shuffle on user_id."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("xs")
+    )
+    vs = F.transform("xs", lambda x: x.getField("value"))
+    ema = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, x: _EMA_ALPHA * x + (1 - _EMA_ALPHA) * acc,
+    )
+    return packed.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        ema.alias("ema_level"),
+    )
