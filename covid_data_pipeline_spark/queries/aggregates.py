@@ -653,11 +653,11 @@ def agg_regr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast(DEC)).cast("double").alias("sx"),
-        F.sum(y.cast(DEC)).cast("double").alias("sy"),
-        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
-        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
-        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")

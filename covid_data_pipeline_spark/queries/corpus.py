@@ -456,7 +456,7 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(q_num AS DOUBLE) / q_den, 6) AS quality
     FROM scored
     WHERE (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} % 1000000
-          < 1000000 * q_num * q_num / (q_den * q_den)
+          * q_den * q_den < 1000000 * q_num * q_num
     """,
 )
 def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -461,10 +461,11 @@ _CC_BAND_BITS = _SIMHASH_BITS // 2
 _CC_BAND_MASK = (1 << _CC_BAND_BITS) - 1
 
 
-@query(
-    "dedup_cluster_cc",
-    oracle=f"""
-    WITH RECURSIVE {_SIMHASH_SQL_CTES},
+# Shared SQL twin of :func:`_band_collision_components`: simhash bands ->
+# star edges -> recursive transitive closure -> (doc_id, cluster_id).
+# ONE definition consumed by both cluster queries' oracles so the two
+# policies can never silently diverge on the banding scheme.
+_CC_SQL_CTES = f"""{_SIMHASH_SQL_CTES},
     bands AS (
         SELECT doc_id, lang, 0 AS band, simhash & {_CC_BAND_MASK} AS val FROM sh
         UNION ALL
@@ -486,9 +487,48 @@ _CC_BAND_MASK = (1 << _CC_BAND_BITS) - 1
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT r.node, s.d FROM reach r JOIN sym s ON s.s = r.lbl
+    ),
+    comps AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+              FROM reach GROUP BY node)"""
+
+
+def _band_collision_components(spark, d):
+    """Simhash band-collision duplicate clusters, shared by
+    ``dedup_cluster_cc`` and ``dedup_cluster_keep_best``: 13-bit half
+    collisions (same lang) starred to the bucket minimum, closed with
+    the distributed CC operator.  Returns (doc_id, cluster_id)."""
+    sh = _simhash(spark, d)
+    lo = sh.select(
+        "doc_id",
+        "lang",
+        F.lit(0).alias("band"),
+        F.expr(f"simhash & {_CC_BAND_MASK}").alias("val"),
     )
-    SELECT node AS doc_id, MIN(lbl) AS cluster_id
-    FROM reach GROUP BY node
+    hi = sh.select(
+        "doc_id",
+        "lang",
+        F.lit(1).alias("band"),
+        F.shiftright("simhash", _CC_BAND_BITS).alias("val"),
+    )
+    bands = lo.unionByName(hi)
+    gmin = bands.groupBy("lang", "band", "val").agg(F.min("doc_id").alias("root"))
+    edges = (
+        bands.join(gmin, ["lang", "band", "val"])
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
+        .distinct()
+    )
+    comps = connected_components(edges, vertices=d.select("doc_id"), vertex="doc_id")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {_CC_SQL_CTES}
+    SELECT doc_id, cluster_id FROM comps
     """,
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,31 +555,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster size this to |V| / target-partition-rows instead.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     d = load(spark, sf_dir, "documents")
-    sh = _simhash(spark, d)
-    lo = sh.select(
-        "doc_id",
-        "lang",
-        F.lit(0).alias("band"),
-        F.expr(f"simhash & {_CC_BAND_MASK}").alias("val"),
-    )
-    hi = sh.select(
-        "doc_id",
-        "lang",
-        F.lit(1).alias("band"),
-        F.shiftright("simhash", _CC_BAND_BITS).alias("val"),
-    )
-    bands = lo.unionByName(hi)
-    gmin = bands.groupBy("lang", "band", "val").agg(F.min("doc_id").alias("root"))
-    edges = (
-        bands.join(gmin, ["lang", "band", "val"])
-        .filter(F.col("doc_id") != F.col("root"))
-        .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
-        .distinct()
-    )
-    comps = connected_components(edges, vertices=d.select("doc_id"), vertex="doc_id")
-    return comps.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
+    return _band_collision_components(spark, d)
 
 
 @query(
@@ -895,30 +911,7 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_cluster_keep_best",
     oracle=f"""
-    WITH RECURSIVE {_SIMHASH_SQL_CTES},
-    bands AS (
-        SELECT doc_id, lang, 0 AS band, simhash & {_CC_BAND_MASK} AS val FROM sh
-        UNION ALL
-        SELECT doc_id, lang, 1 AS band, simhash >> {_CC_BAND_BITS} AS val FROM sh
-    ),
-    gmin AS (
-        SELECT lang, band, val, MIN(doc_id) AS root
-        FROM bands GROUP BY lang, band, val
-    ),
-    e AS (
-        SELECT b.doc_id AS s, g.root AS d
-        FROM bands b
-        JOIN gmin g ON b.lang = g.lang AND b.band = g.band AND b.val = g.val
-        WHERE b.doc_id <> g.root
-    ),
-    sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
-    reach(node, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.node, s.d FROM reach r JOIN sym s ON s.s = r.lbl
-    ),
-    comps AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
-              FROM reach GROUP BY node),
+    WITH RECURSIVE {_CC_SQL_CTES},
     quality AS (
         SELECT doc_id,
                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -956,36 +949,13 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     d = load(spark, sf_dir, "documents")
-    sh = _simhash(spark, d)
-    lo = sh.select(
-        "doc_id",
-        "lang",
-        F.lit(0).alias("band"),
-        F.expr(f"simhash & {_CC_BAND_MASK}").alias("val"),
-    )
-    hi = sh.select(
-        "doc_id",
-        "lang",
-        F.lit(1).alias("band"),
-        F.shiftright("simhash", _CC_BAND_BITS).alias("val"),
-    )
-    bands = lo.unionByName(hi)
-    gmin = bands.groupBy("lang", "band", "val").agg(F.min("doc_id").alias("root"))
-    edges = (
-        bands.join(gmin, ["lang", "band", "val"])
-        .filter(F.col("doc_id") != F.col("root"))
-        .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
-        .distinct()
-    )
-    comps = connected_components(edges, vertices=d.select("doc_id"), vertex="doc_id")
+    comps = _band_collision_components(spark, d)
     toks = F.split("text", " ")
     quality = d.select(
         F.col("doc_id").alias("q_id"),
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("q"),
     )
-    scored = comps.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    ).join(quality, F.col("q_id") == F.col("doc_id"))
+    scored = comps.join(quality, F.col("q_id") == F.col("doc_id"))
     w = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id"))
     wc = Window.partitionBy("cluster_id")
     return (

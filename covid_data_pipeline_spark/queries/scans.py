@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 from ..io import load, tune
 from ..registry import query
 from ..schemas import DOCUMENTS, EVENTS
-from ._helpers import DEC
+from ._helpers import dsum
 
 # fixed scratch root: side-effect queries overwrite their own subdir per run
 SCRATCH = os.path.join(tempfile.gettempdir(), "cdp_spark_scratch")
@@ -634,5 +634,5 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("value").alias("n_with_value"),
-        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        dsum("value").alias("sum_value"),
     )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..io import load, tune
 from ..registry import query
-from ._helpers import DEC, sql_dsum
+from ._helpers import DEC, dsum, sql_dsum
 
 
 @query(
@@ -333,7 +333,8 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, ROUND(part_value, 6) AS part_value
     FROM v
-    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM v)
+    WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6)))
+                                    AS DOUBLE) * 0.001 FROM v)
     """,
 )
 def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,9 +360,12 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("part_value"))
+        .agg(dsum("l_extendedprice").alias("part_value"))
     )
-    thresh = v.agg((F.sum("part_value") * 0.001).alias("cutoff"))
+    # the cutoff itself goes through the decimal trick too: a raw double
+    # SUM is an order-sensitive reduction and a part within an ulp of the
+    # threshold would flip membership between engines/partitionings
+    thresh = v.agg((dsum("part_value") * 0.001).alias("cutoff"))
     return (
         v.crossJoin(F.broadcast(thresh))
         .filter(F.col("part_value") > F.col("cutoff"))
@@ -460,7 +464,7 @@ def analytics_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty")
+        dsum("l_quantity").alias("qty")
     )
     tot = shipped.groupBy(F.col("l_partkey").alias("tp")).agg(
         F.sum("qty").alias("total_qty")

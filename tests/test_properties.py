@@ -228,20 +228,39 @@ def test_market_share_and_r2_bounded(spark):
 
 def test_min_cost_supplier_is_min(spark):
     """Every reported (part, supplier) cost must equal the minimum cost
-    any EUROPE supplier offers for that part."""
+    any EUROPE supplier offers for that part — recomputed INDEPENDENTLY
+    here (a plain 4-way join + python min), not via the query's own
+    equality join, so a regression to e.g. the max would fail."""
     from collections import defaultdict
 
+    from covid_data_pipeline_spark.io import load as load_table
     from covid_data_pipeline_spark.registry import load_all
+    from pyspark.sql import functions as F
 
     from .conftest import SF_ORACLE
 
     rows = load_all()["analytics_min_cost_supplier"].fn(spark, SF_ORACLE).collect()
     assert rows
-    by_part = defaultdict(list)
-    for r in rows:
-        by_part[r["p_partkey"]].append(r["unit_cost"])
-    for part, costs in by_part.items():
-        assert len(set(costs)) == 1, (part, costs)  # all ties share the min
+    # independent recomputation of the per-part EUROPE minimum
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    s = load_table(spark, SF_ORACLE, "supplier")
+    n = load_table(spark, SF_ORACLE, "nation")
+    r = load_table(spark, SF_ORACLE, "region").filter(F.col("r_name") == "EUROPE")
+    eu_lines = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("l_partkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("uc"))
+        .collect()
+    )
+    true_min = defaultdict(lambda: float("inf"))
+    for row in eu_lines:
+        true_min[row["l_partkey"]] = min(true_min[row["l_partkey"]], row["uc"])
+    for row in rows:
+        assert abs(row["unit_cost"] - round(true_min[row["p_partkey"]], 6)) < 1e-9, (
+            row,
+            true_min[row["p_partkey"]],
+        )
 
 
 def test_zscore_anomalies_are_rare_and_scored_rows_have_baseline(spark):
