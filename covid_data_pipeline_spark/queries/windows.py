@@ -636,3 +636,48 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # int both sides degrade identically to NaN
         F.when(n >= _Z_MIN_N, (F.abs(z) > 3).cast("int")).alias("is_anomaly"),
     )
+
+
+@query(
+    "win_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_wk
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(CAST(f.cohort_wk AS DATE), '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', CAST(f.cohort_wk AS DATE),
+                          CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION — the product-analytics staple: users grouped by
+    their first-activity week, then counted as active per week offset
+    from that cohort — the matrix behind every retention curve
+    (reference analogue: how long sources keep changing after first
+    being scanned).
+
+    Shape: one aggregate for the per-user cohort (map-side combinable
+    MIN), a join back on user_id reusing the same hash partitioning,
+    and one distinct-count aggregate — two shuffles total, both on
+    uniform keys.  The cohort week is emitted as an ISO date STRING
+    (Spark DATE and DuckDB DATE canonicalize differently through
+    pandas — same trick as win_moving_avg); week truncation is ISO
+    Monday on both engines and the offset is exact integer day
+    arithmetic."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    j = ev.join(firsts, "user_id")
+    offset = F.floor(
+        F.datediff(wk.cast("date"), F.col("cohort_wk").cast("date")) / 7
+    )
+    return j.groupBy(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        offset.alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
