@@ -670,3 +670,53 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_even"), F.max("n_odd").alias("n_odd"))
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT event_id, user_id, ts AS purchase_ts, next_view_ts,
+           epoch_us(next_view_ts) - epoch_us(ts) AS gap_us
+    FROM (
+        SELECT e.*,
+               FIRST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_view_ts
+        FROM events e
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction: each purchase matched to the same
+    user's next view strictly after it (merge_asof direction='forward')
+    — completing the direction family next to backward (``join_asof``)
+    and nearest (``join_asof_nearest``).  Reference analogue: the first
+    scan AFTER a change landed, i.e. time-to-detection.
+
+    Same window formulation and the same scale argument as the backward
+    twin: one shuffle on user_id, a FOLLOWING frame with
+    first(ignorenulls) instead of a PRECEDING frame with last — still
+    O(n log n) per key, no self-join fan-out on hot users."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_view = F.first(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("next_view_ts", next_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "next_view_ts",
+            (F.unix_micros("next_view_ts") - F.unix_micros("ts")).alias("gap_us"),
+        )
+    )

@@ -484,3 +484,54 @@ def analytics_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dominant), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "n_name")
     )
+
+
+@query(
+    "analytics_revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_nationkey AS nationkey,
+               o.o_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT CAST(nationkey AS INTEGER) AS nationkey,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(rev * rev AS DECIMAL(38,6))) AS DOUBLE)
+                 / (CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE)
+                    * CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE)), 6)
+               AS hhi,
+           ROUND(MAX(rev) / CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE), 6)
+               AS top_share
+    FROM per_cust GROUP BY nationkey
+    """,
+)
+def analytics_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market (nation): the Herfindahl index
+    Σ share_i² and the single largest customer's share — the
+    dependency-risk report behind every 'top customer concentration'
+    board slide.
+
+    Exactness discipline: HHI = Σ rev_i² / (Σ rev_i)² with BOTH sums
+    decimal-exact (rev_i itself is a decimal sum; its square fits
+    DECIMAL(38,6) since per-customer revenue < 1e10), so no
+    order-sensitive float reduction exists anywhere — the alternative
+    Σ(share_i²) would sum pre-divided doubles in partition order and
+    drift.  Two combinable aggregates, both on uniform keys."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    rev = F.col("rev")
+    s1 = F.sum(rev.cast(DEC)).cast("double")
+    s2 = F.sum((rev * rev).cast("decimal(38,6)")).cast("double")
+    return per_cust.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(s2 / (s1 * s1), 6).alias("hhi"),
+        F.round(F.max(rev) / s1, 6).alias("top_share"),
+    )
