@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Propose the next round's SHOWCASE rotation.
+
+The external driver records correctness for only the FIRST 50
+``queries()`` entries per round (see README "External correctness
+sampling").  This script reads every ``CORRECTNESS_r*.json`` in the repo
+root, computes which oracle-backed queries still lack an externally
+recorded row, and prints a candidate 50-entry SHOWCASE tuple for
+``registry.py`` — never-witnessed ids first, then (if fewer than 50
+remain) the ids whose external row is oldest, so evidence keeps
+refreshing round-over-round.
+
+Usage: python gen_showcase.py   (prints the tuple; paste into registry.py)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from covid_data_pipeline_spark.registry import load_all  # noqa: E402
+
+
+def main() -> None:
+    reg = load_all()
+    oracle_backed = [n for n, s in reg.items() if s.oracle is not None]
+
+    last_seen: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+        for name in json.load(open(path)):
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
+
+    never = [n for n in oracle_backed if n not in last_seen]
+    stale_first = sorted(
+        (n for n in oracle_backed if n in last_seen), key=lambda n: last_seen[n]
+    )
+    proposal = (never + stale_first)[:50]
+
+    print(f"# {len(never)} oracle-backed ids have NO external CORRECTNESS row yet")
+    print(f"# proposal = those first, then stalest-witnessed, cut at 50:")
+    print("SHOWCASE = (")
+    for n in proposal:
+        tag = "never witnessed" if n not in last_seen else f"last r{last_seen[n]}"
+        print(f'    "{n}",  # {tag}')
+    print(")")
+
+
+if __name__ == "__main__":
+    main()
