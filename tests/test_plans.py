@@ -315,6 +315,14 @@ _SHUFFLE_BUDGET = {
     "text_repetition_ratio": 0,
     "sort_multi_nulls": 2,
     "text_tf": 1,
+    "win_retention_cohort": 2,  # window cohort, not agg+join (3)
+    "analytics_revenue_concentration": 2,
+    "join_asof_forward": 1,
+    "agg_regr_exact": 1,
+    "ts_ema_level": 1,
+    "dedup_incremental_exact": 3,
+    "sample_importance_weighted": 0,
+    "embed_matryoshka_truncate": 0,
 }
 
 
