@@ -626,3 +626,47 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(folded / F.col("n_tokens"), 6).alias("avg_logprob"),
     )
+
+
+@query(
+    "text_char_ngrams",
+    oracle="""
+    SELECT trigram, COUNT(*) AS cnt
+    FROM (
+        SELECT substring(text, CAST(i AS INTEGER), 3) AS trigram
+        FROM documents, range(1, 200) t(i)
+        WHERE i + 2 <= len(text)
+    )
+    GROUP BY trigram HAVING COUNT(*) >= 50
+    """,
+)
+def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER trigram counts over each document's first ~200 chars —
+    the actual primitive under production language ID (character
+    n-gram profiles survive misspellings and unknown words where the
+    word-level stopword heuristic of text_langid fails; cf. the
+    classic n-gram-based text categorization setup).  Capping the scan
+    window per document bounds work per row the way real langid models
+    sample a prefix rather than the whole document.
+
+    One pass: sequence + transform build the trigram array per row in
+    codegen (no join against a position table — the oracle's cross
+    join spells the same thing relationally), explode, count, floor
+    filter.  At 100 TB: trigram cardinality is alphabet-bounded
+    (~50k for Latin corpora), so the aggregate shuffles a tiny
+    dictionary per task."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    # start positions 1..min(len-2, 199): same window as the oracle's
+    # range(1, 200) with i+2 <= len
+    n = F.least(F.length("text") - 2, F.lit(199))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.col("text").substr(i, F.lit(3))
+    )
+    return (
+        d.filter(F.length("text") >= 3)
+        .select(F.explode(grams).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 50)
+    )

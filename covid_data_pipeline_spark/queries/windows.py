@@ -681,3 +681,56 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
         offset.alias("week_offset"),
     ).agg(F.countDistinct("user_id").alias("n_active"))
+
+
+@query(
+    "win_conversion_lag",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(epoch_us(first_purchase) - epoch_us(first_view) AS BIGINT)
+               AS lag_us,
+           CAST(CASE WHEN first_purchase IS NOT NULL
+                      AND first_view IS NOT NULL
+                      AND first_purchase >= first_view
+                THEN 1 ELSE 0 END AS INTEGER) AS converted
+    FROM per_user
+    WHERE first_view IS NOT NULL
+    """,
+)
+def win_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion per user — the survival-analysis input every
+    growth team computes: lag from the FIRST view to the FIRST purchase
+    (NULL lag when the user never purchased; converted only when the
+    purchase followed the view).  Together with win_retention_cohort
+    and win_funnel_conversion this completes the product-metrics trio.
+
+    ONE conditional-MIN aggregate — no window, no join, no explode;
+    both firsts come out of the same map-side-combinable pass, so the
+    operator costs a single shuffle of two timestamps per user at any
+    scale."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first_view.alias("first_view"), first_purchase.alias("first_purchase")
+    )
+    converted = (
+        F.col("first_purchase").isNotNull()
+        & F.col("first_view").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    )
+    return per_user.filter(F.col("first_view").isNotNull()).select(
+        "user_id",
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).alias("lag_us"),
+        converted.cast("int").alias("converted"),
+    )
