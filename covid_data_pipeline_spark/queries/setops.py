@@ -103,3 +103,43 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = _slice(spark, sf_dir, "BUILDING").select("c_custkey")
     return a.subtract(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG difference: each nation key keeps
+    max(count_A − count_B, 0) copies, the multiplicity-preserving twin
+    of ``set_except`` (reference: how many MORE building customers
+    than machinery customers each nation has, as rows).  Spark's
+    ``exceptAll`` plans it as a counted anti-semantics join — no
+    row-by-row matching, one shuffle on the value."""
+    tune(spark)
+    a = _slice(spark, sf_dir, "BUILDING").select("c_nationkey")
+    b = _slice(spark, sf_dir, "MACHINERY").select("c_nationkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — BAG intersection: min(count_A, count_B) copies
+    per nation key, completing §2.7's set family with both bag-semantics
+    variants (EXCEPT ALL above).  Same counted-join plan shape as
+    exceptAll; one shuffle on the value."""
+    tune(spark)
+    a = _slice(spark, sf_dir, "BUILDING").select("c_nationkey")
+    b = _slice(spark, sf_dir, "MACHINERY").select("c_nationkey")
+    return a.intersectAll(b)
