@@ -197,8 +197,9 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / NULLIF(len(trigrams), 0), 6) AS dup_trigram_ratio,
            ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
                        / NULLIF(len(toks), 0), 6) AS dup_token_ratio,
-           (1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
-                  / NULLIF(len(trigrams), 0)) <= 0.2 AS passes_repetition
+           CAST((1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+                  / NULLIF(len(trigrams), 0)) <= 0.2 AS INTEGER)
+               AS passes_repetition
     FROM g
     """,
 )
@@ -251,7 +252,11 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_ratio(bigrams), 6).alias("dup_bigram_ratio"),
         F.round(dup_ratio(trigrams), 6).alias("dup_trigram_ratio"),
         F.round(dup_ratio(toks), 6).alias("dup_token_ratio"),
-        (dup_ratio(trigrams) <= 0.2).alias("passes_repetition"),
+        # int, not boolean: the gate is NULL for <3-token docs (NULLIF-
+        # guarded ratio) and nullable booleans canonicalize differently
+        # through pandas (object None vs float NaN) — same doctrine as
+        # win_anomaly_zscore's flag
+        (dup_ratio(trigrams) <= 0.2).cast("int").alias("passes_repetition"),
     )
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")

@@ -120,7 +120,7 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l1.l_suppkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
     WHERE o.o_orderstatus = 'F'
-      AND n.n_name = 'NATION_2'
+      AND n.n_name = 'NATION_19'
       AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
       AND EXISTS (SELECT 1 FROM lineitem l2
                   WHERE l2.l_orderkey = l1.l_orderkey
@@ -155,7 +155,10 @@ def analytics_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderdate"
     )
     s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    # NATION_19, not NATION_2: the sf0.001 fixture has zero NATION_2
+    # suppliers, which made the golden digest vacuously empty; NATION_19
+    # has suppliers (and waiting ones) at every fixture scale.
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
     l1 = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -328,21 +331,30 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
-        WHERE n.n_name = 'NATION_2'
+        WHERE n.n_name = 'NATION_19'
         GROUP BY l.l_partkey
     )
     SELECT l_partkey, ROUND(part_value, 6) AS part_value
     FROM v
     WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6)))
-                                    AS DOUBLE) * 0.001 FROM v)
+                                    AS DOUBLE) / COUNT(*) * 1.5 FROM v)
     """,
 )
 def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11-shaped: the parts representing a significant fraction
-    of NATION_2's shipped value (shipped l_extendedprice standing in
+    """TPC-H Q11-shaped: the parts representing a significant share of
+    NATION_19's shipped value (shipped l_extendedprice standing in
     for ps_supplycost*ps_availqty — no partsupp in the fixture).  The
     scalar-threshold-subquery shape: the same aggregate feeds both the
     per-part rows and the global cutoff.
+
+    The cutoff is RELATIVE TO THE MEAN part value (1.5x), not a fixed
+    fraction of the total — TPC-H itself scales Q11's fraction as
+    0.0001/SF for exactly this reason: a constant fraction-of-total
+    empties out as part cardinality grows (measured: 0 rows at sf0.1
+    under the old 0.001 cutoff) while mean-relative is scale-invariant
+    (~20% of parts pass at every fixture sf).  NATION_19 rather than
+    NATION_2 because the sf0.001 fixture has zero NATION_2 suppliers,
+    which made the golden digest vacuously empty.
 
     Both sides of the comparison come from one exact decimal aggregate
     (the per-part values), so the > cutoff is deterministic; the global
@@ -351,7 +363,7 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     v = (
         li.join(
             F.broadcast(
@@ -365,7 +377,12 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cutoff itself goes through the decimal trick too: a raw double
     # SUM is an order-sensitive reduction and a part within an ulp of the
     # threshold would flip membership between engines/partitionings
-    thresh = v.agg((dsum("part_value") * 0.001).alias("cutoff"))
+    # mean = exact-decimal sum / count, same op order as the oracle
+    # ((double / bigint) * 1.5) so the two engines compute bit-identical
+    # cutoffs
+    thresh = v.agg(
+        (dsum("part_value") / F.count(F.lit(1)) * 1.5).alias("cutoff")
+    )
     return (
         v.crossJoin(F.broadcast(thresh))
         .filter(F.col("part_value") > F.col("cutoff"))

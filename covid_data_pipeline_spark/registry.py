@@ -73,69 +73,82 @@ _loaded = False
 # driver ever samples differently, the local preflight remains the
 # source of truth.
 #
-# Round-3 window: the 31 SURVEY §2 ids never driver-sampled in r1/r2
-# (win_* family, set ops, §2.8 scalars, §2.9 batch twins, text/
-# multimodal), the two queries whose scale fixes land this round
-# (sort_multi_nulls, text_tf), the two ADVICE.md fixes
-# (win_lag_change_rate, sink_python_datasource), and 15 further
-# never-sampled oracle-checked queries.  r1∪r2-sampled ids (all green)
-# rotate out; r4 rotates in the ~26 still-unsampled remainder.
+# Round-4 window (gen_showcase.py): after r3, 56 oracle-backed queries
+# had never been driver-sampled.  This window takes 47 of them, plus
+# three re-witness slots: dedup_embedding_cosine (its vacuous-empty
+# fixture evidence was FIXED this round — seeded near-dups, now >0 rows
+# at every sf — so the fix itself must be externally witnessed) and
+# sink_orc_roundtrip / join_partition_pruned (r1-sampled BEFORE their
+# oracles existed, so their green rows are rows-only).  The remaining
+# nine never-sampled ids are pre-committed as the round-5 window:
+#   profile_columns, pipeline_observe_metrics, corpus_pack_sequences,
+#   sample_topk_per_group, ts_backfill_bfill, ts_resample_ohlc,
+#   scan_schema_evolution, source_python_stream,
+#   embed_matryoshka_truncate
+# (chosen as the lowest-risk deferrals: all are beyond-SURVEY-§2
+# extensions with stable, plan-asserted implementations; the TPC-H
+# analytics family, the dedup/text/multimodal flagships and this
+# round's four semantics changes all get their external row NOW).
 SHOWCASE = (
-    # §2 ids with no external CORRECTNESS row yet
-    "win_lead",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_ntile_cume",
-    "win_first_last",
-    "sort_multi_nulls",  # + this round's two-phase-rank fix
-    "topk_per_group",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "str_extract",
-    "str_hash_digest",
-    "ts_funcs",
-    "math_funcs",
-    "cond_case_coalesce",
-    "cast_conversions",
-    "array_ops",
-    "explode_tokens",
-    "map_ops",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_watermark_late",
-    "stream_dedup_state",
-    "stream_foreach_sink",
-    "text_tf",  # + this round's TakeOrderedAndProject fix
-    "text_lang_profile",
-    "text_ngrams",
-    "multimodal_binary",
-    "scan_csv_roundtrip",  # r1-sampled pre-oracle; oracle never witnessed
-    "sink_parquet_partitioned",  # ditto
-    # this round's ADVICE fixes, so the fix is externally witnessed
-    "win_lag_change_rate",
-    "sink_python_datasource",
-    # further never-sampled oracle-checked queries
-    "join_asof_nearest",
-    "join_null_safe",
-    "agg_weighted_avg",
-    "agg_argmax_struct",
-    "scd2_intervals",
-    "array_hof",
-    "str_url_normalize",
-    "analytics_local_supplier_volume",
-    "analytics_promo_revenue",
-    "analytics_returned_items",
-    "analytics_order_count_dist",
-    "dedup_ngram_jaccard",
-    "dedup_paragraph_exact",
-    "dedup_embedding_cosine",
-    "ts_gapfill_ffill",
-    "merge_upsert_latest",
-    "udf_map_in_arrow",
+    # this round's semantics changes — witness the fixes first
+    "dedup_embedding_cosine",  # r3 judge item #1: seeded near-dups
+    "analytics_important_stock",  # mean-relative cutoff + NATION_19
+    "analytics_waiting_suppliers",  # NATION_19 (sf0.001 had no NATION_2)
+    "text_repetition_ratio",  # nullable-bool gate -> int (ADVICE)
+    # r1-sampled before their oracles existed — first oracle witness
+    "sink_orc_roundtrip",
+    "join_partition_pruned",
+    # TPC-H-shaped analytics family (never sampled)
+    "analytics_volume_shipping",
+    "analytics_priority_linestatus",
+    "analytics_brand_revenue_or",
+    "analytics_late_orders",
+    "analytics_forecast_revenue",
+    "analytics_small_qty_revenue",
+    "analytics_idle_balances",
+    "analytics_top_supplier_revenue",
+    "analytics_market_share",
+    "analytics_product_profit",
+    "analytics_min_cost_supplier",
+    "analytics_parts_supplier_dist",
+    "analytics_excess_shipments",
+    "analytics_revenue_concentration",
+    # dedup / similarity flagships (never sampled)
+    "dedup_fuzzy_levenshtein",
+    "pipeline_dedup_funnel",
+    "dedup_incremental_exact",
+    "dedup_cluster_keep_best",
+    "sim_label_centroids",
+    "embed_quantize_int8",
+    # text-quality family (never sampled)
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "quality_filter_funnel",
+    "text_perplexity_proxy",
+    "text_char_ngrams",
+    "text_pii_redact",
+    # multimodal (never sampled)
+    "multimodal_decode_pipeline",
+    "multimodal_framesample",
+    "multimodal_audio_features",
+    "scan_binary_files",
+    # windows / time-series / corpus extensions (never sampled)
+    "join_asof_forward",
+    "agg_regr_exact",
+    "win_sessionize",
+    "win_anomaly_zscore",
+    "win_retention_cohort",
+    "win_conversion_lag",
+    "ts_ema_level",
+    "doc_chunk_overlap",
+    "corpus_mixture_epochs",
+    "sample_importance_weighted",
+    # set ops + streaming (never sampled)
+    "set_except_all",
+    "set_intersect_all",
+    "stream_static_join",
 )
-
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (idempotent) and return the registry,

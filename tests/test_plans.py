@@ -320,7 +320,6 @@ _SHUFFLE_BUDGET = {
     "join_asof_forward": 1,
     "agg_regr_exact": 1,
     "ts_ema_level": 1,
-    "dedup_incremental_exact": 3,
     "sample_importance_weighted": 0,
     "embed_matryoshka_truncate": 0,
 }

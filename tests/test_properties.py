@@ -9,6 +9,8 @@ EQUIVALENT to Spark's native session_window on arbitrary event sets.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Window, functions as F
 
@@ -280,8 +282,10 @@ def test_zscore_anomalies_are_rare_and_scored_rows_have_baseline(spark):
 
 
 def test_keep_best_prefers_quality_over_min_id(spark):
-    """The keep-best survivor must have quality >= every member of its
-    cluster (spot-checked via the min-id clustering twin)."""
+    """The keep-best survivor must have quality >= EVERY member of its
+    cluster (quality recomputed independently in pure Python from the
+    raw documents), with min doc_id breaking exact-quality ties — so a
+    regression to min-id (or min-quality) selection fails loudly."""
     from covid_data_pipeline_spark.registry import load_all
 
     from .conftest import SF_ORACLE
@@ -296,5 +300,37 @@ def test_keep_best_prefers_quality_over_min_id(spark):
     for r in members:
         clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
     assert set(best) == set(clusters), "cluster sets must agree between policies"
-    sizes = {c: len(v) for c, v in clusters.items()}
-    assert any(n > 1 for n in sizes.values()), "fixture should have real clusters"
+    assert any(len(v) > 1 for v in clusters.values()), (
+        "fixture should have real clusters"
+    )
+
+    # independent quality recompute: same lexical-diversity formula, pure
+    # Python (split(" ") matches F.split's single-space regex, including
+    # empty tokens from runs of spaces), identical IEEE division
+    docs = (
+        spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+        .select("doc_id", "text")
+        .collect()
+    )
+    qual = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        qual[r["doc_id"]] = len(set(toks)) / len(toks)
+
+    for cid, doc_ids in clusters.items():
+        best_id, best_q_reported = best[cid]
+        best_q = qual[best_id]
+        assert abs(best_q_reported - round(best_q, 6)) < 1e-9, (
+            f"cluster {cid}: reported best_quality {best_q_reported} != "
+            f"independent recompute {best_q}"
+        )
+        for m in doc_ids:
+            assert qual[m] <= best_q, (
+                f"cluster {cid}: member {m} has quality {qual[m]} > "
+                f"survivor {best_id}'s {best_q} — keep-best regressed"
+            )
+            if qual[m] == best_q:
+                assert best_id <= m, (
+                    f"cluster {cid}: tie at q={best_q} broken wrong — "
+                    f"survivor {best_id} should be min doc_id <= {m}"
+                )
