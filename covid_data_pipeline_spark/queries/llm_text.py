@@ -675,3 +675,162 @@ def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 50)
     )
+
+
+# BM25 over a fixed query-term set (Robertson/Sparck-Jones weights,
+# k1=1.2 b=0.75 — the textbook constants).  Terms chosen from the
+# fixture vocabulary so every sf has matches.
+_BM25_TERMS = ("join", "filter", "window")
+_BM25_SQL_TF = ", ".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS, 1)
+)
+_BM25_SQL_DF = ", ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(1, len(_BM25_TERMS) + 1)
+)
+_BM25_SQL_SCORE = " + ".join(
+    f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+    f" * (tf{i} * 2.2)"
+    f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs)))"
+    for i in range(1, len(_BM25_TERMS) + 1)
+)
+_BM25_SQL_ANY = " + ".join(f"tf{i}" for i in range(1, len(_BM25_TERMS) + 1))
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    tf AS (SELECT doc_id, len(toks) AS dl, {_BM25_SQL_TF} FROM docs),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS tot, {_BM25_SQL_DF} FROM tf
+    )
+    SELECT doc_id, ROUND({_BM25_SQL_SCORE}, 6) AS bm25
+    FROM tf CROSS JOIN stats
+    WHERE {_BM25_SQL_ANY} > 0
+    ORDER BY ROUND({_BM25_SQL_SCORE}, 6) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the retrieval primitive under quality classifiers and targeted
+    corpus selection (rank a 100 TB crawl against "looks like textbook
+    text" seed terms and keep the head).
+
+    Scale shape: NO token explode — per-term tf comes from a codegen'd
+    size(filter(...)) over the token array (three counters riding the
+    scan), the corpus stats (N, total length, per-term df) are ONE
+    1-row aggregate broadcast back, and the top-50 is
+    orderBy(...).limit(50) = TakeOrderedAndProject, so nothing global
+    ever sorts.  The score is the standard
+    idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with ln/ROUND(6) for
+    cross-engine float discipline (same doctrine as text_tfidf), ties
+    broken by doc_id."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sel = [F.col("doc_id"), F.size(toks).alias("dl")]
+
+    def _eq(term: str):
+        # factory, not a default-arg lambda: a second lambda parameter
+        # would be interpreted by filter() as the element INDEX
+        return lambda x: x == F.lit(term)
+
+    for i, t in enumerate(_BM25_TERMS, 1):
+        sel.append(F.size(F.filter(toks, _eq(t))).alias(f"tf{i}"))
+    docs = d.select(*sel)
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")]
+    for i in range(1, len(_BM25_TERMS) + 1):
+        aggs.append(
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+        )
+    stats = docs.agg(*aggs)
+    scored = docs.crossJoin(F.broadcast(stats))
+    avgdl = F.col("tot").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(1, len(_BM25_TERMS) + 1):
+        tf = F.col(f"tf{i}")
+        df = F.col(f"df{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        contrib = (
+            idf
+            * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+        )
+        score = contrib if score is None else score + contrib
+    any_tf = None
+    for i in range(1, len(_BM25_TERMS) + 1):
+        any_tf = (
+            F.col(f"tf{i}")
+            if any_tf is None
+            else any_tf + F.col(f"tf{i}")
+        )
+    return (
+        scored.filter(any_tf > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    u AS (SELECT doc_id, toks, list_sort(list_distinct(toks)) AS utoks
+          FROM t),
+    c AS (
+        SELECT doc_id, toks, utoks,
+               list_transform(utoks, tk ->
+                   CAST(len(list_filter(toks, x -> x = tk)) AS DOUBLE))
+                   AS cnts
+        FROM u
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(utoks) AS n_distinct,
+           ROUND(ln(CAST(len(toks) AS DOUBLE))
+                 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cnts),
+                               (acc, x) -> acc + x * ln(x))
+                   / len(toks),
+                 6) AS token_entropy_nats
+    FROM c
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (in nats) —
+    the information-density quality signal the distinct-ratio gate of
+    text_quality approximates: H = ln(n) - (sum c_i ln c_i)/n over
+    per-token counts c_i.  Degenerate generations (one token repeated)
+    score ~0; diverse prose scores ~ln(n_distinct).
+
+    Cross-engine float discipline: the count vector is built over the
+    SORTED distinct-token array and folded LEFT in both engines
+    (aggregate here, list_reduce in the oracle — the _SQL_DOT pattern),
+    so the double additions happen in the identical order and the sums
+    match bit-for-bit; ln + ROUND(6) as in text_tfidf.  One pass, no
+    explode, no shuffle beyond the scan: per-doc work is
+    O(distinct x tokens) on an 80-token array, all codegen."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    utoks = F.array_sort(F.array_distinct(toks))
+    cnts = F.transform(
+        utoks,
+        lambda tk: F.size(F.filter(toks, lambda x: x == tk)).cast("double"),
+    )
+    s = F.aggregate(cnts, F.lit(0.0), lambda acc, x: acc + x * F.log(x))
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(utoks).alias("n_distinct"),
+        F.round(F.log(n.cast("double")) - s / n, 6).alias(
+            "token_entropy_nats"
+        ),
+    )

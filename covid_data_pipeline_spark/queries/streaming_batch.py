@@ -374,3 +374,54 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
     return run_available_now(joined, output_mode="append")
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming run of the ``transformWithStateInPandas`` operator
+    (Spark 4's named-typed-state successor to applyInPandasWithState):
+    per-user running totals in a ValueState, drained with availableNow in
+    update mode, then reduced to each user's final update.
+
+    NOT REGISTERED as a driver query: the transformWithState runtime
+    spawns a Python state server that requires the ``protobuf`` package,
+    which this container does not ship (and installs are off-limits) —
+    the operator crashes at runtime with "cannot import google.protobuf"
+    however correct the plan is.  The implementation is real and
+    complete (streaming/transforms.py: tws_user_totals); the equivalence
+    test in tests/test_streaming.py runs it wherever protobuf exists and
+    SKIPS here, so the gate is explicit rather than a silent fallback to
+    the old API.
+
+    The transformWithState runtime also requires the RocksDB state-store
+    provider (its state layout is column-family based) — set here and
+    restored, since RocksDB is the 100 TB state backend recommendation
+    regardless (bounded executor memory at any key cardinality)."""
+    from ..streaming import read_events_stream, run_available_now
+
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sunk = run_available_now(
+            TR.tws_user_totals(read_events_stream(spark, sf_dir)),
+            output_mode="update",
+        )
+        # materialize while the provider conf is still in force
+        sunk = sunk.cache()
+        sunk.count()
+    finally:
+        if saved is not None:
+            spark.conf.set(key, saved)
+        else:
+            spark.conf.unset(key)
+    out = sunk.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+    return out

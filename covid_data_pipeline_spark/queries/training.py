@@ -489,3 +489,74 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr(f"stack({_PCA_K}, {stack_expr}) AS (pc, value)"),
     )
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    z AS (
+        SELECT SUM(n_docs) AS n_total,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list_transform(list(n_docs ORDER BY source),
+                                               x -> sqrt(CAST(x AS DOUBLE)))),
+                   (acc, x) -> acc + x) AS z_norm
+        FROM per
+    )
+    SELECT source,
+           n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS raw_share,
+           ROUND(sqrt(CAST(n_docs AS DOUBLE)) / z_norm, 6) AS temp_share,
+           ROUND(sqrt(CAST(n_docs AS DOUBLE)) / z_norm
+                 / (CAST(n_docs AS DOUBLE) / n_total), 6) AS boost
+    FROM per CROSS JOIN z
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVE temperature-scaled mixture weights from the corpus itself
+    (UniMax / multilingual-sampling style): a domain's sampling share is
+    n^(1/T) / sum(n^(1/T)) with T=2, so small domains are boosted and
+    head domains damped relative to raw proportions.  This is the step
+    BEFORE corpus_mixture_epochs — that operator APPLIES a given weight
+    table; this one computes it, with the boost factor
+    (temp_share/raw_share) being the per-domain epoch multiplier a
+    trainer would feed back in.
+
+    Cross-engine float discipline: the normalizer sum(sqrt(n)) folds
+    LEFT over the per-source counts in a FIXED order (sorted by source)
+    in both engines — the _SQL_DOT pattern — so the doubles match
+    bit-for-bit; sqrt is IEEE-exact, T=2 chosen so the power is sqrt,
+    not libm pow.
+
+    Scale shape: one partial-aggregated groupBy on source (domain
+    cardinality is tiny at any corpus size), one 1-row broadcast back —
+    the corpus itself never shuffles."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("source"), F.col("n_docs")))
+                ),
+                lambda s: F.sqrt(s["n_docs"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z_norm"),
+    )
+    nd = F.col("n_docs").cast("double")
+    raw_share = nd / F.col("n_total")
+    temp_share = F.sqrt(nd) / F.col("z_norm")
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / raw_share, 6).alias("boost"),
+    )

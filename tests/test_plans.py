@@ -121,6 +121,25 @@ def test_text_tf_topk_avoids_vocabulary_sort(spark):
     assert "Window" not in plan
 
 
+def test_bm25_is_takeordered_no_explode(spark):
+    """BM25 must not explode tokens (tf comes from size(filter(...)) on
+    the array) and the top-50 must be TakeOrderedAndProject — at 100 TB
+    an explode multiplies the scan x dl and a global sort is unbounded."""
+    plan = plan_of(q("text_bm25", spark), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan, "token explode crept into BM25"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_entropy_is_map_only(spark):
+    """Per-doc entropy is a pure scan->project: no Exchange, no explode,
+    no Python — the whole operator rides the parquet scan."""
+    plan = plan_of(q("text_entropy", spark), mode="simple")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Python" not in plan
+
+
 def test_minhash_lsh_has_no_cartesian(spark):
     plan = plan_of(q("dedup_minhash_lsh", spark))
     assert "CartesianProduct" not in plan
@@ -322,6 +341,9 @@ _SHUFFLE_BUDGET = {
     "ts_ema_level": 1,
     "sample_importance_weighted": 0,
     "embed_matryoshka_truncate": 0,
+    "text_bm25": 1,  # one 1-row stats agg; top-50 is TakeOrdered
+    "text_entropy": 0,  # map-only: per-doc HOF fold, no explode
+    "corpus_temperature_mix": 3,  # source agg + 1-row normalizer + reuse
 }
 
 
