@@ -334,3 +334,29 @@ def test_keep_best_prefers_quality_over_min_id(spark):
                     f"cluster {cid}: tie at q={best_q} broken wrong — "
                     f"survivor {best_id} should be min doc_id <= {m}"
                 )
+
+
+def test_entropy_within_information_bounds(spark):
+    """Token entropy must satisfy 0 <= H <= ln(n_distinct) (uniform
+    distribution maximizes entropy), with equality at H=0 for
+    single-distinct-token docs — recomputed bounds, not a fixture pin."""
+    import math
+
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    rows = load_all()["text_entropy"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    # the emitted H is ROUND(·, 6), so it may sit up to 5e-7 above the
+    # true value — the bound check must absorb that half-step
+    tol = 5e-7 + 1e-9
+    for r in rows:
+        h = r["token_entropy_nats"]
+        assert h >= -tol, r
+        assert h <= math.log(r["n_distinct"]) + tol, (
+            f"doc {r['doc_id']}: H={h} exceeds ln(n_distinct)="
+            f"{math.log(r['n_distinct'])}"
+        )
+        if r["n_distinct"] == 1:
+            assert abs(h) < tol, r
