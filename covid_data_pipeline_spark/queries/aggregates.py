@@ -673,3 +673,64 @@ def agg_regr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# Fixed probe set for the count-min sketch query: frequent fixture
+# tokens plus one absent token (its estimate exposes pure collision
+# noise — the CMS overestimate-only guarantee).
+_CMS_PROBES = (
+    "join", "hash", "row", "scan", "filter", "window", "batch",
+    "zz_absent_token",
+)
+_CMS_EPS = 0.0001
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+
+
+@query("agg_countmin_mergeable", oracle=None)  # rows-only: sketch estimates
+def agg_countmin_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE count-min frequency sketches — the point-frequency
+    sibling of agg_sketch_mergeable's HLL distinct counts: one CMS per
+    language via the ``count_min_sketch`` SQL aggregate (fixed-size
+    binary regardless of token cardinality), merged DRIVER-SIDE into the
+    global sketch (cells add exactly — merge is lossless), then probed
+    for a fixed token set.  At 100 TB this is how per-shard term
+    frequencies become corpus-wide ones without re-touching raw data:
+    sketch at the finest grain, persist bytes, answer any coarser scope
+    by merging.
+
+    The per-lang blobs collected to the driver are MODEL STATE (5 rows
+    of ~100 KB — the agg_sketch_mergeable/kmeans pattern), not data; the
+    token explode aggregates map-side into the sketch buffers.
+    Determinism: the seed fixes the hash family and merge is cell-wise
+    addition, so estimates are identical at any partitioning — golden-
+    stable even though approximate.  Guarantees (est >= exact, est <=
+    exact + eps*N at the configured confidence) asserted in
+    tests/test_llm_ops.py."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    per_lang = tok.groupBy("lang").agg(
+        F.count_min_sketch(
+            "token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+        ).alias("sk")
+    )
+    blobs = {r["lang"]: bytes(r["sk"]) for r in per_lang.collect()}
+
+    jvm = spark.sparkContext._jvm
+    cms_cls = jvm.org.apache.spark.util.sketch.CountMinSketch
+    sketches = {lang: cms_cls.readFrom(blob) for lang, blob in blobs.items()}
+    merged = None
+    for lang in sorted(sketches):
+        sk = cms_cls.readFrom(blobs[lang])
+        merged = sk if merged is None else merged.mergeInPlace(sk)
+
+    rows = []
+    for lang in sorted(sketches):
+        for t in _CMS_PROBES:
+            rows.append((lang, t, sketches[lang].estimateCount(t)))
+    for t in _CMS_PROBES:
+        rows.append(("merged", t, merged.estimateCount(t)))
+    return spark.createDataFrame(
+        rows, "scope string, token string, est_count long"
+    )

@@ -320,3 +320,53 @@ def test_sliding_sketch_union_accuracy(spark):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) / n <= 0.05, (day, est[day], n)
+
+
+def test_countmin_guarantees_and_merge(spark):
+    """Count-min estimates must satisfy the one-sided sketch guarantee
+    per scope (exact <= est <= exact + eps*N_scope), the absent probe
+    must read ~0, and the merged sketch must agree with the sum of
+    per-scope exact counts within the same bound — all recomputed
+    independently with plain aggregation."""
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.io import load as load_table
+    from covid_data_pipeline_spark.queries.aggregates import (
+        _CMS_EPS,
+        _CMS_PROBES,
+    )
+
+    reg = load_all()
+    est = {
+        (r["scope"], r["token"]): r["est_count"]
+        for r in reg["agg_countmin_mergeable"].fn(spark, SF_ORACLE).collect()
+    }
+    tok = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .cache()
+    )
+    try:
+        n_by_lang = {
+            r["lang"]: r["n"]
+            for r in tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        exact = {
+            (r["lang"], r["token"]): r["c"]
+            for r in tok.filter(F.col("token").isin(list(_CMS_PROBES)))
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+    finally:
+        tok.unpersist()
+    n_total = sum(n_by_lang.values())
+    for lang, n_scope in n_by_lang.items():
+        for t in _CMS_PROBES:
+            e, x = est[(lang, t)], exact.get((lang, t), 0)
+            assert x <= e <= x + _CMS_EPS * n_scope + 1, (lang, t, e, x)
+    for t in _CMS_PROBES:
+        x_glob = sum(exact.get((lang, t), 0) for lang in n_by_lang)
+        e = est[("merged", t)]
+        assert x_glob <= e <= x_glob + _CMS_EPS * n_total + 1, (t, e, x_glob)
+    assert est[("merged", "zz_absent_token")] <= _CMS_EPS * n_total + 1
