@@ -636,3 +636,79 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n_with_value"),
         dsum("value").alias("sum_value"),
     )
+
+
+# Lines injected into the permissive-read CSV: a bad-typed key, a
+# garbage line (both quarantine), and an arity-overflow row — which
+# Spark PERMISSIVE parses as GOOD, silently dropping the extra tokens
+# (a real ingest gotcha this query pins; see docstring).
+_CSV_BAD_LINES = (
+    "not_an_int,NATION_BAD",
+    "7,NATION_7,unexpected_extra_column",
+    "garbage line with no commas at all extra",
+)
+_CSV_N_CORRUPT = 2  # bad-typed + garbage; the arity row parses good
+_CSV_ARITY_KEY = 7  # the arity row's key joins the good-side sum
+
+
+@query(
+    "scan_csv_permissive",
+    oracle=f"""
+    SELECT 'good' AS kind, COUNT(*) + 1 AS n_rows,
+           SUM(n_nationkey) + {_CSV_ARITY_KEY} AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'corrupt' AS kind, {_CSV_N_CORRUPT} AS n_rows,
+           NULL AS key_sum
+    """,
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingestion — the PERMISSIVE read path a 100 TB
+    crawl ingest actually needs: malformed rows (bad types, garbage
+    lines) must neither kill the job (FAILFAST) nor silently vanish
+    (DROPMALFORMED); they land in the ``columnNameOfCorruptRecord``
+    column for quarantine and audit.
+
+    The fixture's nation table is written to CSV with three known-bad
+    lines injected, read back PERMISSIVE with an explicit schema, and
+    classified good/corrupt.  Both counts and the good-row key sum are
+    oracle-checked (nation aggregate + injected constants), so the
+    quarantine path — not just the happy path — is externally verified.
+
+    MEASURED GOTCHA the oracle pins: an ARITY-OVERFLOW row
+    ("7,NATION_7,extra") is NOT quarantined — Spark's PERMISSIVE parser
+    fills the declared columns positionally and silently drops trailing
+    extra tokens, so the row lands on the GOOD side (key 7 in the sum).
+    Production ingest that needs arity strictness must validate column
+    counts explicitly; only type failures and token-count underflow with
+    unparseable content reach the corrupt column.
+
+    Scale notes: the classification is one map-side pass; corrupt rows
+    shuffle nowhere (two-row aggregate).  At 100 TB the quarantine
+    column writes to a side sink and bad-row RATE is the job health
+    metric — this operator is that audit in miniature."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "csv_permissive")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n.coalesce(1).write.mode("overwrite").options(header=False).csv(path)
+    # inject malformed lines as their own shard file (deterministic)
+    bad_path = os.path.join(path, "part-bad.csv")
+    with open(bad_path, "w") as f:
+        for line in _CSV_BAD_LINES:
+            f.write(line + "\n")
+    back = spark.read.schema(
+        "n_nationkey int, n_name string, _corrupt string"
+    ).options(
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt"
+    ).csv(path)
+    kind = F.when(F.col("_corrupt").isNull(), "good").otherwise("corrupt")
+    return (
+        back.select(kind.alias("kind"), "n_nationkey")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("kind") == "good", F.col("n_nationkey"))).alias(
+                "key_sum"
+            ),
+        )
+    )
