@@ -522,3 +522,53 @@ def str_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@query(
+    "json_variant_ops",
+    oracle="""
+    SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS BIGINT)
+               AS k_bucket,
+           COUNT(*) AS n_events,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.absent') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_absent_hits
+    FROM events
+    GROUP BY CAST(json_extract(props, '$.k') AS INTEGER) // 10
+    """,
+)
+def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path — the modern semi-structured story beside
+    the string-JSON functions of ``json_ops``: ``parse_json`` builds a
+    binary VARIANT once, ``variant_get`` extracts typed fields with
+    JSONPath, ``try_variant_get`` on a missing path yields NULL (counted
+    here: must be zero hits).  At 100 TB this is the difference between
+    re-parsing a JSON string per expression and shredding once into a
+    columnar-friendly binary the reads share — the same move the
+    open-table formats standardize.
+
+    The VARIANT itself never leaves the plan (engines can't compare the
+    binary); everything emitted is typed scalars, so the whole path is
+    oracle-checked against DuckDB's json_extract."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    fields = ev.select(
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.absent", "int").alias("absent"),
+    )
+    return (
+        fields.select(
+            F.expr("div(k, 10)").alias("k_bucket"), "k", "absent"
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("absent").isNotNull(), 1).otherwise(0)).alias(
+                "n_absent_hits"
+            ),
+        )
+    )
