@@ -344,6 +344,9 @@ _SHUFFLE_BUDGET = {
     "text_bm25": 1,  # one 1-row stats agg; top-50 is TakeOrdered
     "text_entropy": 0,  # map-only: per-doc HOF fold, no explode
     "corpus_temperature_mix": 3,  # source agg + 1-row normalizer + reuse
+    "json_variant_ops": 1,  # one groupBy on the bucketed variant field
+    "scan_csv_permissive": 1,  # good/corrupt classification aggregate
+    "agg_countmin_mergeable": 0,  # emitted DF is driver model state
 }
 
 
