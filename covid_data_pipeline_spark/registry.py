@@ -85,6 +85,9 @@ _loaded = False
 #   sample_topk_per_group, ts_backfill_bfill, ts_resample_ohlc,
 #   scan_schema_evolution, source_python_stream,
 #   embed_matryoshka_truncate
+# plus the five oracle-backed queries ADDED in round 4 (text_bm25,
+# text_entropy, corpus_temperature_mix, scan_csv_permissive,
+# json_variant_ops) — 14 r5 candidates; gen_showcase.py recomputes.
 # (chosen as the lowest-risk deferrals: all are beyond-SURVEY-§2
 # extensions with stable, plan-asserted implementations; the TPC-H
 # analytics family, the dedup/text/multimodal flagships and this
