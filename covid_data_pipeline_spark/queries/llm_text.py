@@ -15,8 +15,11 @@ aggregate is on (term) or (doc, term) — never a cross product.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..io import load, tune
 from ..registry import query
@@ -833,4 +836,79 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(n.cast("double")) - s / n, 6).alias(
             "token_entropy_nats"
         ),
+    )
+
+
+# Deterministic dirty-unicode construction for text_unicode_normalize:
+# even doc_ids get the COMPOSED acute (U+00E1, already NFC), odd ones
+# the DECOMPOSED pair (a + U+0301, NFD) — so exactly the odd half
+# actually changes under NFC and the operator is never vacuous.
+_COMPOSED_A = "á"
+_DECOMPOSED_A = "á"
+
+
+@F.pandas_udf(T.StringType())
+def _nfc_udf(col: pd.Series) -> pd.Series:
+    """Arrow-batched NFC — Spark has no normalization built-in, so this
+    is a legitimate rung-2 UDF (vectorized, map-only)."""
+    import unicodedata
+
+    return col.map(lambda s: unicodedata.normalize("NFC", s))
+
+
+@query(
+    "text_unicode_normalize",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               replace(substr(text, 1, 80), 'a',
+                       CASE WHEN doc_id % 2 = 0
+                            THEN '{_COMPOSED_A}' ELSE '{_DECOMPOSED_A}' END)
+                   AS dirty
+        FROM documents
+    )
+    SELECT doc_id,
+           length(dirty) AS len_dirty,
+           length(nfc_normalize(dirty)) AS len_norm,
+           CAST(nfc_normalize(dirty) != dirty AS INTEGER) AS changed,
+           md5(nfc_normalize(dirty)) AS norm_md5
+    FROM dirty
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the first step of every real text-
+    cleaning pipeline (composed vs decomposed accents hash differently,
+    so exact dedup and fingerprinting are wrong until the corpus is
+    normalized).  Spark has no NFC built-in, so this is a legitimate
+    rung-2 Arrow UDF: unicodedata.normalize over pandas string blocks —
+    map-only, zero shuffle, linear scan at any scale.
+
+    The fixture corpus is pure ASCII (normalization would be the
+    identity — vacuous evidence, the round-3 lesson), so both engines
+    first build the SAME deterministic dirty column: 'a' swapped for a
+    composed acute on even doc_ids and a decomposed a+combining-acute
+    on odd ones.  The oracle normalizes with DuckDB's independent
+    nfc_normalize; agreement is asserted on codepoint lengths, a
+    changed flag (exactly the odd half), and the md5 of the normalized
+    bytes — two unrelated NFC implementations converging on identical
+    UTF-8."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    dirty = F.replace(
+        F.substring("text", 1, 80),
+        F.lit("a"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_COMPOSED_A)).otherwise(
+            F.lit(_DECOMPOSED_A)
+        ),
+    )
+    return (
+        d.select("doc_id", dirty.alias("dirty"))
+        .select("doc_id", "dirty", _nfc_udf("dirty").alias("norm"))
+        .select(
+            "doc_id",
+            F.length("dirty").alias("len_dirty"),
+            F.length("norm").alias("len_norm"),
+            (F.col("norm") != F.col("dirty")).cast("int").alias("changed"),
+            F.md5("norm").alias("norm_md5"),
+        )
     )

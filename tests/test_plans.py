@@ -347,6 +347,11 @@ _SHUFFLE_BUDGET = {
     "json_variant_ops": 1,  # one groupBy on the bucketed variant field
     "scan_csv_permissive": 1,  # good/corrupt classification aggregate
     "agg_countmin_mergeable": 0,  # emitted DF is driver model state
+    # grouping-sets agg counted once per union branch statically; AQE
+    # reuses the exchange at runtime (vs 5 for the naive two-branch plan)
+    "agg_bitmap_distinct": 4,
+    "win_moving_median": 1,  # one range-partition by supplier
+    "text_unicode_normalize": 0,  # map-only Arrow UDF, no shuffle
 }
 
 
