@@ -498,3 +498,92 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "l2", F.posexplode("head").alias("pos", "comp"))
         .select("vec_id", "pos", (F.col("comp") / F.col("l2")).alias("unit"))
     )
+
+
+# Fixed probe-query token set for sim_maxsim_rerank (all < 500, so they
+# exist at every fixture sf — the _CMS_PROBES pattern).
+_MAXSIM_QUERY_IDS = (3, 57, 211, 499)
+_MAXSIM_TOKENS_PER_DOC = 8
+
+
+@query(
+    "sim_maxsim_rerank",
+    oracle=f"""
+    WITH tok AS (
+        SELECT vec_id // {_MAXSIM_TOKENS_PER_DOC} AS doc_id, embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id IN {_MAXSIM_QUERY_IDS}
+    ),
+    best AS (
+        SELECT tok.doc_id, q.q_id,
+               MAX({_SQL_DOT.format(a='q.q_emb', b='tok.embedding')}
+                   / ({_SQL_NORM.format(a='q.q_emb')}
+                      * {_SQL_NORM.format(a='tok.embedding')})) AS m
+        FROM tok CROSS JOIN q
+        GROUP BY tok.doc_id, q.q_id
+    ),
+    scored AS (
+        SELECT doc_id,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), list(m ORDER BY q_id)),
+                   (acc, x) -> acc + x), 6) AS maxsim
+        FROM best GROUP BY doc_id
+    )
+    SELECT doc_id, maxsim FROM scored
+    ORDER BY maxsim DESC, doc_id LIMIT 10
+    """,
+)
+def sim_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim rerank — the multi-vector
+    retrieval scorer modern RAG stacks run between ANN candidate
+    generation and the LLM: each document is a BAG of token vectors
+    (here: {8} consecutive fixture vectors per doc), each query a small
+    token set, and score(d) = sum over query tokens q of
+    max over doc tokens t of cos(q, t).  Single-vector cosine
+    (sim_topk_neighbors) collapses a document to one point; MaxSim
+    keeps per-token granularity, which is why it reranks better.
+
+    Plan shape: the tiny query token set broadcasts against the token
+    table (corpus never shuffles — BroadcastNestedLoopJoin), one
+    partial-aggregated MAX per (doc, query-token), then a per-doc
+    ordered fold.  At 100 TB this runs AFTER an ANN prefilter
+    (sim_ann_ivf) so the token table is candidates-only — MaxSim is a
+    rerank, never a corpus scan per query.  Float discipline: cos uses
+    the fixed-order zip_with/aggregate fold (bit-identical to DuckDB's
+    list_reduce), MAX is order-free, and the final 4-term sum folds
+    over the q_id-sorted array in BOTH engines before one ROUND(6)."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings")
+    tok = e.select(
+        F.expr(f"vec_id div {_MAXSIM_TOKENS_PER_DOC}").alias("doc_id"),
+        _vec("embedding").alias("t_vec"),
+    )
+    q = e.filter(F.col("vec_id").isin(*_MAXSIM_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), _vec("embedding").alias("q_vec")
+    )
+    cos = _dot("q_vec", "t_vec") / (_norm("q_vec") * _norm("t_vec"))
+    best = (
+        tok.crossJoin(F.broadcast(q))
+        .groupBy("doc_id", "q_id")
+        .agg(F.max(cos).alias("m"))
+    )
+    per_doc = F.array_sort(
+        F.collect_list(F.struct(F.col("q_id"), F.col("m")))
+    )
+    score = F.round(
+        F.aggregate(
+            F.transform(per_doc, lambda x: x["m"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        best.groupBy("doc_id")
+        .agg(score.alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), "doc_id")
+        .limit(10)
+    )

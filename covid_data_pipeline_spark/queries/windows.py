@@ -775,3 +775,69 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_suppkey", "l_orderkey", "l_linenumber", med.alias("med_qty7")
     )
+
+
+@query(
+    "win_rolling_bitmap_distinct",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    idx AS (
+        SELECT day, user_id,
+               datediff('day', DATE '1992-01-01', day) AS di
+        FROM du
+    )
+    SELECT DISTINCT strftime(day, '%Y-%m-%d') AS day,
+           count(distinct user_id) OVER (
+               ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS users_7d
+    FROM idx
+    """,
+)
+def win_rolling_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day distinct users per day — the hard windowed
+    metric (distinct does not decompose over sliding frames, so the
+    naive answer re-scans 7 days of raw events per output day).  The
+    bitmap partials from the agg_bitmap_distinct family make it cheap:
+    one (day, bucket) bitmap per ingest day, a windowed bitmap_or_agg
+    over a RANGE frame per bucket, popcount, and a per-day sum across
+    buckets (buckets partition the id space, so the sum is exact).
+
+    Calendar-gap correctness: the OR-window runs over a (day x bucket)
+    SPINE (distinct days cross-joined with active buckets, bitmaps
+    left-joined on), so a bucket silent on day d still contributes its
+    six-day-old users to d's frame — a ROWS frame over present-only
+    rows would misalign.  The RANGE frame keys on an integer day index,
+    which also handles missing calendar days.  At 100 TB: days x
+    buckets is ~365 x (max_id / 32768) rows — the spine is tiny
+    relative to events, the raw scan happens once, and every window
+    row carries a fixed 4 KB blob.  The DuckDB oracle computes the
+    same metric as a windowed COUNT(DISTINCT) over the (day, user)
+    pairs — same numbers from a completely different mechanism."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    epoch = F.lit("1992-01-01").cast("date")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day_d"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("day_d", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .withColumn("di", F.datediff("day_d", epoch))
+    )
+    days = daily.select("day_d", "di").distinct()
+    buckets = daily.select("bucket").distinct()
+    grid = days.crossJoin(F.broadcast(buckets)).join(
+        daily, ["day_d", "di", "bucket"], "left"
+    )
+    w = Window.partitionBy("bucket").orderBy("di").rangeBetween(-6, 0)
+    rolled = grid.select(
+        "day_d",
+        F.bitmap_count(F.expr("bitmap_or_agg(bm)").over(w)).alias("cnt"),
+    )
+    return rolled.groupBy(
+        F.date_format("day_d", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.coalesce("cnt", F.lit(0))).alias("users_7d"))

@@ -352,6 +352,10 @@ _SHUFFLE_BUDGET = {
     "agg_bitmap_distinct": 4,
     "win_moving_median": 1,  # one range-partition by supplier
     "text_unicode_normalize": 0,  # map-only Arrow UDF, no shuffle
+    "sim_maxsim_rerank": 2,  # (doc,q) max + per-doc fold; top-10 TakeOrdered
+    # daily-bitmap exchange counted once per spine branch statically
+    # (AQE reuses it); only the first carries event-sized data
+    "win_rolling_bitmap_distinct": 5,
 }
 
 
