@@ -818,3 +818,232 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_value"], m["n_urgent"])],
         "n_rows bigint, total_value double, n_urgent bigint",
     )
+
+
+@query(
+    "quality_expectations",
+    oracle="""
+    WITH o AS (
+        SELECT CASE WHEN o_orderkey % 500 = 3 THEN o_orderkey - 1
+                    ELSE o_orderkey END AS k,
+               CASE WHEN o_orderkey % 400 = 0 THEN NULL
+                    ELSE o_custkey END AS ck,
+               CASE WHEN o_orderkey % 397 = 0 THEN -o_totalprice
+                    ELSE o_totalprice END AS tp,
+               o_orderstatus AS st
+        FROM orders
+    ),
+    li AS (
+        SELECT CASE WHEN l_orderkey % 1009 = 0 THEN l_orderkey + 1000000000
+                    ELSE l_orderkey END AS fk,
+               l_discount
+        FROM lineitem
+    ),
+    checks AS (
+        SELECT 'orders.o_orderkey unique' AS expectation,
+               COUNT(*) - COUNT(DISTINCT k) AS violations FROM o
+        UNION ALL
+        SELECT 'orders.o_custkey not null',
+               COUNT(CASE WHEN ck IS NULL THEN 1 END) FROM o
+        UNION ALL
+        SELECT 'orders.o_totalprice positive',
+               COUNT(CASE WHEN tp <= 0 THEN 1 END) FROM o
+        UNION ALL
+        SELECT 'orders.o_orderstatus domain',
+               COUNT(CASE WHEN st NOT IN ('F', 'O', 'P') THEN 1 END) FROM o
+        UNION ALL
+        SELECT 'lineitem.l_orderkey fk orders', COUNT(*) FROM li
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = li.fk)
+        UNION ALL
+        SELECT 'lineitem.l_discount in [0,0.1]',
+               COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+        FROM li
+    )
+    SELECT expectation, violations,
+           CAST(violations = 0 AS INTEGER) AS passed
+    FROM checks
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/dbt-test shape):
+    uniqueness, non-null, value-domain, range, and cross-table
+    referential integrity, emitted as one (expectation, violations,
+    passed) row each — the audit table every ingest job should publish
+    next to its data.
+
+    The fixture is clean (every check would pass — vacuous evidence),
+    so both engines audit the SAME deterministically corrupted twin:
+    key collisions on o_orderkey%500=3, NULL custkeys on %400, negative
+    prices on %397, dangling lineitem FKs on %1009 — those four checks
+    fail with exact known counts while the status-domain and
+    discount-range checks stay genuinely green, so both outcome paths
+    are witnessed.
+
+    Scale shape: ALL per-table checks ride ONE aggregate over that
+    table (count/conditional-count/count-distinct partials fused in a
+    single pass — no per-check re-scan), assembled with inline() from
+    the 1-row result; only the FK check needs a second relation (anti
+    join; at 100 TB put a bloom filter of dim keys in front so the
+    probe side short-circuits map-side)."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 500 == 3, F.col("o_orderkey") - 1)
+        .otherwise(F.col("o_orderkey"))
+        .alias("k"),
+        F.when(F.col("o_orderkey") % 400 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("ck"),
+        F.when(F.col("o_orderkey") % 397 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("tp"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 1009 == 0, F.col("l_orderkey") + 1000000000
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("fk"),
+        "l_discount",
+    )
+    orders_checks = (
+        o.agg(
+            (F.count(F.lit(1)) - F.count_distinct("k")).alias("v_unique"),
+            F.count(F.when(F.col("ck").isNull(), 1)).alias("v_null"),
+            F.count(F.when(F.col("tp") <= 0, 1)).alias("v_price"),
+            F.count(F.when(~F.col("st").isin("F", "O", "P"), 1)).alias(
+                "v_domain"
+            ),
+        )
+        .select(
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit("orders.o_orderkey unique").alias("expectation"),
+                        F.col("v_unique").alias("violations"),
+                    ),
+                    F.struct(
+                        F.lit("orders.o_custkey not null").alias(
+                            "expectation"
+                        ),
+                        F.col("v_null").alias("violations"),
+                    ),
+                    F.struct(
+                        F.lit("orders.o_totalprice positive").alias(
+                            "expectation"
+                        ),
+                        F.col("v_price").alias("violations"),
+                    ),
+                    F.struct(
+                        F.lit("orders.o_orderstatus domain").alias(
+                            "expectation"
+                        ),
+                        F.col("v_domain").alias("violations"),
+                    ),
+                )
+            )
+        )
+    )
+    fk_check = (
+        li.join(
+            load(spark, sf_dir, "orders").select("o_orderkey"),
+            li["fk"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.lit("lineitem.l_orderkey fk orders").alias("expectation"),
+            "violations",
+        )
+    )
+    discount_check = li.agg(
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+        ).alias("violations")
+    ).select(
+        F.lit("lineitem.l_discount in [0,0.1]").alias("expectation"),
+        "violations",
+    )
+    return (
+        orders_checks.unionByName(fk_check)
+        .unionByName(discount_check)
+        .select(
+            "expectation",
+            "violations",
+            (F.col("violations") == 0).cast("int").alias("passed"),
+        )
+    )
+
+
+@query(
+    "pipeline_snapshot_diff",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.05
+                    ELSE o_totalprice END AS tp
+        FROM orders WHERE o_orderkey % 89 != 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_totalprice
+        FROM orders WHERE o_orderkey % 83 = 0
+    ),
+    d AS (
+        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'removed'
+                    WHEN a.o_totalprice != b.tp THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(b.tp, 0) - COALESCE(a.o_totalprice, 0) AS delta
+        FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.k
+    )
+    SELECT status, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(delta AS DECIMAL(28,6))) AS DOUBLE) AS price_delta
+    FROM d GROUP BY status
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the CDC audit between two versions of a
+    table (yesterday's load vs today's): FULL OUTER join on the key,
+    classify each row added / removed / changed / unchanged, report
+    per-status counts and the net value drift.  This is the diff the
+    reference's change-detection pipeline produced per scan run, lifted
+    to whole-table grain.
+
+    Snapshot B is derived deterministically from A in BOTH engines
+    (deletes on key%89, 5% price updates on %97, inserts as key+1e9
+    twins on %83), so every status bucket is non-empty and the counts
+    are exact knowns — no vacuous branch.  Scale shape: one shuffle
+    per side on the join key (the partitioning a snapshot store should
+    already be bucketed by, which would make this exchange-free); the
+    drift sum goes through the decimal trick so it is order-exact.
+    At 100 TB prefer storing per-partition row hashes and diffing
+    hashes first — only hash-unequal partitions need the row join."""
+    tune(spark)
+    a = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = a.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 1.05
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("tp"),
+    ).unionAll(
+        a.filter(F.col("o_orderkey") % 83 == 0).select(
+            (F.col("o_orderkey") + 1000000000).alias("k"),
+            F.col("o_totalprice").alias("tp"),
+        )
+    )
+    d = a.join(b, a["o_orderkey"] == b["k"], "full_outer").select(
+        F.when(a["o_orderkey"].isNull(), "added")
+        .when(b["k"].isNull(), "removed")
+        .when(a["o_totalprice"] != b["tp"], "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce(b["tp"], F.lit(0.0))
+            - F.coalesce(a["o_totalprice"], F.lit(0.0))
+        ).alias("delta"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("delta").cast(DEC)).cast("double").alias("price_delta"),
+    )

@@ -356,6 +356,10 @@ _SHUFFLE_BUDGET = {
     # daily-bitmap exchange counted once per spine branch statically
     # (AQE reuses it); only the first carries event-sized data
     "win_rolling_bitmap_distinct": 5,
+    # one fused audit agg per table + the FK anti join (each global agg
+    # adds a SinglePartition exchange)
+    "quality_expectations": 4,
+    "pipeline_snapshot_diff": 3,  # join key x2 + per-status agg
 }
 
 
