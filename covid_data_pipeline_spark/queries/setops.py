@@ -143,3 +143,55 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _slice(spark, sf_dir, "BUILDING").select("c_nationkey")
     b = _slice(spark, sf_dir, "MACHINERY").select("c_nationkey")
     return a.intersectAll(b)
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE org AS (
+        SELECT CAST(0 AS BIGINT) AS user_id, CAST(0 AS INTEGER) AS depth,
+               '0' AS path
+        UNION ALL
+        SELECT u.user_id, org.depth + 1,
+               CONCAT(org.path, '/', CAST(u.user_id AS VARCHAR))
+        FROM (SELECT DISTINCT user_id FROM events) u
+        JOIN org ON u.user_id // 2 = org.user_id
+        WHERE u.user_id != 0
+    )
+    SELECT user_id, depth, path FROM org
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) — iterated UNION ALL,
+    the declarative form of the frontier loop dedup_cluster_cc hand
+    rolls: materialize a deterministic org tree over the event users
+    (parent(k) = k div 2, rooted at 0) and emit each node's depth and
+    root path.  Hierarchies, BOM explosions, and graph reachability
+    are the queries this unlocks without driver-side iteration.
+
+    Execution shape: each recursion step is one join of the FRONTIER
+    (the previous step's output, small) against the node set — Spark
+    broadcasts it when small, and the step count is bounded by the
+    hierarchy depth (log-scale here: ~11 levels at 2000 users), NOT
+    by data volume; at 100 TB the node set stays partitioned in place
+    while only frontier deltas move, the same asymptotics as the CC
+    operator.  Dialect twins: DuckDB `//` vs Spark `div` integer
+    division, CONCAT for the path in both."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    ev.select("user_id").distinct().createOrReplaceTempView("rc_users")
+    return spark.sql(
+        """
+        WITH RECURSIVE org AS (
+            SELECT CAST(0 AS BIGINT) AS user_id, CAST(0 AS INT) AS depth,
+                   '0' AS path
+            UNION ALL
+            SELECT u.user_id, org.depth + 1,
+                   CONCAT(org.path, '/', CAST(u.user_id AS STRING))
+            FROM rc_users u
+            JOIN org ON u.user_id DIV 2 = org.user_id
+            WHERE u.user_id != 0
+        )
+        SELECT user_id, depth, path FROM org
+        """
+    )

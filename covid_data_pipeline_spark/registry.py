@@ -85,9 +85,13 @@ _loaded = False
 #   sample_topk_per_group, ts_backfill_bfill, ts_resample_ohlc,
 #   scan_schema_evolution, source_python_stream,
 #   embed_matryoshka_truncate
-# plus the five oracle-backed queries ADDED in round 4 (text_bm25,
+# plus the oracle-backed queries ADDED in round 4 (text_bm25,
 # text_entropy, corpus_temperature_mix, scan_csv_permissive,
-# json_variant_ops) — 14 r5 candidates; gen_showcase.py recomputes.
+# json_variant_ops, agg_bitmap_distinct, win_moving_median,
+# text_unicode_normalize, sim_maxsim_rerank,
+# win_rolling_bitmap_distinct, quality_expectations,
+# pipeline_snapshot_diff, sql_recursive_hierarchy) — 22 r5
+# candidates; gen_showcase.py recomputes.
 # (chosen as the lowest-risk deferrals: all are beyond-SURVEY-§2
 # extensions with stable, plan-asserted implementations; the TPC-H
 # analytics family, the dedup/text/multimodal flagships and this

@@ -41,6 +41,9 @@ _QUERIES = (
     "ts_ema_level",
     "agg_countmin_mergeable",
     "dedup_embedding_cosine",
+    "sim_maxsim_rerank",
+    "win_moving_median",
+    "pipeline_snapshot_diff",
 )
 
 _GEOMETRIES = (
