@@ -133,6 +133,22 @@ SHOWN = (
         "key on uniform sha256, skew-free by construction.",
         False,
     ),
+    (
+        "sim_maxsim_rerank",
+        "Query token set broadcast against the token table (corpus never "
+        "shuffles); per-(doc, q) MAX partial-aggregates map-side; top-10 "
+        "is TakeOrderedAndProject — MaxSim as a rerank, not a corpus "
+        "scan per query.",
+        False,
+    ),
+    (
+        "win_rolling_bitmap_distinct",
+        "Raw events aggregate ONCE into (day, bucket) bitmaps; the "
+        "OR-window partitions by bucket over the broadcast day spine; "
+        "every window row is a fixed 4 KB blob — exact sliding distinct "
+        "without re-scanning raw data per day.",
+        True,
+    ),
 )
 
 
