@@ -1047,3 +1047,52 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("delta").cast(DEC)).cast("double").alias("price_delta"),
     )
+
+
+@query(
+    "pipeline_partition_checksum",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d')), 1, 15)) AS BIGINT))
+               AS row_xor,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY month
+    """,
+)
+def pipeline_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-partition content checksums — the primitive
+    behind pipeline_snapshot_diff's 100 TB note (and Snowflake's
+    HASH_AGG): XOR of per-row hashes, keyed by the storage partition
+    (order month).  Two snapshots with equal (checksum, count) per
+    partition are identical there — diff only partitions whose
+    checksums moved, the rsync pattern; at 100 TB this turns daily
+    reconciliation from a full-table join into a few-hundred-row
+    compare plus row-joins on the changed partitions only.
+
+    XOR is commutative/associative, so the checksum is partitioning-
+    and order-invariant with plain map-side partial aggregation; the
+    row count rides along because XOR alone is blind to duplicated
+    pairs (they cancel).  Cross-engine discipline: every hashed field
+    is explicitly formatted first (decimal(18,2) for the price, ISO
+    date) — hashing raw double/date string renderings would couple the
+    checksum to engine formatting; the 60-bit hash prefix keeps the
+    value in int64 for both engines."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.bit_xor(h).alias("row_xor"), F.count(F.lit(1)).alias("n_rows"))

@@ -44,6 +44,7 @@ _QUERIES = (
     "sim_maxsim_rerank",
     "win_moving_median",
     "pipeline_snapshot_diff",
+    "pipeline_partition_checksum",
 )
 
 _GEOMETRIES = (

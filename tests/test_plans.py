@@ -360,6 +360,7 @@ _SHUFFLE_BUDGET = {
     # adds a SinglePartition exchange)
     "quality_expectations": 4,
     "pipeline_snapshot_diff": 3,  # join key x2 + per-status agg
+    "pipeline_partition_checksum": 1,  # one partial-agg'd XOR rollup
 }
 
 
