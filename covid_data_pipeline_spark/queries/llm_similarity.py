@@ -540,7 +540,7 @@ def sim_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style late-interaction MaxSim rerank — the multi-vector
     retrieval scorer modern RAG stacks run between ANN candidate
     generation and the LLM: each document is a BAG of token vectors
-    (here: {8} consecutive fixture vectors per doc), each query a small
+    (here: 8 consecutive fixture vectors per doc, _MAXSIM_TOKENS_PER_DOC), each query a small
     token set, and score(d) = sum over query tokens q of
     max over doc tokens t of cos(q, t).  Single-vector cosine
     (sim_topk_neighbors) collapses a document to one point; MaxSim

@@ -841,8 +841,9 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic dirty-unicode construction for text_unicode_normalize:
 # even doc_ids get the COMPOSED acute (U+00E1, already NFC), odd ones
-# the DECOMPOSED pair (a + U+0301, NFD) — so exactly the odd half
-# actually changes under NFC and the operator is never vacuous.
+# the DECOMPOSED pair (a + U+0301, NFD) — so the odd half (every odd
+# doc whose first 80 chars contain an 'a') actually changes under NFC
+# and the operator is never vacuous.
 _COMPOSED_A = "á"
 _DECOMPOSED_A = "á"
 
@@ -889,7 +890,8 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed acute on even doc_ids and a decomposed a+combining-acute
     on odd ones.  The oracle normalizes with DuckDB's independent
     nfc_normalize; agreement is asserted on codepoint lengths, a
-    changed flag (exactly the odd half), and the md5 of the normalized
+    changed flag (the odd half, minus any doc whose first 80 chars
+    lack an 'a'), and the md5 of the normalized
     bytes — two unrelated NFC implementations converging on identical
     UTF-8."""
     tune(spark)

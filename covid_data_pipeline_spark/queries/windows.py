@@ -777,6 +777,39 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_bitmap_lazy(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build (persisted daily-bitmap partials, lazy result) for
+    win_rolling_bitmap_distinct from an events-shaped frame — shared
+    with experiments/rolling_distinct_ab.py so the A/B always measures
+    the shipped formulation.  Caller owns unpersisting the first
+    element after consuming the second."""
+    epoch = F.lit("1992-01-01").cast("date")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day_d"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("day_d", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .withColumn("di", F.datediff("day_d", epoch))
+    ).persist()
+    days = daily.select("day_d", "di").distinct()
+    buckets = daily.select("bucket").distinct()
+    grid = days.crossJoin(F.broadcast(buckets)).join(
+        daily, ["day_d", "di", "bucket"], "left"
+    )
+    w = Window.partitionBy("bucket").orderBy("di").rangeBetween(-6, 0)
+    rolled = grid.select(
+        "day_d",
+        F.bitmap_count(F.expr("bitmap_or_agg(bm)").over(w)).alias("cnt"),
+    )
+    out = rolled.groupBy(
+        F.date_format("day_d", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.coalesce("cnt", F.lit(0))).alias("users_7d"))
+    return daily, out
+
+
 @query(
     "win_rolling_bitmap_distinct",
     oracle="""
@@ -809,35 +842,24 @@ def win_rolling_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-joined on), so a bucket silent on day d still contributes its
     six-day-old users to d's frame — a ROWS frame over present-only
     rows would misalign.  The RANGE frame keys on an integer day index,
-    which also handles missing calendar days.  At 100 TB: days x
-    buckets is ~365 x (max_id / 32768) rows — the spine is tiny
-    relative to events, the raw scan happens once, and every window
-    row carries a fixed 4 KB blob.  The DuckDB oracle computes the
-    same metric as a windowed COUNT(DISTINCT) over the (day, user)
-    pairs — same numbers from a completely different mechanism."""
+    which also handles missing calendar days.
+
+    Single-scan discipline: the spine's days/buckets derive from the
+    SAME daily-partials DataFrame, which is PERSISTED — without the
+    persist, Catalyst rewrites distinct-of-grouping-key straight onto
+    the base table and plans three independent event scans (caught by
+    the round-4 diff review; test_plans.py now pins one scan).  The
+    persisted partials are exactly the (day, bucket, bitmap) table the
+    100 TB design stores at ingest: days x buckets rows, 4 KB each.
+    The day-grain result (one row per calendar day at any scale) is
+    localized eagerly so the cache can be released — the udf_suite
+    pattern.  The DuckDB oracle computes the same metric as a windowed
+    COUNT(DISTINCT) over (day, user) pairs — same numbers from a
+    completely different mechanism."""
     tune(spark)
-    ev = load(spark, sf_dir, "events")
-    epoch = F.lit("1992-01-01").cast("date")
-    daily = (
-        ev.select(
-            F.col("ts").cast("date").alias("day_d"),
-            F.bitmap_bucket_number("user_id").alias("bucket"),
-            F.bitmap_bit_position("user_id").alias("pos"),
-        )
-        .groupBy("day_d", "bucket")
-        .agg(F.bitmap_construct_agg("pos").alias("bm"))
-        .withColumn("di", F.datediff("day_d", epoch))
-    )
-    days = daily.select("day_d", "di").distinct()
-    buckets = daily.select("bucket").distinct()
-    grid = days.crossJoin(F.broadcast(buckets)).join(
-        daily, ["day_d", "di", "bucket"], "left"
-    )
-    w = Window.partitionBy("bucket").orderBy("di").rangeBetween(-6, 0)
-    rolled = grid.select(
-        "day_d",
-        F.bitmap_count(F.expr("bitmap_or_agg(bm)").over(w)).alias("cnt"),
-    )
-    return rolled.groupBy(
-        F.date_format("day_d", "yyyy-MM-dd").alias("day")
-    ).agg(F.sum(F.coalesce("cnt", F.lit(0))).alias("users_7d"))
+    daily, out = _rolling_bitmap_lazy(load(spark, sf_dir, "events"))
+    try:
+        rows = out.collect()
+    finally:
+        daily.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, Window, functions as F  # noqa: E402
 
+from covid_data_pipeline_spark.queries.windows import (  # noqa: E402
+    _rolling_bitmap_lazy,
+)
 from covid_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,30 +56,10 @@ def widen(ev: DataFrame, w: int) -> DataFrame:
     )
 
 
-def arm_bitmap(ev: DataFrame) -> DataFrame:
-    epoch = F.lit("1992-01-01").cast("date")
-    daily = (
-        ev.select(
-            F.col("ts").cast("date").alias("day_d"),
-            F.bitmap_bucket_number("user_id").alias("bucket"),
-            F.bitmap_bit_position("user_id").alias("pos"),
-        )
-        .groupBy("day_d", "bucket")
-        .agg(F.bitmap_construct_agg("pos").alias("bm"))
-        .withColumn("di", F.datediff("day_d", epoch))
-    )
-    days = daily.select("day_d", "di").distinct()
-    buckets = daily.select("bucket").distinct()
-    grid = days.crossJoin(F.broadcast(buckets)).join(
-        daily, ["day_d", "di", "bucket"], "left"
-    )
-    w = Window.partitionBy("bucket").orderBy("di").rangeBetween(-6, 0)
-    rolled = grid.select(
-        "day_d", F.bitmap_count(F.expr("bitmap_or_agg(bm)").over(w)).alias("cnt")
-    )
-    return rolled.groupBy("day_d").agg(
-        F.sum(F.coalesce("cnt", F.lit(0))).alias("users_7d")
-    )
+def arm_bitmap(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The SHIPPED formulation — imported from the query module so this
+    A/B can never drift from what win_rolling_bitmap_distinct runs."""
+    return _rolling_bitmap_lazy(ev)
 
 
 def arm_naive(ev: DataFrame) -> DataFrame:
@@ -94,10 +77,10 @@ def arm_naive(ev: DataFrame) -> DataFrame:
     )
 
 
-def timed(df: DataFrame) -> tuple[float, int]:
+def timed(df: DataFrame) -> tuple[float, list]:
     t0 = time.perf_counter()
     rows = df.collect()
-    return time.perf_counter() - t0, len(rows)
+    return time.perf_counter() - t0, rows
 
 
 def main() -> None:
@@ -108,10 +91,15 @@ def main() -> None:
     for w in WIDENINGS:
         wide = widen(ev, w).cache()
         wide.count()
-        tb, nb = timed(arm_bitmap(wide))
-        tn, nn = timed(arm_naive(wide))
-        a = {tuple(r) for r in arm_bitmap(wide).collect()}
-        b = {tuple(r) for r in arm_naive(wide).collect()}
+        daily, out = arm_bitmap(wide)
+        try:
+            tb, rows_b = timed(out)
+        finally:
+            daily.unpersist()
+        tn, rows_n = timed(arm_naive(wide))
+        # the shipped arm emits day as a string; align for the compare
+        a = {(str(r[0]), r[1]) for r in rows_b}
+        b = {(str(r[0]), r[1]) for r in rows_n}
         users = wide.select("user_id").distinct().count()
         print(f"{w:>6} {users:>10} {tb:>9.2f} {tn:>8.2f} {a == b!s:>6}")
         assert a == b, f"arms disagree at widen={w}"

@@ -164,6 +164,22 @@ def test_bucketed_join_has_no_shuffle(spark):
     )
 
 
+def test_rolling_bitmap_distinct_scans_events_once(spark):
+    """The spine (days, buckets) must come from the PERSISTED daily
+    partials, not three independent re-scans of events — without the
+    persist, Catalyst rewrites distinct-of-grouping-key onto the base
+    table and plans three parquet scans (round-4 diff-review find)."""
+    from covid_data_pipeline_spark.io import load
+    from covid_data_pipeline_spark.queries.windows import _rolling_bitmap_lazy
+
+    daily, out = _rolling_bitmap_lazy(load(spark, SF_ORACLE, "events"))
+    try:
+        plan = plan_of(out, mode="simple")
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        daily.unpersist()
+
+
 def test_sample_is_map_only_broadcast(spark):
     """Deterministic sampling must not shuffle the corpus: the rate dim
     is broadcast and the hash predicate evaluates map-side."""
@@ -353,9 +369,6 @@ _SHUFFLE_BUDGET = {
     "win_moving_median": 1,  # one range-partition by supplier
     "text_unicode_normalize": 0,  # map-only Arrow UDF, no shuffle
     "sim_maxsim_rerank": 2,  # (doc,q) max + per-doc fold; top-10 TakeOrdered
-    # daily-bitmap exchange counted once per spine branch statically
-    # (AQE reuses it); only the first carries event-sized data
-    "win_rolling_bitmap_distinct": 5,
     # one fused audit agg per table + the FK anti join (each global agg
     # adds a SinglePartition exchange)
     "quality_expectations": 4,
