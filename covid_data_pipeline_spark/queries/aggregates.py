@@ -800,3 +800,85 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("global").alias("scope"), "exact_users")
     )
     return per_type.unionByName(global_)
+
+
+# Static segment dictionary for agg_bitmap_overlap (the fixture's full
+# event_type domain at every sf — the _CMS_PROBES pattern): a domain
+# CONSTANT, so pair generation never re-scans events for a type list.
+_OVERLAP_TYPES = ("click", "error", "purchase", "signup", "view")
+_SQL_TYPE_LIST = "[" + ", ".join(f"'{t}'" for t in _OVERLAP_TYPES) + "]"
+
+
+@query(
+    "agg_bitmap_overlap",
+    oracle=f"""
+    WITH types(t) AS (
+        SELECT unnest({_SQL_TYPE_LIST})
+    ),
+    pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b
+        FROM types a JOIN types b ON a.t < b.t
+    )
+    SELECT p.type_a, p.type_b,
+           (SELECT COUNT(DISTINCT e.user_id) FROM events e
+            WHERE e.event_type = p.type_a
+              AND e.user_id IN (SELECT user_id FROM events
+                                WHERE event_type = p.type_b))
+               AS overlap_users
+    FROM pairs p
+    """,
+)
+def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience overlap between every event-type pair — the
+    segment-intersection question (|viewers ∩ purchasers|) HLL sketches
+    cannot answer (they union but never intersect) and naive SQL
+    answers with a per-pair self-join of raw events.  The bitmap
+    partials answer it by INCLUSION-EXCLUSION per id-bucket:
+    |A ∩ B|_bucket = |A|_b + |B|_b - |A ∪ B|_b, where the union count
+    comes from bitmap_or_agg over the pair's tagged partials; summing
+    over buckets gives the exact global overlap because buckets
+    partition the id space.
+
+    Plan shape: ONE aggregation of events into (event_type, bucket)
+    bitmaps; the tiny type-pair dim (T(T-1)/2 rows) broadcasts onto
+    the partials, and all three counts per (pair, bucket) — |A|, |B|,
+    |A∪B| — come out of a SINGLE downstream aggregate over the same
+    subtree, so events is scanned once (the round-4 single-scan
+    discipline, no cache needed: one consumer tree).  At 100 TB the
+    pair stage works on days x buckets blob rows, never raw events;
+    the oracle recomputes each overlap data-sized with
+    COUNT(DISTINCT) + IN."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    partials = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .withColumn("cnt", F.bitmap_count("bm"))
+    )
+    from itertools import combinations
+
+    pairs = spark.createDataFrame(
+        list(combinations(_OVERLAP_TYPES, 2)), "type_a string, type_b string"
+    )
+    tagged = partials.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    per_bucket = tagged.groupBy("type_a", "type_b", "bucket").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("u"),
+        F.sum(F.when(F.col("event_type") == F.col("type_a"), F.col("cnt"))).alias("ca"),
+        F.sum(F.when(F.col("event_type") == F.col("type_b"), F.col("cnt"))).alias("cb"),
+    )
+    return per_bucket.groupBy("type_a", "type_b").agg(
+        (
+            F.sum(F.coalesce("ca", F.lit(0)))
+            + F.sum(F.coalesce("cb", F.lit(0)))
+            - F.sum("u")
+        ).alias("overlap_users")
+    )

@@ -164,6 +164,14 @@ def test_bucketed_join_has_no_shuffle(spark):
     )
 
 
+def test_bitmap_overlap_scans_events_once(spark):
+    """Pair generation uses the static segment dictionary — deriving the
+    type list from events re-scans the table twice via Catalyst's
+    distinct-pushdown (the round-4 review trap)."""
+    plan = plan_of(q("agg_bitmap_overlap", spark), mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_rolling_bitmap_distinct_scans_events_once(spark):
     """The spine (days, buckets) must come from the PERSISTED daily
     partials, not three independent re-scans of events — without the
@@ -374,6 +382,9 @@ _SHUFFLE_BUDGET = {
     "quality_expectations": 4,
     "pipeline_snapshot_diff": 3,  # join key x2 + per-status agg
     "pipeline_partition_checksum": 1,  # one partial-agg'd XOR rollup
+    # partials agg + per-(pair,bucket) or_agg + final pair agg;
+    # events scanned ONCE (static segment dictionary, no type re-scan)
+    "agg_bitmap_overlap": 3,
 }
 
 
