@@ -882,3 +882,71 @@ def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("u")
         ).alias("overlap_users")
     )
+
+
+@query(
+    "agg_approx_topk_mergeable",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    per_lang AS (
+        SELECT lang AS scope, token, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER (PARTITION BY lang) AS tot
+        FROM tok GROUP BY lang, token
+    ),
+    merged AS (
+        SELECT 'merged' AS scope, token, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER () AS tot
+        FROM tok GROUP BY token
+    )
+    SELECT scope, token, cnt FROM per_lang WHERE cnt * 100 >= tot
+    UNION ALL
+    SELECT scope, token, cnt FROM merged WHERE cnt * 100 >= tot
+    """,
+)
+def agg_approx_topk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE heavy-hitters sketches (DataSketches frequent-items via
+    Spark's approx_top_k_accumulate / _combine / _estimate) — the
+    top-k member that completes the sketch family (HLL distinct, CMS
+    point frequency, bitmap exact distinct): one sketch per language,
+    combined into the corpus-wide sketch WITHOUT re-touching tokens,
+    both estimated and filtered to items holding >= 1% of their scope
+    (an integer-exact share test: cnt*100 >= total, no float).
+
+    Why this sketch query IS hash-checkable against an exact oracle
+    (unlike the HLL/CMS rows-only siblings): with maxItemsTracked
+    (default 10000) >= the vocabulary, the frequent-items sketch
+    degrades to an exact counter and combine adds exactly — the
+    fixture's closed 31-token vocabulary guarantees it at every sf.
+    At open-vocabulary scale the same plan returns approximations
+    with one-sided error bounds; the 1%-share cut is then the
+    guaranteed-coverage regime (any item above eps x N survives).
+    Scale shape: explode aggregates map-side into per-lang sketch
+    buffers (bytes per scope, not per token); the merge is one
+    sketch-sized reduce."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    per_lang = tok.groupBy("lang").agg(
+        F.expr("approx_top_k_accumulate(token, 128)").alias("sk")
+    )
+    merged = per_lang.agg(F.expr("approx_top_k_combine(sk)").alias("sk")).select(
+        F.lit("merged").alias("scope"),
+        F.expr("approx_top_k_estimate(sk, 128)").alias("e"),
+    )
+    est = per_lang.select(
+        F.col("lang").alias("scope"),
+        F.expr("approx_top_k_estimate(sk, 128)").alias("e"),
+    ).unionByName(merged)
+    tot = F.aggregate(
+        F.transform("e", lambda x: x["count"]), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        est.select("scope", tot.alias("tot"), F.explode("e").alias("x"))
+        .select("scope", F.col("x.item").alias("token"), F.col("x.count").alias("cnt"), "tot")
+        .filter(F.col("cnt") * 100 >= F.col("tot"))
+        .drop("tot")
+    )

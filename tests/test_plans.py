@@ -172,6 +172,17 @@ def test_bitmap_overlap_scans_events_once(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_topk_sketch_reuses_per_lang_aggregate(spark):
+    """The est and merged branches both consume the per-lang sketch
+    aggregate; AQE must reuse that exchange so documents is scanned
+    once at runtime (statically the subtree prints twice)."""
+    df = q("agg_approx_topk_mergeable", spark)
+    df.collect()
+    final = plan_of(df, mode="simple").split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert "ReusedExchange" in final, final
+
+
 def test_rolling_bitmap_distinct_scans_events_once(spark):
     """The spine (days, buckets) must come from the PERSISTED daily
     partials, not three independent re-scans of events — without the
@@ -385,6 +396,9 @@ _SHUFFLE_BUDGET = {
     # partials agg + per-(pair,bucket) or_agg + final pair agg;
     # events scanned ONCE (static segment dictionary, no type re-scan)
     "agg_bitmap_overlap": 3,
+    # per-lang sketch agg (reused at runtime, see dedicated test) +
+    # combine + the est/merged union
+    "agg_approx_topk_mergeable": 3,
 }
 
 
