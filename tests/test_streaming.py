@@ -397,3 +397,14 @@ def test_transform_with_state_matches_apply_in_pandas(spark):
         for r in load_all()["stream_stateful_totals"].fn(spark, SF_SMOKE).collect()
     }
     assert tws == apis
+
+
+def test_stream_bitmap_partials_equals_batch(spark):
+    """Incremental bitmap construction must produce byte-identical blobs
+    to batch: compare (day, bucket, popcount, md5-of-bitmap-bytes)."""
+    batch = TR.daily_bitmap_partials(load(spark, SF_SMOKE, "events"))
+    stream = run_available_now(
+        TR.daily_bitmap_partials(read_events_stream(spark, SF_SMOKE))
+    )
+    cols = ["day_us", "bucket", "n_users", "bm_md5"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
