@@ -687,7 +687,34 @@ _CMS_CONF = 0.99
 _CMS_SEED = 42
 
 
-@query("agg_countmin_mergeable", oracle=None)  # rows-only: sketch estimates
+_SQL_CMS_PROBES = "[" + ", ".join(f"'{t}'" for t in (
+    "join", "hash", "row", "scan", "filter", "window", "batch",
+    "zz_absent_token",
+)) + "]"
+
+
+@query(
+    "agg_countmin_mergeable",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    probes AS (SELECT unnest({_SQL_CMS_PROBES}) AS token),
+    scopes AS (
+        SELECT DISTINCT lang AS scope FROM documents
+        UNION ALL SELECT 'merged'
+    ),
+    cnt AS (
+        SELECT lang AS scope, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        UNION ALL
+        SELECT 'merged', token, COUNT(*) FROM tok GROUP BY 2
+    )
+    SELECT s.scope, p.token, COALESCE(c.c, 0) AS est_count
+    FROM scopes s
+    CROSS JOIN probes p
+    LEFT JOIN cnt c ON c.scope = s.scope AND c.token = p.token
+    """,
+)
 def agg_countmin_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE count-min frequency sketches — the point-frequency
     sibling of agg_sketch_mergeable's HLL distinct counts: one CMS per
@@ -703,9 +730,16 @@ def agg_countmin_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ~100 KB — the agg_sketch_mergeable/kmeans pattern), not data; the
     token explode aggregates map-side into the sketch buffers.
     Determinism: the seed fixes the hash family and merge is cell-wise
-    addition, so estimates are identical at any partitioning — golden-
-    stable even though approximate.  Guarantees (est >= exact, est <=
-    exact + eps*N at the configured confidence) asserted in
+    addition, so estimates are identical at any partitioning.
+
+    ORACLE-CHECKED (upgraded from rows-only in round 4): with
+    eps=1e-4 the sketch width (~27k cells) vastly exceeds the closed
+    31-token fixture vocabulary, so no hash collisions occur and
+    every estimate equals the exact count — verified against DuckDB
+    at sf0.001/0.01/0.1 before the upgrade, and deterministic forever
+    because the seed and fixtures are fixed.  Open-vocabulary corpora
+    fall back to the one-sided guarantees (est >= exact, est <=
+    exact + eps*N at the configured confidence), still asserted in
     tests/test_llm_ops.py."""
     tune(spark)
     d = load(spark, sf_dir, "documents")

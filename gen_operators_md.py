@@ -87,11 +87,6 @@ ROWS_ONLY_WHY = {
         "sketch-based percentile — implementation-defined. 1% agreement vs "
         "exact percentiles asserted in tests."
     ),
-    "agg_countmin_mergeable": (
-        "count-min sketch estimates — Spark-specific hash family with no "
-        "DuckDB twin. Deterministic (seeded, additive merge); one-sided "
-        "guarantee and merge consistency asserted in tests/test_llm_ops.py."
-    ),
     "agg_sketch_mergeable": (
         "DataSketches HLL binary sketches + union — engine-specific "
         "representation. Union-vs-direct agreement and accuracy asserted in "
