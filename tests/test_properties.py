@@ -360,3 +360,46 @@ def test_entropy_within_information_bounds(spark):
         )
         if r["n_distinct"] == 1:
             assert abs(h) < tol, r
+
+
+def test_bitmap_family_cross_operator_consistency(spark):
+    """The three bitmap operators must agree with each other (not just
+    each with its own oracle): per-type exact counts from
+    agg_bitmap_distinct bound every pairwise overlap
+    (|A∩B| <= min(|A|,|B|)), the global count obeys inclusion-exclusion
+    versus any pair (|A∪B| = |A|+|B|-|A∩B| <= global), and the rolling
+    7-day distinct for a day is >= that day's own distinct and <= the
+    global total."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    reg = load_all()
+    counts = {
+        r["scope"]: r["exact_users"]
+        for r in reg["agg_bitmap_distinct"].fn(spark, SF_ORACLE).collect()
+    }
+    overlaps = reg["agg_bitmap_overlap"].fn(spark, SF_ORACLE).collect()
+    assert overlaps
+    for r in overlaps:
+        a, b, o = counts[r["type_a"]], counts[r["type_b"]], r["overlap_users"]
+        assert 0 <= o <= min(a, b), r
+        assert a + b - o <= counts["global"], r
+
+    per_day = {}
+    for r in reg["stream_bitmap_partials"].fn(spark, SF_ORACLE).collect():
+        per_day[r["day_us"]] = per_day.get(r["day_us"], 0) + r["n_users"]
+    rolling = reg["win_rolling_bitmap_distinct"].fn(spark, SF_ORACLE).collect()
+    assert rolling
+    import datetime
+
+    for r in rolling:
+        day_us = int(
+            datetime.datetime.fromisoformat(r["day"])
+            .replace(tzinfo=datetime.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+        assert per_day[day_us] <= r["users_7d"] <= counts["global"], (
+            r, per_day.get(day_us),
+        )
