@@ -283,9 +283,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture max 0.51 against the 0.9 threshold), so no membership can
     # flip.  This is also the 100 TB shape: normalize at ingest, dot at
     # query time (sim_normalize_embeddings is the standalone operator).
-    norm = _norm("vec")
-    en = e.select(
-        "vec_id", "label", F.transform("vec", lambda x: x / norm).alias("nvec")
+    # materialize the norm BEFORE the transform: inlining it in the
+    # lambda re-evaluates the 64-element fold per element (no CSE inside
+    # higher-order functions — O(d^2) per row, review find)
+    en = e.select("vec_id", "label", "vec", _norm("vec").alias("n")).select(
+        "vec_id",
+        "label",
+        F.transform("vec", lambda x: x / F.col("n")).alias("nvec"),
     )
     a = en.select(
         F.col("vec_id").alias("a_id"), "label", F.col("nvec").alias("a_vec")

@@ -48,7 +48,7 @@ from ._helpers import DEC, dsum, sql_dsum
           AND o.o_orderdate <  TIMESTAMP '1998-01-01'
     )
     SELECT CAST(o_year AS BIGINT) AS o_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_18'
                                THEN volume ELSE CAST(0 AS DECIMAL(28,6)) END)
                       AS DOUBLE)
                  / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
@@ -56,11 +56,18 @@ from ._helpers import DEC, dsum, sql_dsum
     """,
 )
 def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8-shaped: NATION_2's share of the ASIA market's ECONOMY-part
-    revenue per order year — the national-market-share report.  An
-    8-table join in which ``nation`` plays two roles (customer's nation
-    locates the MARKET, supplier's nation claims the SHARE) and the
-    share is a conditional-sum ratio.
+    """TPC-H Q8-shaped: NATION_18's share of the ASIA market's
+    ECONOMY-part revenue per order year — the national-market-share
+    report.  An 8-table join in which ``nation`` plays two roles
+    (customer's nation locates the MARKET, supplier's nation claims the
+    SHARE) and the share is a conditional-sum ratio.
+
+    NATION_18, not the original NATION_2: sf0.001 has zero NATION_2
+    suppliers, so the numerator was identically 0 there — vacuous
+    golden evidence, the same fixture-honesty class as the
+    analytics_waiting_suppliers r4 fix (round-4 review find).
+    NATION_18 has filtered-set sales at every fixture sf (9/28/224
+    qualifying line items).
 
     Both numerator and denominator go through exact decimal sums, the
     division is the last step — bit-stable at any partitioning.  Plan:
@@ -101,7 +108,7 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sales.groupBy("o_year").agg(
         F.round(
             F.sum(
-                F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                F.when(F.col("supp_nation") == "NATION_18", F.col("volume")).otherwise(
                     zero
                 )
             ).cast("double")

@@ -36,6 +36,25 @@ def digest(spark_df) -> dict:
     }
 
 
+def strict_digest(spark_df) -> dict:
+    """Like digest() but hashes floats via float.hex() — bit-identical
+    or bust.  Used by the partitioning-invariance suite, whose claim is
+    literal bit-stability; the golden tier keeps the loose (1e-9
+    rounded) canonicalization because it compares across regenerations,
+    not geometries."""
+    pdf = spark_df.toPandas()
+    rows = _rowset(pdf, strict=True)
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return {
+        "rows": len(pdf),
+        "cols": sorted(pdf.columns),
+        "sha256": h.hexdigest(),
+    }
+
+
 def load_golden() -> dict[str, dict]:
     with open(GOLDEN_PATH) as f:
         return json.load(f)

@@ -22,7 +22,7 @@ import pytest
 from covid_data_pipeline_spark.registry import load_all
 
 from .conftest import SF_ORACLE
-from .golden_utils import digest
+from .golden_utils import strict_digest
 
 # Queries whose outputs ride the riskiest reductions: decimal-trick
 # sums/averages, ordered HOF folds, normalizer folds, seeded sketches,
@@ -68,7 +68,9 @@ def test_partitioning_invariance(name, spark):
                 )
             elif saved_mpb is not None:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
-            digests.append(digest(spec.fn(spark, SF_ORACLE)))
+            else:
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            digests.append(strict_digest(spec.fn(spark, SF_ORACLE)))
     finally:
         if saved_env is None:
             os.environ.pop("SPARK_GRAFT_SHUFFLE", None)
@@ -76,6 +78,11 @@ def test_partitioning_invariance(name, spark):
             os.environ["SPARK_GRAFT_SHUFFLE"] = saved_env
         if saved_mpb is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
+        else:
+            # initially-unset must be RESTORED to unset, or the 1 MB
+            # geometry leaks into the shared session and collapses the
+            # map-side-split axis for every later instance (review find)
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
     assert digests[0] == digests[1], (
         f"{name} is partitioning-SENSITIVE: {digests[0]} vs {digests[1]} — "
         "an order-dependent float reduction (or unseeded nondeterminism) "
