@@ -687,10 +687,7 @@ _CMS_CONF = 0.99
 _CMS_SEED = 42
 
 
-_SQL_CMS_PROBES = "[" + ", ".join(f"'{t}'" for t in (
-    "join", "hash", "row", "scan", "filter", "window", "batch",
-    "zz_absent_token",
-)) + "]"
+_SQL_CMS_PROBES = "[" + ", ".join(f"'{t}'" for t in _CMS_PROBES) + "]"
 
 
 @query(

@@ -283,13 +283,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture max 0.51 against the 0.9 threshold), so no membership can
     # flip.  This is also the 100 TB shape: normalize at ingest, dot at
     # query time (sim_normalize_embeddings is the standalone operator).
-    # materialize the norm BEFORE the transform: inlining it in the
-    # lambda re-evaluates the 64-element fold per element (no CSE inside
-    # higher-order functions — O(d^2) per row, review find)
-    en = e.select("vec_id", "label", "vec", _norm("vec").alias("n")).select(
-        "vec_id",
-        "label",
-        F.transform("vec", lambda x: x / F.col("n")).alias("nvec"),
+    # Materialize the norm BEFORE the transform, behind a Generate
+    # barrier: a plain two-step select is re-collapsed by Catalyst's
+    # CollapseProject, which inlines the single-use alias back into the
+    # per-element lambda where higher-order functions get no CSE —
+    # O(d^2) per row (review find, verified in the optimized plan).
+    # explode(array(n)) is a one-row Generate that CollapseProject
+    # cannot cross, so the fold runs once per row and the lambda
+    # divides by a materialized column — O(d).
+    en = (
+        e.select("vec_id", "label", "vec", _norm("vec").alias("n0"))
+        .select("vec_id", "label", "vec", F.explode(F.array("n0")).alias("n"))
+        .select(
+            "vec_id",
+            "label",
+            F.transform("vec", lambda x: x / F.col("n")).alias("nvec"),
+        )
     )
     a = en.select(
         F.col("vec_id").alias("a_id"), "label", F.col("nvec").alias("a_vec")

@@ -638,28 +638,33 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Lines injected into the permissive-read CSV: a bad-typed key, a
-# garbage line (both quarantine), and an arity-overflow row — which
-# Spark PERMISSIVE parses as GOOD, silently dropping the extra tokens
-# (a real ingest gotcha this query pins; see docstring).
+# Lines injected into the permissive-read CSV: a bad-typed key and a
+# garbage line (always quarantined), and an arity-overflow row — whose
+# classification DEPENDS ON THE PROJECTION (the real gotcha this query
+# pins; see docstring).
 _CSV_BAD_LINES = (
     "not_an_int,NATION_BAD",
     "7,NATION_7,unexpected_extra_column",
     "garbage line with no commas at all extra",
 )
-_CSV_N_CORRUPT = 2  # bad-typed + garbage; the arity row parses good
-_CSV_ARITY_KEY = 7  # the arity row's key joins the good-side sum
+_CSV_ARITY_KEY = 7  # under a pruned projection this key joins the good sum
 
 
 @query(
     "scan_csv_permissive",
     oracle=f"""
-    SELECT 'good' AS kind, COUNT(*) + 1 AS n_rows,
-           SUM(n_nationkey) + {_CSV_ARITY_KEY} AS key_sum
+    SELECT 'full' AS mode, 'good' AS kind, COUNT(*) AS n_rows,
+           SUM(n_nationkey) AS key_sum,
+           CAST(MAX(LENGTH(n_name)) AS INTEGER) AS max_name_len
     FROM nation
     UNION ALL
-    SELECT 'corrupt' AS kind, {_CSV_N_CORRUPT} AS n_rows,
-           NULL AS key_sum
+    SELECT 'full', 'corrupt', 3, NULL, NULL
+    UNION ALL
+    SELECT 'pruned', 'good', COUNT(*) + 1,
+           SUM(n_nationkey) + {_CSV_ARITY_KEY}, NULL
+    FROM nation
+    UNION ALL
+    SELECT 'pruned', 'corrupt', 2, NULL, NULL
     """,
 )
 def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,22 +676,29 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture's nation table is written to CSV with three known-bad
     lines injected, read back PERMISSIVE with an explicit schema, and
-    classified good/corrupt.  Both counts and the good-row key sum are
-    oracle-checked (nation aggregate + injected constants), so the
-    quarantine path — not just the happy path — is externally verified.
+    classified good/corrupt — TWICE, because the classification of an
+    ARITY-OVERFLOW row ("7,NATION_7,extra") is PROJECTION-DEPENDENT
+    (measured on Spark 4.1.2, round-4 review find):
 
-    MEASURED GOTCHA the oracle pins: an ARITY-OVERFLOW row
-    ("7,NATION_7,extra") is NOT quarantined — Spark's PERMISSIVE parser
-    fills the declared columns positionally and silently drops trailing
-    extra tokens, so the row lands on the GOOD side (key 7 in the sum).
-    Production ingest that needs arity strictness must validate column
-    counts explicitly; only type failures and token-count underflow with
-    unparseable content reach the corrupt column.
+    - ``pruned`` mode touches only (n_nationkey, _corrupt): CSV column
+      pruning parses just those fields, the extra token is never seen,
+      and the row lands GOOD (key 7 joins the sum).
+    - ``full`` mode also consumes n_name, so the parser materializes
+      every declared column, trips on the extra token, and QUARANTINES
+      the row (corrupt=3).
 
-    Scale notes: the classification is one map-side pass; corrupt rows
-    shuffle nowhere (two-row aggregate).  At 100 TB the quarantine
-    column writes to a side sink and bad-row RATE is the job health
-    metric — this operator is that audit in miniature."""
+    Both classifications are oracle-pinned, so any engine change to
+    either behavior — or any refactor that changes which columns a
+    downstream consumer materializes — trips the hash compare.
+    Production guidance follows directly: quarantine membership is not
+    a property of the file, it is a property of (file, projection);
+    ingest that needs arity strictness must validate column counts
+    explicitly rather than trusting the corrupt column.
+
+    Scale notes: each classification is one map-side pass; corrupt
+    rows shuffle nowhere (two-row aggregates).  At 100 TB the
+    quarantine column writes to a side sink and bad-row RATE is the
+    job health metric — this operator is that audit in miniature."""
     tune(spark)
     path = os.path.join(SCRATCH, "csv_permissive")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -702,13 +714,32 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt"
     ).csv(path)
     kind = F.when(F.col("_corrupt").isNull(), "good").otherwise("corrupt")
-    return (
+    good_key = F.sum(F.when(F.col("kind") == "good", F.col("n_nationkey")))
+    # full mode: consuming length(n_name) forces the parser to
+    # materialize every declared column
+    full = (
+        back.select(kind.alias("kind"), "n_nationkey", "n_name")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            good_key.alias("key_sum"),
+            F.max(
+                F.when(F.col("kind") == "good", F.length("n_name"))
+            ).alias("max_name_len"),
+        )
+        .select(F.lit("full").alias("mode"), "*")
+    )
+    pruned = (
         back.select(kind.alias("kind"), "n_nationkey")
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col("kind") == "good", F.col("n_nationkey"))).alias(
-                "key_sum"
-            ),
+            good_key.alias("key_sum"),
+        )
+        .select(
+            F.lit("pruned").alias("mode"),
+            "*",
+            F.lit(None).cast("int").alias("max_name_len"),
         )
     )
+    return full.unionByName(pruned)

@@ -159,7 +159,11 @@ def _rolling_lazy_df(spark):
     from covid_data_pipeline_spark.queries.windows import _rolling_bitmap_lazy
 
     daily, out = _rolling_bitmap_lazy(load(spark, SF, "events"))
+    _DEFERRED_UNPERSIST.append(daily)
     return out
+
+
+_DEFERRED_UNPERSIST = []
 
 LAZY_OVERRIDES = {"win_rolling_bitmap_distinct": _rolling_lazy_df}
 
@@ -199,6 +203,8 @@ def main() -> None:
         if evidence:
             out += [""] + evidence
         out += ["```", ""]
+    for cached in _DEFERRED_UNPERSIST:
+        cached.unpersist()
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(SHOWN)} plans)")

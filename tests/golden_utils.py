@@ -22,9 +22,14 @@ from .oracle_harness import _rowset
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "sf0001.json")
 
 
-def digest(spark_df) -> dict:
+def digest(spark_df, strict: bool = False) -> dict:
+    """Row digest for regression compare.  strict=False rounds floats to
+    1e-9 (the golden tier, which compares across regenerations);
+    strict=True hashes floats via float.hex() — bit-identical or bust
+    (the partitioning-invariance tier, whose claim is literal
+    bit-stability)."""
     pdf = spark_df.toPandas()
-    rows = _rowset(pdf, strict=False)
+    rows = _rowset(pdf, strict=strict)
     h = hashlib.sha256()
     for r in rows:
         h.update("\x1f".join(r).encode())
@@ -37,22 +42,7 @@ def digest(spark_df) -> dict:
 
 
 def strict_digest(spark_df) -> dict:
-    """Like digest() but hashes floats via float.hex() — bit-identical
-    or bust.  Used by the partitioning-invariance suite, whose claim is
-    literal bit-stability; the golden tier keeps the loose (1e-9
-    rounded) canonicalization because it compares across regenerations,
-    not geometries."""
-    pdf = spark_df.toPandas()
-    rows = _rowset(pdf, strict=True)
-    h = hashlib.sha256()
-    for r in rows:
-        h.update("\x1f".join(r).encode())
-        h.update(b"\x1e")
-    return {
-        "rows": len(pdf),
-        "cols": sorted(pdf.columns),
-        "sha256": h.hexdigest(),
-    }
+    return digest(spark_df, strict=True)
 
 
 def load_golden() -> dict[str, dict]:

@@ -183,6 +183,20 @@ def test_topk_sketch_reuses_per_lang_aggregate(spark):
     assert "ReusedExchange" in final, final
 
 
+def test_embedding_dedup_norm_not_inlined_into_lambda(spark):
+    """The pre-normalization norm fold must be materialized behind the
+    Generate barrier, not re-inlined into the transform lambda by
+    CollapseProject (no CSE inside higher-order functions => O(d^2)
+    per row; round-4 review find, fixed via explode(array(n)))."""
+    import re
+
+    df = q("dedup_embedding_cosine", spark)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"transform\([^\n]*aggregate\(zip_with", plan), (
+        "norm fold inlined into a per-element lambda:\n" + plan[:800]
+    )
+
+
 def test_rolling_bitmap_distinct_scans_events_once(spark):
     """The spine (days, buckets) must come from the PERSISTED daily
     partials, not three independent re-scans of events — without the
