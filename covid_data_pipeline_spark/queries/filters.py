@@ -118,3 +118,47 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(
         F.col("big_value").isNull() | ~F.col("big_value").eqNullSafe(F.lit(0.0))
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (``spark.sql(query, args=...)``) — the
+    injection-safe way to template the date-band/status constants every
+    scheduled report re-runs with different values: named markers bind
+    as typed literals through the parser, so user input can never
+    splice into the query text, and Catalyst still constant-folds and
+    pushes the bound predicates to the parquet scan exactly as if they
+    were inlined.  The oracle inlines the same constants — identical
+    results prove binding changes nothing semantically."""
+    tune(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sqlp_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_price
+        FROM sqlp_orders
+        WHERE o_orderdate >= :lo AND o_orderdate < :hi
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "lo": "1996-01-01",
+            "hi": "1997-01-01",
+            "status": "O",
+        },
+    )

@@ -743,3 +743,50 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return full.unionByName(pruned)
+
+
+@query(
+    "scan_xml_payload",
+    oracle="""
+    SELECT s_suppkey AS k,
+           replace(s_name, '#', '&') AS supplier_name,
+           s_nationkey AS nk
+    FROM supplier
+    """,
+)
+def scan_xml_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML payload ingestion via Spark 4's ``from_xml`` — the
+    semi-structured sibling of json_variant_ops for the XML feeds
+    (sitemaps, legacy APIs, SOAP exports) a crawl pipeline still meets.
+    Each supplier row is serialized to an XML fragment and parsed back
+    with an explicit schema; the oracle supplies the ground truth
+    directly from the table, so the check pins construct->parse as the
+    identity INCLUDING entity escaping: the supplier name gets a real
+    ampersand injected ('#' -> '&'), is escaped as &amp; during
+    construction, and must come back unescaped from the parser.
+
+    Map-only (no shuffle): serialization and parsing are per-row
+    codegen'd expressions; at 100 TB this is the same
+    schema-projected, column-pruned scan discipline as every other
+    source — parse once with an explicit schema, never re-parse per
+    expression (the variant lesson applies to XML too)."""
+    tune(spark)
+    s = load(spark, sf_dir, "supplier")
+    dirty = F.replace(F.col("s_name"), F.lit("#"), F.lit("&"))
+    xml = F.concat(
+        F.lit("<s><k>"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</k><n>"),
+        F.replace(dirty, F.lit("&"), F.lit("&amp;")),
+        F.lit("</n><nk>"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("</nk></s>"),
+    )
+    parsed = s.select(
+        F.from_xml(xml, "k INT, n STRING, nk INT").alias("p")
+    )
+    return parsed.select(
+        F.col("p.k").cast("bigint").alias("k"),
+        F.col("p.n").alias("supplier_name"),
+        F.col("p.nk").cast("bigint").alias("nk"),
+    )

@@ -394,7 +394,7 @@ _SHUFFLE_BUDGET = {
     "text_entropy": 0,  # map-only: per-doc HOF fold, no explode
     "corpus_temperature_mix": 3,  # source agg + 1-row normalizer + reuse
     "json_variant_ops": 1,  # one groupBy on the bucketed variant field
-    "scan_csv_permissive": 1,  # good/corrupt classification aggregate
+    "scan_csv_permissive": 2,  # one 2-row agg per projection mode (full+pruned)
     "agg_countmin_mergeable": 0,  # emitted DF is driver model state
     # grouping-sets agg counted once per union branch statically; AQE
     # reuses the exchange at runtime (vs 5 for the naive two-branch plan)
@@ -414,6 +414,8 @@ _SHUFFLE_BUDGET = {
     # combine + the est/merged union
     "agg_approx_topk_mergeable": 3,
     "stream_bitmap_partials": 1,  # one bounded-state day/bucket agg
+    "scan_xml_payload": 0,  # map-only construct->parse round trip
+    "sql_parameterized": 1,  # bound literals still push down; one agg
 }
 
 
