@@ -773,20 +773,34 @@ def scan_xml_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     s = load(spark, sf_dir, "supplier")
     dirty = F.replace(F.col("s_name"), F.lit("#"), F.lit("&"))
+    # full text-node escape set (& first, then angle brackets): an
+    # unescaped < or > makes from_xml return an all-NULL struct with no
+    # error (measured) — silent data loss, not a parse failure
+    esc = F.replace(
+        F.replace(
+            F.replace(dirty, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     xml = F.concat(
         F.lit("<s><k>"),
         F.col("s_suppkey").cast("string"),
         F.lit("</k><n>"),
-        F.replace(dirty, F.lit("&"), F.lit("&amp;")),
+        esc,
         F.lit("</n><nk>"),
         F.col("s_nationkey").cast("string"),
         F.lit("</nk></s>"),
     )
+    # BIGINT in the parse schema: an INT field silently NULLs keys
+    # above 2^31-1 (permissive parse), which a cast cannot recover
     parsed = s.select(
-        F.from_xml(xml, "k INT, n STRING, nk INT").alias("p")
+        F.from_xml(xml, "k BIGINT, n STRING, nk BIGINT").alias("p")
     )
     return parsed.select(
-        F.col("p.k").cast("bigint").alias("k"),
+        F.col("p.k").alias("k"),
         F.col("p.n").alias("supplier_name"),
-        F.col("p.nk").cast("bigint").alias("nk"),
+        F.col("p.nk").alias("nk"),
     )

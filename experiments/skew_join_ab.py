@@ -99,6 +99,10 @@ def main() -> None:
     )
     # keep the dim out of broadcast range so the join actually shuffles
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # warm-up: one untimed join absorbs codegen/Python-worker start-up
+    # (the bench discipline BASELINE.md documents)
+    wf, wd = build(spark, 0.5)
+    agg(wf.sample(0.05, seed=1).join(wd, wf["k"] == wd["dk"]))
     print(f"# skew-join A/B/C: {N_FACT} fact rows, {N_DIM} dim rows, 64B payload")
     print(f"{'hot%':>5} {'aqe_skew_s':>10} {'no_mitig_s':>10} {'salted_s':>9}")
     for share in SHARES:

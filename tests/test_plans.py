@@ -192,9 +192,13 @@ def test_embedding_dedup_norm_not_inlined_into_lambda(spark):
 
     df = q("dedup_embedding_cosine", spark)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert not re.search(r"transform\([^\n]*aggregate\(zip_with", plan), (
-        "norm fold inlined into a per-element lambda:\n" + plan[:800]
-    )
+    # the barrier itself must survive optimization...
+    assert "Generate explode(array(n0" in plan, plan[:800]
+    # ...and the normalize lambda must divide by the materialized
+    # attribute, not recompute the fold per element
+    assert re.search(r"lambda x[_\d#]*L? / n#\d+", plan) or re.search(
+        r"lambdafunction\(\(lambda [^,)]+ / n#\d+\)", plan
+    ), plan[:800]
 
 
 def test_rolling_bitmap_distinct_scans_events_once(spark):
