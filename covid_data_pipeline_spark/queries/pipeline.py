@@ -1096,3 +1096,142 @@ def pipeline_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month"
         )
     ).agg(F.bit_xor(h).alias("row_xor"), F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "quality_distribution_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT value, CASE WHEN day(ts) < 15 THEN 1 ELSE 0 END AS is_a
+        FROM events
+    ),
+    per_v AS (
+        SELECT value, SUM(is_a) AS ca, SUM(1 - is_a) AS cb
+        FROM tagged GROUP BY value
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_v),
+    cum AS (
+        SELECT SUM(ca) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cuma,
+               SUM(cb) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cumb
+        FROM per_v
+    ),
+    ks AS (
+        SELECT ROUND(CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE)
+                     / (CAST(ANY_VALUE(na) AS DOUBLE) * ANY_VALUE(nb)), 6)
+                   AS drift
+        FROM cum, tot
+    ),
+    per_b AS (
+        SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+               SUM(ca) AS ca, SUM(cb) AS cb
+        FROM per_v GROUP BY 1
+    ),
+    terms AS (
+        SELECT bucket,
+               (CAST(ca + 1 AS DOUBLE) / (na + 20)
+                - CAST(cb + 1 AS DOUBLE) / (nb + 20))
+               * ln((CAST(ca + 1 AS DOUBLE) / (na + 20))
+                    / (CAST(cb + 1 AS DOUBLE) / (nb + 20))) AS term
+        FROM per_b, tot
+    ),
+    psi AS (
+        SELECT ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(term ORDER BY bucket)),
+                   (acc, x) -> acc + x), 6) AS drift
+        FROM terms
+    )
+    SELECT 'ks' AS metric, drift FROM ks
+    UNION ALL
+    SELECT 'psi' AS metric, drift FROM psi
+    """,
+)
+def quality_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring — the statistical member of the
+    data-ops suite (expectations catch schema/constraint breaks,
+    snapshot-diff catches row churn, checksums catch silent content
+    change; THIS catches the distribution quietly shifting under an
+    unchanged schema): the exact two-sample Kolmogorov-Smirnov
+    statistic plus the Population Stability Index between the month's
+    first half (reference) and second half (current) of event values.
+
+    Float discipline: KS stays in INTEGER arithmetic until the last
+    step — D = max|cumA*nB - cumB*nA| / (nA*nB) over per-value
+    cumulative counts — so the max is exact and engines cannot drift;
+    PSI's 20 bucket terms (+1-smoothed so empty buckets are
+    well-defined) fold over the bucket-sorted array in both engines
+    (the _SQL_DOT doctrine) before one ROUND(6).
+
+    Scale shape: everything derives from ONE value-grain count
+    aggregate (per_v): the KS window, the totals, and the PSI bucket
+    rollup are all post-aggregates of it, and AQE reuses the per_v
+    exchange across branches.  The KS window is partition-less BUT
+    bounded by construction: event values are 2-decimal prices in
+    [0, 500) (FIXTURES.md), a closed <=50k-row domain at any corpus
+    size — for open domains, drop to the PSI buckets or the
+    sort_multi_nulls two-phase rank."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        "value",
+        F.when(F.dayofmonth("ts") < 15, 1).otherwise(0).alias("is_a"),
+    )
+    per_v = tagged.groupBy("value").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    tot = per_v.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    ks = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+            ).alias("mx"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .select(
+            F.lit("ks").alias("metric"),
+            F.round(
+                F.col("mx").cast("double")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("drift"),
+        )
+    )
+    per_b = per_v.groupBy(
+        F.floor(F.col("value") / 25).cast("bigint").alias("bucket")
+    ).agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + 20)
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + 20)
+    terms = per_b.crossJoin(F.broadcast(tot)).select(
+        "bucket", ((pa - pb) * F.log(pa / pb)).alias("term")
+    )
+    psi = (
+        terms.agg(
+            F.sort_array(
+                F.collect_list(F.struct("bucket", "term"))
+            ).alias("xs")
+        )
+        .select(
+            F.lit("psi").alias("metric"),
+            F.round(
+                F.aggregate(
+                    F.transform("xs", lambda x: x["term"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("drift"),
+        )
+    )
+    return ks.unionByName(psi)

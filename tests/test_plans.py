@@ -201,6 +201,17 @@ def test_embedding_dedup_norm_not_inlined_into_lambda(spark):
     ), plan[:800]
 
 
+def test_drift_reuses_value_grain_aggregate(spark):
+    """KS window, totals and PSI buckets all derive from ONE value-grain
+    count aggregate; AQE must reuse that exchange so events is scanned
+    once at runtime."""
+    df = q("quality_distribution_drift", spark)
+    df.collect()
+    final = plan_of(df, mode="simple").split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 2, final
+
+
 def test_rolling_bitmap_distinct_scans_events_once(spark):
     """The spine (days, buckets) must come from the PERSISTED daily
     partials, not three independent re-scans of events — without the
@@ -420,6 +431,9 @@ _SHUFFLE_BUDGET = {
     "stream_bitmap_partials": 1,  # one bounded-state day/bucket agg
     "scan_xml_payload": 0,  # map-only construct->parse round trip
     "sql_parameterized": 1,  # bound literals still push down; one agg
+    # per_v counted once per branch statically; runtime = 1 scan + 3
+    # ReusedExchange (pinned below)
+    "quality_distribution_drift": 9,
 }
 
 
