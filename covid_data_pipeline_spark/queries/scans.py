@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 from ..io import load, tune
 from ..registry import query
 from ..schemas import DOCUMENTS, EVENTS
-from ._helpers import dsum
+from ._helpers import dsum, sql_dsum
 
 # fixed scratch root: side-effect queries overwrite their own subdir per run
 SCRATCH = os.path.join(tempfile.gettempdir(), "cdp_spark_scratch")
@@ -803,4 +803,69 @@ def scan_xml_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         F.col("p.n").alias("supplier_name"),
         F.col("p.nk").alias("nk"),
+    )
+
+
+@query(
+    "sink_jdbc_roundtrip",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey
+    """,
+)
+def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink + parallel JDBC source against an embedded Derby
+    database (the RDBMS jars Spark ships for its metastore) — the
+    operational-database leg every pipeline eventually needs: publish
+    a curated slice to a SQL store, then extract in parallel.
+
+    Three JDBC disciplines pinned here: (1) the PARTITIONED read
+    (column/bounds/numPartitions) so extraction is N concurrent range
+    queries instead of one connection streaming everything — the only
+    scalable shape against a real warehouse; (2) predicate pushdown —
+    the segment filter ships into Derby's WHERE clause (PushedFilters
+    on the JDBC scan), so the database sends only matching rows;
+    (3) dialect type mapping — Spark's Derby dialect maps StringType
+    to CLOB, which Derby cannot even compare with '=' (measured:
+    ERROR 42818), so the write must pin comparable SQL types via
+    createTableColumnTypes.  At 100 TB the JDBC leg carries curated
+    AGGREGATES, never raw data — the bounds/numPartitions knobs are
+    for the read-back of dimension-sized tables like this one."""
+    import shutil
+
+    tune(spark)
+    db = os.path.join(SCRATCH, "jdbc_derby")
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    props = {
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        "batchsize": "5000",
+    }
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    (
+        c.write.option("createTableColumnTypes", "c_mktsegment VARCHAR(10)")
+        .jdbc(url, "cust_slice", mode="overwrite", properties=props)
+    )
+    back = spark.read.jdbc(
+        url,
+        "cust_slice",
+        column="c_custkey",
+        lowerBound=0,
+        upperBound=10_000_000,
+        numPartitions=4,
+        properties=props,
+    )
+    return (
+        back.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
     )

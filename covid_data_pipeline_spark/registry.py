@@ -94,7 +94,7 @@ _loaded = False
 # pipeline_partition_checksum, agg_bitmap_overlap,
 # agg_approx_topk_mergeable, stream_bitmap_partials,
 # scan_xml_payload, sql_parameterized,
-# quality_distribution_drift) — 29 r5
+# quality_distribution_drift, sink_jdbc_roundtrip) — 30 r5
 # candidates; gen_showcase.py recomputes.
 # (chosen as the lowest-risk deferrals: all are beyond-SURVEY-§2
 # extensions with stable, plan-asserted implementations; the TPC-H

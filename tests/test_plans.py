@@ -434,6 +434,7 @@ _SHUFFLE_BUDGET = {
     # per_v counted once per branch statically; runtime = 1 scan + 3
     # ReusedExchange (pinned below)
     "quality_distribution_drift": 9,
+    "sink_jdbc_roundtrip": 1,  # 4-way ranged JDBC read + one group agg
 }
 
 
