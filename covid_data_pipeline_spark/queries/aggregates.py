@@ -981,3 +981,63 @@ def agg_approx_topk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * 100 >= F.col("tot"))
         .drop("tot")
     )
+
+
+@query(
+    "reshape_transpose",
+    oracle=f"""
+    WITH m AS (
+        SELECT r.r_name,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               {sql_dsum("c.c_acctbal")} AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    )
+    SELECT 'n_customers' AS key,
+           MAX(CASE WHEN r_name = 'AFRICA' THEN n_customers END) AS "AFRICA",
+           MAX(CASE WHEN r_name = 'AMERICA' THEN n_customers END) AS "AMERICA",
+           MAX(CASE WHEN r_name = 'ASIA' THEN n_customers END) AS "ASIA",
+           MAX(CASE WHEN r_name = 'EUROPE' THEN n_customers END) AS "EUROPE",
+           MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_customers END)
+               AS "MIDDLE EAST"
+    FROM m
+    UNION ALL
+    SELECT 'total_acctbal',
+           MAX(CASE WHEN r_name = 'AFRICA' THEN total_acctbal END),
+           MAX(CASE WHEN r_name = 'AMERICA' THEN total_acctbal END),
+           MAX(CASE WHEN r_name = 'ASIA' THEN total_acctbal END),
+           MAX(CASE WHEN r_name = 'EUROPE' THEN total_acctbal END),
+           MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN total_acctbal END)
+    FROM m
+    """,
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide axis swap via ``DataFrame.transpose`` (Spark 4):
+    rows become columns keyed by the index column's VALUES — the
+    report-matrix shape (metrics as rows, one column per region) that
+    ``pivot`` can't produce without a second reshape.  transpose is a
+    driver-side flip of a SMALL aggregate (it must enumerate index
+    values to name columns — Spark collects the frame), so the 100 TB
+    rule is: aggregate FIRST (5 regions here, bounded at any scale),
+    transpose the result; transposing a fact table is as wrong as
+    collect()ing one.  Both metric columns are cast to double before
+    the flip — transpose requires a least-common value type across the
+    matrix.  The oracle spells the flip as the portable conditional-
+    aggregation UNION ALL over the same aggregate CTE."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    per_region = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+    return per_region.transpose()

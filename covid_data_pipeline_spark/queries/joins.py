@@ -720,3 +720,44 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("next_view_ts") - F.unix_micros("ts")).alias("gap_us"),
         )
     )
+
+
+@query(
+    "join_shuffle_hash",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           {sql_dsum("l.l_extendedprice")} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the SHUFFLE_HASH hint forces a
+    ShuffledHashJoin — build a hash table per partition from the
+    smaller side instead of sorting BOTH sides (SortMergeJoin, Spark's
+    default when broadcast is off).  At 100 TB this is the middle rung
+    of the join ladder: orders is far too big to broadcast, but per
+    shuffle partition it fits executor memory, so SHJ skips the two
+    O(n log n) sorts SMJ would pay on every fact row.  The trade is
+    spill risk — a skewed or under-partitioned build side OOMs where
+    SMJ degrades gracefully — which is why it's an explicit hint, not
+    the default, and why AQE (`spark.sql.adaptive.enabled`, on in
+    ``tune()``) can make the same choice from runtime sizes.
+
+    Strategy hints never change results — the output is the plain
+    join-aggregate the oracle recomputes.  Broadcast is disabled for
+    the query (at this fixture scale orders would be broadcast and no
+    shuffle strategy would be visible); the plan assertion in
+    tests/test_plans.py pins ShuffledHashJoin.  ``tune()`` restores the
+    threshold for subsequent queries."""
+    tune(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = li.join(
+        o.hint("shuffle_hash"), li["l_orderkey"] == o["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("total_price"),
+    )

@@ -869,3 +869,66 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@query(
+    "sink_positional_delete",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_kept,
+           {sql_dsum("o_totalprice")} AS kept_total
+    FROM orders WHERE o_orderkey % 97 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read positional deletes — the Iceberg/Delta
+    deletion-vector pattern: instead of rewriting data files to delete
+    rows, persist a small side file of (data_file_path, row_position)
+    and apply it at read time as an anti-join.  At 100 TB this is THE
+    delete mechanism: a delete touching 0.001% of rows costs a
+    KB-scale delete file, not a rewrite of immutable TB-scale data
+    files; readers subtract positions with a broadcast anti-join (the
+    delete set is almost always broadcast-sized — when it is not, it
+    degrades to a shuffle anti-join on the same key and still never
+    rewrites data).
+
+    Mechanics exercised for real: the base table is written as multiple
+    parquet files; positions come from Spark's hidden ``_metadata``
+    columns (file_path + row_index, the file-position identity Iceberg
+    v2 delete files key on); the delete file round-trips through
+    parquet; the read side re-derives positions and anti-joins.  The
+    deleted-row predicate (o_orderkey % 97 = 0) exists only to CHOOSE
+    positions deterministically — the apply step never sees it, only
+    (file, position) pairs — so the oracle checking "predicate-filtered
+    orders" proves the positional machinery reproduced it exactly."""
+    tune(spark)
+    base = os.path.join(SCRATCH, "posdel_base")
+    delf = os.path.join(SCRATCH, "posdel_deletes")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.repartition(4).write.mode("overwrite").parquet(base)
+
+    def with_pos(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_pos"),
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+        )
+
+    # writer side: choose doomed positions, persist ONLY (file, pos)
+    with_pos(spark.read.parquet(base)).filter(
+        F.col("o_orderkey") % 97 == 0
+    ).select("file_path", "row_pos").write.mode("overwrite").parquet(delf)
+
+    # reader side: merge-on-read = scan + broadcast anti-join on position
+    deletes = spark.read.parquet(delf)
+    kept = with_pos(spark.read.parquet(base)).join(
+        F.broadcast(deletes), on=["file_path", "row_pos"], how="left_anti"
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        dsum("o_totalprice").alias("kept_total"),
+    )

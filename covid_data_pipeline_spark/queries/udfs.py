@@ -237,3 +237,114 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue_rounded"),
     )
+
+
+_COGROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("cust_id", T.LongType()),
+        T.StructField("n_orders", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_after_last_dom", T.LongType()),
+    ]
+)
+
+
+def _cogroup_merge(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame):
+    """Cogrouped-map body: BOTH frames for one key, either may be empty."""
+    n_orders = len(orders_pdf)
+    n_events = len(events_pdf)
+    if n_orders:
+        last_dom = orders_pdf["o_orderdate"].max().day
+        n_after = (
+            int((events_pdf["ts"].dt.day > last_dom).sum()) if n_events else 0
+        )
+    else:
+        n_after = None  # no orders -> "after last order" is undefined
+    return pd.DataFrame(
+        {
+            "cust_id": [key[0]],
+            "n_orders": [n_orders],
+            "n_events": [n_events],
+            "n_after_last_dom": [n_after],
+        }
+    )
+
+
+@query(
+    "udf_cogroup_merge",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS cust_id, COUNT(*) AS n_orders,
+               MAX(o_orderdate) AS last_order
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT user_id AS cust_id, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    keys AS (SELECT cust_id FROM o UNION SELECT cust_id FROM e),
+    aft AS (
+        SELECT ev.user_id AS cust_id, COUNT(*) AS n_after
+        FROM events ev JOIN o ON ev.user_id = o.cust_id
+                              AND day(ev.ts) > day(o.last_order)
+        GROUP BY 1
+    )
+    SELECT k.cust_id,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(e.n_events, 0) AS n_events,
+           CASE WHEN o.cust_id IS NULL THEN NULL
+                ELSE COALESCE(aft.n_after, 0) END AS n_after_last_dom
+    FROM keys k
+    LEFT JOIN o ON k.cust_id = o.cust_id
+    LEFT JOIN e ON k.cust_id = e.cust_id
+    LEFT JOIN aft ON k.cust_id = aft.cust_id
+    """,
+)
+def udf_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rung 7 of the Python-interop ladder: ``groupBy().cogroup()``
+    ``.applyInPandas`` — the cogrouped map.  Two tables are shuffled on
+    the same key and the Python function receives BOTH per-key pandas
+    frames simultaneously (orders and events for one customer), the
+    shape a join + grouped map cannot reach in one pass when the merge
+    logic is imperative: per-entity stream alignment, feature-window
+    stitching, custom as-of/session reconciliation in training-data
+    builds.
+
+    This demonstrator's merge (order count, event count, events on a
+    later day-of-month than the customer's last order) IS deliberately
+    join-expressible — that is what lets the DuckDB oracle check it
+    exactly: all outputs are integral counts and day-of-month is an
+    exact int on both engines.  The cross-frame threshold is projected
+    to day-of-month because the fixture's time axes are disjoint
+    (orders 1995-2001, events 2024 — measured), so a raw ``ts >
+    last_order`` would be vacuously true for every event and the
+    comparison would never exercise its false branch.  Keys missing
+    from one side arrive as an empty frame (full-outer semantics):
+    no-order customers yield NULL n_after_last_dom.
+
+    At 100 TB: exactly two hash exchanges (one per side — the same
+    cost as the equivalent shuffle join), then per-key zipped Arrow
+    batches; Python touches each row once, grouped, with no per-row
+    serde.  Skewed entities bound the straggler (one key must fit one
+    task) — for hot keys, pre-aggregate per side first, as here the
+    oracle's o/e CTEs do.
+
+    MEASURED TRAP — AQE coalescing vs per-group Python cost: AQE
+    coalesces shuffle partitions by BYTES, but this stage's cost is
+    per-GROUP pandas-frame construction (~1.5 ms/key), which bytes
+    can't see.  At sf0.1 (15k keys, a few MB shuffled) AQE folded the
+    stage to 3 partitions and serialized 15k Python calls onto 3
+    cores: 23.1 s; with coalescing disabled the same work spread over
+    32 tasks: 3.6 s (6.4x).  The general rule: for grouped-map /
+    cogrouped-map stages, partition count must track GROUP count, not
+    shuffle bytes — so this query turns coalescing off for itself
+    (``tune()`` restores it for the next query)."""
+    tune(spark)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(_cogroup_merge, schema=_COGROUP_SCHEMA)
+    )

@@ -435,7 +435,38 @@ _SHUFFLE_BUDGET = {
     # ReusedExchange (pinned below)
     "quality_distribution_drift": 9,
     "sink_jdbc_roundtrip": 1,  # 4-way ranged JDBC read + one group agg
+    "udf_cogroup_merge": 2,  # one hash exchange per cogrouped side
+    "join_shuffle_hash": 3,  # both join sides + the priority agg
+    "sink_positional_delete": 1,  # broadcast anti-join, one agg exchange
 }
+
+
+def test_positional_delete_applies_as_broadcast_anti(spark):
+    """Merge-on-read must subtract positions with a BROADCAST anti-join
+    (delete sets are KB-scale) — a shuffled anti would re-move the base
+    table per delete application."""
+    plan = plan_of(q("sink_positional_delete", spark))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_hash_hint_plans_shj(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (per
+    partition hash build, no sort on either side) — not SortMergeJoin
+    and not a broadcast (disabled inside the query)."""
+    plan = plan_of(q("join_shuffle_hash", spark))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cogroup_merge_is_cogrouped_map(spark):
+    """The cogrouped map must plan as FlatMapCoGroupsInPandas over two
+    key-partitioned sides — not a join followed by a grouped map (which
+    would re-shuffle the joined rows a third time and materialize the
+    orders x events product per key)."""
+    plan = plan_of(q("udf_cogroup_merge", spark))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Join" not in plan
 
 
 import pytest as _pytest
