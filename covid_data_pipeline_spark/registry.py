@@ -94,8 +94,9 @@ _loaded = False
 # pipeline_partition_checksum, agg_bitmap_overlap,
 # agg_approx_topk_mergeable, stream_bitmap_partials,
 # scan_xml_payload, sql_parameterized,
-# quality_distribution_drift, sink_jdbc_roundtrip) — 30 r5
-# candidates; gen_showcase.py recomputes.
+# quality_distribution_drift, sink_jdbc_roundtrip,
+# udf_cogroup_merge, join_shuffle_hash, sink_positional_delete,
+# reshape_transpose) — 34 r5 candidates; gen_showcase.py recomputes.
 # (chosen as the lowest-risk deferrals: all are beyond-SURVEY-§2
 # extensions with stable, plan-asserted implementations; the TPC-H
 # analytics family, the dedup/text/multimodal flagships and this

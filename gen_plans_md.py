@@ -151,6 +151,21 @@ SHOWN = (
         "release the cache).",
         False,
     ),
+    (
+        "udf_cogroup_merge",
+        "FlatMapCoGroupsInPandas over exactly two hash exchanges (one "
+        "per cogrouped side), no Join node — and NO AQE coalescing: "
+        "partition count must track GROUP count for per-key Python "
+        "stages (measured 6.4x, SCALE.md).",
+        False,
+    ),
+    (
+        "sink_positional_delete",
+        "Merge-on-read deletion vectors: scan + BroadcastHashJoin "
+        "LeftAnti on (_metadata.file_path, row_index) — positions "
+        "subtract without touching data files.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead
