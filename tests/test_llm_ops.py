@@ -370,3 +370,47 @@ def test_countmin_guarantees_and_merge(spark):
         e = est[("merged", t)]
         assert x_glob <= e <= x_glob + _CMS_EPS * n_total + 1, (t, e, x_glob)
     assert est[("merged", "zz_absent_token")] <= _CMS_EPS * n_total + 1
+
+
+def test_containment_catches_subdocuments_jaccard_misses(spark):
+    """dedup_containment's reason to exist: at least one reported pair
+    must FAIL symmetric Jaccard at the same threshold (the sub-document
+    relation).  The seeded half-docs guarantee such pairs at every sf —
+    if this goes vacuous the operator is just Jaccard again."""
+    from covid_data_pipeline_spark.queries.llm_dedup import CONTAIN_THRESHOLD
+
+    reg = load_all()
+    rows = reg["dedup_containment"].fn(spark, SF_ORACLE).collect()
+    assert rows, "containment produced no pairs at all"
+    seeded = [r for r in rows if r["b_id"] >= 10_000_000]
+    assert seeded, "no seeded half-doc pair — the seeding is broken"
+    # recompute both sides' shingle sets for one seeded pair and show
+    # symmetric Jaccard < threshold while containment >= threshold
+    import duckdb
+
+    pair = seeded[0]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    j = con.sql(f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        base AS (
+            SELECT doc_id, w FROM w
+            UNION ALL
+            SELECT doc_id + 10000000, w[1:len(w)//2] FROM w
+            WHERE doc_id % 20 = 0 AND len(w) >= 6
+        ),
+        s AS (SELECT doc_id,
+                     list_distinct([w[i]||'_'||w[i+1]||'_'||w[i+2]
+                                    FOR i IN range(1, len(w)-1)]) AS sh
+              FROM base WHERE len(w) >= 3)
+        SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        FROM s a, s b WHERE a.doc_id = {pair["a_id"]} AND b.doc_id = {pair["b_id"]}
+    """).fetchone()[0]
+    assert j < CONTAIN_THRESHOLD, (
+        f"seeded pair has symmetric Jaccard {j:.3f} >= {CONTAIN_THRESHOLD} — "
+        "not a containment-only pair"
+    )
+    assert pair["containment"] >= CONTAIN_THRESHOLD

@@ -438,6 +438,9 @@ _SHUFFLE_BUDGET = {
     "udf_cogroup_merge": 2,  # one hash exchange per cogrouped side
     "join_shuffle_hash": 3,  # both join sides + the priority agg
     "sink_positional_delete": 1,  # broadcast anti-join, one agg exchange
+    # candidate-pair dedup only: probe/index and verify joins broadcast
+    # at fixture scale (SMJ at 100 TB — the inverted-index build)
+    "dedup_containment": 1,
 }
 
 
