@@ -986,6 +986,44 @@ _CONT_SEED_MOD = 20
 _CONT_OFFSET = 10_000_000
 
 
+def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared shingle frame for the exact and LSH containment twins:
+    corpus + seeded half-docs -> sorted distinct int64 3-gram shingle
+    sets.  (doc_id, lang, sh: array<long>, n: int)."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    half = w.filter(
+        (F.col("doc_id") % _CONT_SEED_MOD == 0) & (F.size("w") >= 6)
+    ).select(
+        (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"),
+        "lang",
+        F.slice("w", 1, F.floor(F.size("w") / 2).cast("int")).alias("w"),
+    )
+    base = w.unionByName(half).filter(F.size("w") >= 3)
+    # 3-gram shingles, hashed to int64 (same trick as dedup_near_jaccard:
+    # set COUNTS are hash-invariant, long-array ops are several-fold
+    # faster than string-array ops)
+    return base.select(
+        "doc_id",
+        "lang",
+        F.sort_array(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            "_",
+                            F.element_at("w", i),
+                            F.element_at("w", i + F.lit(1)),
+                            F.element_at("w", i + F.lit(2)),
+                        )
+                    ),
+                )
+            )
+        ).alias("sh"),
+    ).withColumn("n", F.size("sh"))
+
+
 @query(
     "dedup_containment",
     oracle=f"""
@@ -1038,38 +1076,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch non-vacuous; both engines slice tokens with the same
     floor(n/2) arithmetic so the pair sets match exactly."""
     tune(spark)
-    d = load(spark, sf_dir, "documents")
-    w = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
-    half = w.filter(
-        (F.col("doc_id") % _CONT_SEED_MOD == 0) & (F.size("w") >= 6)
-    ).select(
-        (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"),
-        "lang",
-        F.slice("w", 1, F.floor(F.size("w") / 2).cast("int")).alias("w"),
-    )
-    base = w.unionByName(half).filter(F.size("w") >= 3)
-    # 3-gram shingles, hashed to int64 (same trick as dedup_near_jaccard:
-    # set COUNTS are hash-invariant, long-array ops are several-fold
-    # faster than string-array ops)
-    sh = base.select(
-        "doc_id",
-        "lang",
-        F.sort_array(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 2),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(
-                            "_",
-                            F.element_at("w", i),
-                            F.element_at("w", i + F.lit(1)),
-                            F.element_at("w", i + F.lit(2)),
-                        )
-                    ),
-                )
-            )
-        ).alias("sh"),
-    ).withColumn("n", F.size("sh"))
+    sh = _containment_shingles(spark, sf_dir)
     # probe prefix: n - ceil(0.8n) + 1 lowest-hash shingles of EVERY doc
     # (any doc may be the contained side); ceil(0.8n) = floor((4n+4)/5)
     plen = (F.col("n") - F.floor((F.col("n") * 4 + 4) / 5) + 1).cast("int")
@@ -1093,6 +1100,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("p_id", "i_id").alias("b_id"),
             "lang",
         )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    cont = inter.cast("double") / F.least(F.size("a_sh"), F.size("b_sh"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .select("a_id", "b_id", "lang", F.round("containment", 6).alias("containment"))
+    )
+
+
+# Asymmetric banding for the containment LSH twin: 32 bands x 2 rows
+# over the same 64 affine minhashes.  Collision probability at Jaccard J
+# is 1-(1-J^2)^32 — 0.988 at J=0.36, the J floor a containment>=0.8
+# pair can have when the size ratio max/min is capped at 2 (J >=
+# C·min/union = 0.8/(1+2-0.8) ~ 0.36).  The knee sits far left of the
+# near-dup twin's 16x4 curve BY DESIGN: containment pairs live at low
+# symmetric J.
+_CONT_BANDS = 32
+_CONT_ROWS = _MH_HASHES // _CONT_BANDS
+
+
+@query("dedup_containment_lsh", oracle=None)  # rows-only: LSH candidates
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate containment dedup — the 100 TB path when even the
+    one-sided prefix inverted index (dedup_containment) is too big to
+    probe per increment: banded MinHash over shingle sets with the
+    band shape retuned for ASYMMETRY (32 bands x 2 rows; see constants
+    — a containment pair at size ratio r has symmetric Jaccard only
+    ~C/(1+r-C), so the S-curve knee must sit at J~0.36, not 0.7), then
+    exact containment verification of candidates only.
+
+    The honest caveat, stated rather than hidden: minhash estimates
+    SYMMETRIC Jaccard, so recall degrades as the size ratio grows
+    beyond the banding's design cap (r=2 here — covers truncated-crawl
+    and quote-in-page shapes; a 100x container needs the inverted
+    index or a size-stratified signature table).  Recall vs the exact
+    twin is asserted in tests/test_llm_ops.py; signatures are ~100x
+    smaller than shingle sets, so the banded shuffle moves KBs per doc
+    and full sets travel only for candidates."""
+    tune(spark)
+    sh = _containment_shingles(spark, sf_dir)
+    s31 = sh.withColumn(
+        "sh31", F.transform("sh", lambda x: F.pmod(x, F.lit(_MH_P)))
+    )
+
+    def affine(a: int, b: int):
+        # one-arg lambda (a second transform() parameter means INDEX)
+        return lambda x: F.pmod(a * x + b, F.lit(_MH_P))
+
+    minhashes = [
+        F.array_min(F.transform("sh31", affine(a, b))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MH_AB)
+    ]
+    sig = s31.select("doc_id", "lang", *minhashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{j * _CONT_ROWS + i}") for i in range(_CONT_ROWS)]
+                ).alias("bsig"),
+            )
+            for j in range(_CONT_BANDS)
+        ]
+    )
+    keys = sig.select("doc_id", "lang", F.explode(bands).alias("b")).select(
+        "doc_id", "lang", "b.band", "b.bsig"
+    )
+    a = keys.select(F.col("doc_id").alias("a_id"), "lang", "band", "bsig")
+    b = keys.select(F.col("doc_id").alias("b_id"), "lang", "band", "bsig")
+    cand = (
+        a.join(b, on=["lang", "band", "bsig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "lang")
         .dropDuplicates(["a_id", "b_id"])
     )
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))

@@ -111,6 +111,12 @@ ROWS_ONLY_WHY = {
         "assert the wrong contract. Recall >= 0.8 vs the exact Jaccard twin "
         "asserted in tests/test_llm_ops.py."
     ),
+    "dedup_containment_lsh": (
+        "LSH candidate generation is approximate BY DESIGN; precision is "
+        "exact (candidates are verified) but recall < 1. Recall >= 0.9 and "
+        "pair-subset precision vs the exact containment twin asserted in "
+        "tests/test_llm_ops.py."
+    ),
     "sim_ann_bucketed": (
         "approximate nearest neighbours — bucket boundaries decide the "
         "result set. Recall vs brute-force top-k asserted in tests."

@@ -414,3 +414,24 @@ def test_containment_catches_subdocuments_jaccard_misses(spark):
         "not a containment-only pair"
     )
     assert pair["containment"] >= CONTAIN_THRESHOLD
+
+
+def test_containment_lsh_recall_vs_exact(spark):
+    """The asymmetric-banded LSH twin must recover nearly all exact
+    containment pairs at fixture size ratios (<= 2, the banding's
+    design cap): recall >= 0.9 against dedup_containment."""
+    reg = load_all()
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in reg["dedup_containment"].fn(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in reg["dedup_containment_lsh"].fn(spark, SF_ORACLE).collect()
+    }
+    assert exact, "exact containment twin returned no pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"containment LSH recall {recall:.3f} < 0.9"
+    # precision is exact by construction (candidates are verified), so
+    # every reported pair must also be an exact pair
+    assert approx <= exact
