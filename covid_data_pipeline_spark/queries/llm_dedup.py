@@ -989,7 +989,21 @@ _CONT_OFFSET = 10_000_000
 def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared shingle frame for the exact and LSH containment twins:
     corpus + seeded half-docs -> sorted distinct int64 3-gram shingle
-    sets.  (doc_id, lang, sh: array<long>, n: int)."""
+    sets.  (doc_id, lang, sh: array<long>, n: int).
+
+    Ends in a hash repartition on doc_id (measured sf0.1 A/B on the
+    exact twin: 8.3 s -> 5.0 s): the local fixture is a single parquet
+    file with ~2 row groups, so every map stage otherwise runs on 2 of
+    32 cores — and shrinking files.maxPartitionBytes cannot help
+    because parquet splits respect row-group boundaries (measured:
+    1 MB -> still 2 tasks; 256 KB -> 6 skewed tasks, SLOWER).  The
+    exchange also lets the identically-projected probe/index branches
+    share one shuffle via ReusedExchange.  (A further restructure to
+    make the two verify branches reuse it too was tried and did NOT
+    help: column pruning specializes their subtrees and the extra
+    complexity bought no measured time.)  At 100 TB the scan has
+    natural splits and this repartition can be dropped; it costs one
+    exchange of the shingle arrays against a 3x-larger map stage."""
     d = load(spark, sf_dir, "documents")
     w = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
     half = w.filter(
@@ -1021,7 +1035,7 @@ def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("sh"),
-    ).withColumn("n", F.size("sh"))
+    ).withColumn("n", F.size("sh")).repartition("doc_id")
 
 
 @query(

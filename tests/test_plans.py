@@ -438,10 +438,25 @@ _SHUFFLE_BUDGET = {
     "udf_cogroup_merge": 2,  # one hash exchange per cogrouped side
     "join_shuffle_hash": 3,  # both join sides + the priority agg
     "sink_positional_delete": 1,  # broadcast anti-join, one agg exchange
-    # candidate-pair dedup only: probe/index and verify joins broadcast
-    # at fixture scale (SMJ at 100 TB — the inverted-index build)
-    "dedup_containment": 1,
+    # the shared shingle subtree ends in a repartition consumed by four
+    # branches (probe/index/verify-a/verify-b) — counted once PER BRANCH
+    # statically, ReusedExchange at runtime (same convention as
+    # quality_distribution_drift); + the candidate-pair dedup.  The
+    # probe/index and verify joins broadcast at fixture scale (SMJ at
+    # 100 TB — the inverted-index build).
+    "dedup_containment": 9,
 }
+
+
+def test_containment_probe_index_share_shingle_exchange(spark):
+    """The identically-projected probe and index branches must share the
+    shingle repartition via ReusedExchange at runtime (the verify
+    branches are pruning-specialized and legitimately recompute — see
+    _containment_shingles' docstring for the measured trade)."""
+    df = q("dedup_containment", spark)
+    df.collect()
+    final = plan_of(df, mode="simple").split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1, final
 
 
 def test_positional_delete_applies_as_broadcast_anti(spark):
