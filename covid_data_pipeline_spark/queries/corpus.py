@@ -537,3 +537,72 @@ def ts_ema_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").cast("long").alias("n_events"),
         ema.alias("ema_level"),
     )
+
+
+_SHUFFLE_EPOCHS = (1, 2)
+_SHUFFLE_HEAD = 64
+
+
+@query(
+    "corpus_shuffle_order",
+    oracle=f"""
+    WITH e(epoch) AS (VALUES {", ".join(f"({x})" for x in _SHUFFLE_EPOCHS)}),
+    keyed AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+                   AS order_key
+        FROM documents d CROSS JOIN e
+    ),
+    ranked AS (
+        SELECT epoch, doc_id, order_key,
+               ROW_NUMBER() OVER (PARTITION BY epoch
+                                  ORDER BY order_key, doc_id) AS pos
+        FROM keyed
+    )
+    SELECT epoch, pos, doc_id, order_key
+    FROM ranked WHERE pos <= {_SHUFFLE_HEAD}
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle: each epoch orders the
+    corpus by md5(doc_id:epoch) — a deterministic permutation that is
+    (a) identical on every engine, cluster size, and retry (rand(seed)
+    is none of those: its stream is partitioning-dependent), and (b)
+    DIFFERENT per epoch, the property data-loaders need for multi-epoch
+    training without materializing N shuffled copies.
+
+    The query emits the auditable head (first 64 positions per epoch)
+    as one TakeOrderedAndProject per epoch — distributed top-k, never
+    a corpus-wide sort or a per-epoch global window (the repo's
+    single-task-window doctrine); the position column is then a window
+    over the ALREADY-BOUNDED union (<= 128 rows).  At 100 TB the same
+    order_key drives the FULL shuffle as a range-partitioned write
+    (``df.repartitionByRange(order_key).sortWithinPartitions``) — an
+    O(n log n) distributed sort with no single-task stage and no
+    driver materialization; the epoch column here doubles as the
+    demonstration that two epochs produce distinct permutations of the
+    same corpus."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def epoch_head(ep: int) -> DataFrame:
+        return (
+            d.select(
+                F.lit(ep).alias("epoch"),
+                "doc_id",
+                F.md5(
+                    F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(ep)))
+                ).alias("order_key"),
+            )
+            .orderBy("order_key", "doc_id")
+            .limit(_SHUFFLE_HEAD)
+        )
+
+    heads = epoch_head(_SHUFFLE_EPOCHS[0])
+    for ep in _SHUFFLE_EPOCHS[1:]:
+        heads = heads.unionByName(epoch_head(ep))
+    # bounded window: at most len(_SHUFFLE_EPOCHS) * _SHUFFLE_HEAD rows
+    w = Window.partitionBy("epoch").orderBy("order_key", "doc_id")
+    return heads.withColumn("pos", F.row_number().over(w)).select(
+        "epoch", "pos", "doc_id", "order_key"
+    )

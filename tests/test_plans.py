@@ -448,6 +448,15 @@ _SHUFFLE_BUDGET = {
 }
 
 
+def test_shuffle_order_head_is_take_ordered(spark):
+    """The per-epoch order head must compile to TakeOrderedAndProject
+    (distributed top-k) — never a corpus-wide sort or a per-epoch
+    global window; the position window runs over the bounded union
+    only."""
+    plan = plan_of(q("corpus_shuffle_order", spark))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_containment_probe_index_share_shingle_exchange(spark):
     """The identically-projected probe and index branches must share the
     shingle repartition via ReusedExchange at runtime (the verify
