@@ -559,3 +559,140 @@ def analytics_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(s2 / (s1 * s1), 6).alias("hhi"),
         F.round(F.max(rev) / s1, 6).alias("top_share"),
     )
+
+
+# Exact fixed-iteration PageRank over the supplier<->customer trade
+# graph.  All cross-engine float hazards are removed by construction:
+# per-edge contributions are quantized to integer units of 1e-12
+# (floor(x*1e12+0.5) — floor of a double is exact, and the repo's
+# standard half-up construction sidesteps engine ROUND modes), summed
+# as DECIMAL(38,0) integers (order-free, exact: total mass <= 1e12 <<
+# 2^53), then returned to double by one exact /1e12.  Identical inputs
+# + identical IEEE ops per iteration => bit-identical ranks on both
+# engines, which is what lets an ITERATIVE algorithm be hash-checked.
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+_PR_CUST_OFFSET = 1_000_000
+_PR_Q = "1000000000000"  # 1e12 as exact integer literal
+
+
+def _pr_oracle() -> str:
+    it = """
+    pr{k1} AS (
+        SELECT n.id, nn.n,
+               (1 - {d}) / nn.n + {d} * COALESCE(m.mass, 0) AS pr
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst AS id,
+                   CAST(SUM(CAST(floor(p.pr / dg.deg * {q} + 0.5)
+                                 AS DECIMAL(38,0))) AS DOUBLE) / {q} AS mass
+            FROM edges e
+            JOIN pr{k0} p ON e.src = p.id
+            JOIN deg dg ON e.src = dg.src
+            GROUP BY e.dst
+        ) m ON n.id = m.id
+    )"""
+    iters = ",".join(
+        it.format(k0=k, k1=k + 1, d=_PR_DAMP, q=_PR_Q) for k in range(_PR_ITERS)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT s AS src, c + {_PR_CUST_OFFSET} AS dst FROM pairs
+        UNION ALL
+        SELECT c + {_PR_CUST_OFFSET} AS src, s AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT id, nn.n, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    {iters}
+    SELECT id AS node_id,
+           CAST(floor(pr * {_PR_Q} + 0.5) AS BIGINT) AS pr_q
+    FROM pr{_PR_ITERS}
+    ORDER BY pr_q DESC, node_id LIMIT 20
+    """
+
+
+@query("graph_pagerank", oracle=_pr_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-shape none — the iterative-graph-algorithm representative:
+    3-iteration damped PageRank (d=0.85) over the undirected
+    supplier<->customer trade graph (an edge per distinct supplier,
+    customer trading pair from lineitem x orders; customers offset into
+    their own id space).  Unlike dedup_cluster_cc (whose driver loop
+    pulls one convergence scalar per round), PageRank's state is a
+    full VECTOR over nodes — the iterations are statically unrolled
+    into ONE Catalyst plan: per iteration, contributions = edges ⋈
+    ranks ⋈ degrees, grouped by destination, every sum an order-free
+    quantized-integer decimal (see module note), so the result is
+    hash-exact cross-engine — the property that makes an iterative
+    algorithm externally witnessable at all.  Output ranks are emitted
+    in the same integer quantization (pr_q = rank units of 1e-12):
+    deterministic top-20 via TakeOrdered.
+
+    At 100 TB: the rank vector and degree table shuffle on node id
+    each iteration (the unavoidable per-iteration exchange of any
+    distributed PageRank); edges are re-read from their cached/bucketed
+    layout; no driver materialization at any point.  The graph here
+    has no dangling nodes by construction (every edge is mirrored), so
+    no dangling-mass redistribution term is needed — on a general
+    graph that term is one extra 1-row aggregate per iteration."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), (F.col("c") + _PR_CUST_OFFSET).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("c") + _PR_CUST_OFFSET).alias("src"), F.col("s").alias("dst")
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    q = float(_PR_Q)
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.select(F.col("id").alias("src"), "pr"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("pr") / F.col("deg") * q + 0.5).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / q
+                ).alias("mass")
+            )
+        )
+        pr = (
+            pr.select("id", "n")
+            .join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                "n",
+                (
+                    (1 - _PR_DAMP) / F.col("n")
+                    + _PR_DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    out = pr.select(
+        F.col("id").alias("node_id"),
+        F.floor(F.col("pr") * q + 0.5).alias("pr_q"),
+    )
+    return out.orderBy(F.col("pr_q").desc(), "node_id").limit(20)

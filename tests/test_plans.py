@@ -445,7 +445,20 @@ _SHUFFLE_BUDGET = {
     # probe/index and verify joins broadcast at fixture scale (SMJ at
     # 100 TB — the inverted-index build).
     "dedup_containment": 9,
+    # 3 statically-unrolled iterations x (edge-join + per-dst agg) with
+    # edges/deg/nodes counted once PER BRANCH; AQE reuses at runtime.
+    # Growth here means an iteration gained an exchange — the real guard.
+    "graph_pagerank": 49,
 }
+
+
+def test_pagerank_topk_is_take_ordered(spark):
+    """The rank head must be TakeOrderedAndProject — never a global
+    sort of the rank vector — and the unrolled iterations must never
+    plan a cartesian (the 1-row node-count frame joins broadcast-wise)."""
+    plan = plan_of(q("graph_pagerank", spark))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_shuffle_order_head_is_take_ordered(spark):
