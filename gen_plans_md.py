@@ -166,6 +166,13 @@ SHOWN = (
         "subtract without touching data files.",
         False,
     ),
+    (
+        "graph_pagerank",
+        "3 statically-unrolled PageRank iterations in ONE plan — no "
+        "driver round trips; quantized-integer decimal sums make the "
+        "iterative float algorithm hash-exact; top-20 is TakeOrdered.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead
