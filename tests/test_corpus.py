@@ -127,3 +127,39 @@ def test_compact_small_files_reduces_file_count(spark):
     assert 1 <= row["files_after"] < row["files_before"]
     d = load(spark, SF_ORACLE, "documents")
     assert row["n_rows"] == d.count()  # compaction loses nothing
+
+
+def test_positional_delete_spans_multiple_files(spark):
+    """The deletion-vector mechanics must be exercised across file
+    boundaries: the base table is written as multiple parquet files and
+    the persisted delete file must reference more than one distinct
+    data-file path — otherwise the (file_path, row_pos) compound key
+    degenerates to a row-number check on a single file."""
+    import os
+
+    from covid_data_pipeline_spark.queries.scans import SCRATCH
+
+    reg = load_all()
+    reg["sink_positional_delete"].fn(spark, SF_ORACLE).collect()
+    deletes = spark.read.parquet(os.path.join(SCRATCH, "posdel_deletes"))
+    n_files = deletes.select("file_path").distinct().count()
+    n_pos = deletes.count()
+    assert n_files > 1, f"delete file references only {n_files} data file"
+    assert n_pos > 0, "no deleted positions recorded"
+    # positions are per-file row indexes: each (file, pos) is unique
+    assert deletes.distinct().count() == n_pos
+
+
+def test_shuffle_order_epochs_are_distinct_permutation_heads(spark):
+    """Two epochs must yield different head orders over the same corpus
+    (the multi-epoch property), and each head must be duplicate-free."""
+    reg = load_all()
+    rows = reg["corpus_shuffle_order"].fn(spark, SF_ORACLE).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append((r["pos"], r["doc_id"]))
+    assert set(by_epoch) == {1, 2}
+    e1 = [d for _, d in sorted(by_epoch[1])]
+    e2 = [d for _, d in sorted(by_epoch[2])]
+    assert len(e1) == len(set(e1)) and len(e2) == len(set(e2))
+    assert e1 != e2, "epoch orders identical — the epoch seed is inert"
