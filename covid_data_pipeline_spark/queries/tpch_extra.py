@@ -18,7 +18,7 @@ oracle-checked representative (Q1 = agg_groupby, the flagship).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load, tune
@@ -696,3 +696,127 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("pr") * q + 0.5).alias("pr_q"),
     )
     return out.orderBy(F.col("pr_q").desc(), "node_id").limit(20)
+
+
+_KNN_K = 5
+
+
+@query(
+    "graph_knn_triangles",
+    oracle=f"""
+    WITH sc AS (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    proj AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+        FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT s1 AS src, s2 AS dst, shared FROM proj
+        UNION ALL
+        SELECT s2 AS src, s1 AS dst, shared FROM proj
+    ),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY shared DESC, dst) AS rn
+            FROM directed
+        ) WHERE rn <= {_KNN_K}
+    ),
+    edges AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM knn
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+        ) GROUP BY v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+)
+def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph construction + exact triangle census: the
+    co-purchase projection (suppliers weighted by shared customers) is
+    a NEAR-CLIQUE on this fixture (measured: every supplier pair
+    shares >= 8 customers at sf0.1 — 499,500 edges over 1,000 nodes),
+    so counting its triangles would be both vacuous (~C(n,3)) and
+    quadratic-blind; the scale-honest graph is the kNN sparsification
+    every similarity-graph pipeline uses: keep each node's top-5
+    partners (shared-count desc, id tiebreak — all-integer, so the
+    selection is deterministic), symmetrize, then census.  Output is
+    one all-integer row (nodes, edges, wedges, triangles) — the inputs
+    to the global clustering coefficient 3T/W — making the hash
+    compare exact with no float anywhere.
+
+    Scale shape: the projection groupBy bounds at (pairs sharing a
+    customer); kNN is one row_number window partitioned by node (never
+    a global sort); the triangle join is edge ⋈ edge ⋈ edge on the
+    oriented a<b representation — each edge travels by its endpoints,
+    the standard distributed triangle-count formulation whose cost is
+    O(sum of deg^2) on the SPARSIFIED graph (bounded by k^2 per node),
+    not on the raw clique."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sc = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    a = sc.select(F.col("s").alias("s1"), "c")
+    b = sc.select(F.col("s").alias("s2"), "c")
+    proj = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    directed = proj.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "shared"
+    ).unionByName(
+        proj.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "shared")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("shared").desc(), "dst")
+    knn = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("src", "dst")
+    )
+    edges = knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

@@ -527,3 +527,19 @@ def test_shuffle_budget(name, spark):
         f"{name}: {shuffles} shuffle exchanges > budget "
         f"{_SHUFFLE_BUDGET[name]} — a new Exchange crept into the plan:\n{plan}"
     )
+
+
+def test_knn_triangles_no_cartesian_and_partitioned_window(spark):
+    """The triangle census must stay equi-join shaped — no
+    CartesianProduct anywhere, and the only nested-loop joins are the
+    final crossJoins of the three 1-ROW stat frames (the
+    analytics_idle_balances pattern); the kNN selection must window
+    per node, never globally (no SinglePartition window exchange)."""
+    plan = plan_of(q("graph_knn_triangles", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    # the edge/wedge/triangle joins themselves are hash equi-joins
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    )
+    win_line = next(ln for ln in plan.splitlines() if "Window [" in ln)
+    assert "windowspecdefinition(src" in win_line, win_line
