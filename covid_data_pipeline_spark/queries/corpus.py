@@ -606,3 +606,118 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heads.withColumn("pos", F.row_number().over(w)).select(
         "epoch", "pos", "doc_id", "order_key"
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    bounds AS (
+        SELECT MIN(date_trunc('day', ts)) AS lo, MAX(date_trunc('day', ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT u.user_id, d.day
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                    FROM bounds) d
+    ),
+    ctx AS (
+        SELECT s.user_id, s.day, d.v,
+               last_value(d.v IGNORE NULLS) OVER wb AS prev_v,
+               last_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+                   OVER wb AS prev_day,
+               first_value(d.v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+                   OVER wf AS next_day
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+        WINDOW
+          wb AS (PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           ROUND(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                   prev_v + (next_v - prev_v)
+                          * (CAST(day AS DATE) - CAST(prev_day AS DATE))
+                          / (CAST(next_day AS DATE) - CAST(prev_day AS DATE))
+               END, 6) AS v_interp,
+           CAST(v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+                AS INTEGER) AS is_interp
+    FROM ctx
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted LINEAR interpolation — the third fill strategy next
+    to ffill (ts_gapfill_ffill) and bfill (ts_backfill_bfill): an
+    interior gap day takes the straight line between its surrounding
+    observations, weighted by day distance; days before the first or
+    after the last observation stay NULL (flagged is_interp=0), because
+    extrapolation is a modeling choice, not repair.
+
+    Same scale plan as its siblings — broadcast day spine, then per-user
+    windows — plus ONE extra backward/forward window pair to carry
+    (prev_v, prev_day) / (next_v, next_day); all four context columns
+    ride the same two frames, so the physical plan is exactly two
+    per-user window sorts regardless of series length.  The arithmetic
+    is one IEEE add/sub/mul/div chain over identical inputs in both
+    engines (daily means go through the exact-decimal trick first), so
+    ROUND(...,6) is belt-and-braces, not a crutch; the is_interp gate is
+    cast to int per the repo's nullable-boolean doctrine."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    daily = e.groupBy("user_id", day).agg(davg("value").alias("v"))
+    days = (
+        e.agg(
+            F.min(F.date_trunc("day", "ts")).alias("lo"),
+            F.max(F.date_trunc("day", "ts")).alias("hi"),
+        )
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    )
+    spine = e.select("user_id").distinct().crossJoin(F.broadcast(days))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "v",
+            F.last("v", ignorenulls=True).over(wb).alias("prev_v"),
+            F.last(obs_day, ignorenulls=True).over(wb).alias("prev_day"),
+            F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+            F.first(obs_day, ignorenulls=True).over(wf).alias("next_day"),
+        )
+    )
+    dd = F.datediff(F.col("day"), F.col("prev_day")).cast("double")
+    span = F.datediff(F.col("next_day"), F.col("prev_day")).cast("double")
+    interior = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        interior,
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * dd / span,
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        F.round(interp, 6).alias("v_interp"),
+        (F.col("v").isNull() & interior).cast("int").alias("is_interp"),
+    )

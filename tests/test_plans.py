@@ -543,3 +543,18 @@ def test_knn_triangles_no_cartesian_and_partitioned_window(spark):
     )
     win_line = next(ln for ln in plan.splitlines() if "Window [" in ln)
     assert "windowspecdefinition(src" in win_line, win_line
+
+
+def test_interpolate_single_window_pair(spark):
+    """All four interpolation context columns (prev/next value and day)
+    must ride ONE Window node over ONE sort — the backward and forward
+    frames share (partitionBy user_id, orderBy day), so Catalyst fuses
+    them; a second Sort or a window Exchange would mean the frames were
+    accidentally split.  The day spine stays broadcast like its ffill
+    sibling, and the whole plan carries exactly two hash exchanges (the
+    user-distinct and the daily aggregate)."""
+    plan = plan_of(q("ts_interpolate_linear", spark), mode="simple")
+    assert plan.count("Window [") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan
