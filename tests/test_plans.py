@@ -558,3 +558,18 @@ def test_interpolate_single_window_pair(spark):
     assert plan.count("Sort [") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_phrase_search_one_shuffle_term_filtered(spark):
+    """Phrase search must be index-shaped, not self-join-shaped: the
+    term filter sits under the aggregate (only probed terms' postings
+    shuffle), posting lists partially collect map-side, and the whole
+    query carries exactly ONE exchange and no Python eval."""
+    plan = plan_of(q("text_phrase_search", spark), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan
+    assert "partial_collect_list" in plan
+    assert plan.index("Filter tok") > plan.index("ObjectHashAggregate"), (
+        "term filter must evaluate before (below) the aggregate"
+    )
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
