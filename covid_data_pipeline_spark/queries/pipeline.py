@@ -1235,3 +1235,87 @@ def quality_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ks.unionByName(psi)
+
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOPK = 20
+
+
+@query(
+    "analytics_copurchase_lift",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    part_n AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p1, p2, support,
+           ROUND(CAST(support AS DOUBLE) * n.n_orders
+                 / (pa.n_part * pb.n_part), 6) AS lift
+    FROM pairs
+    JOIN part_n pa ON pa.l_partkey = p1
+    JOIN part_n pb ON pb.l_partkey = p2
+    CROSS JOIN n
+    WHERE support >= {_BASKET_MIN_SUPPORT}
+    ORDER BY lift DESC, p1, p2
+    LIMIT {_BASKET_TOPK}
+    """,
+)
+def analytics_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining — the frequent-itemset
+    representative: part PAIRS co-occurring in an order, scored by
+    LIFT = P(a,b) / (P(a) P(b)) with a minimum support floor, top-20.
+    This is the co-occurrence primitive under recommenders and
+    "frequently bought together" — and, in a training-data pipeline,
+    under tag/domain co-occurrence audits.
+
+    Scale shape: pair generation is a self-EQUI-join on the basket key
+    (orderkey) after per-basket distinct — never all-pairs over the
+    catalog; fan-out is bounded by (items per basket)^2, the classic
+    a-priori bound, and hot baskets are AQE-splittable because the
+    shuffle key is the basket id.  The per-part totals and the global
+    basket count are broadcast dims (2k rows / 1 row); lift arithmetic
+    is integer-fed IEEE division, identical bits in both engines, and
+    the top-20 is TakeOrderedAndProject on the rounded value with id
+    tie-breaks."""
+    tune(spark)
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_n = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    pa = part_n.select(F.col("l_partkey").alias("p1"), F.col("n_part").alias("na"))
+    pb = part_n.select(F.col("l_partkey").alias("p2"), F.col("n_part").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa), "p1")
+        .join(F.broadcast(pb), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(_BASKET_TOPK)
+    )

@@ -573,3 +573,13 @@ def test_phrase_search_one_shuffle_term_filtered(spark):
         "term filter must evaluate before (below) the aggregate"
     )
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_copurchase_broadcasts_dims_and_takeordered(spark):
+    """Pair generation must equi-join on the basket key (no cartesian
+    over the catalog), part totals and the basket count must broadcast,
+    and the top-20 must be TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(q("analytics_copurchase_lift", spark), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
