@@ -761,3 +761,109 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _PQ_TOPK)
     )
+
+
+_SEM_K = 16        # clusters (the SemDeDup blocking dial)
+_SEM_ITERS = 2     # Lloyd rounds
+
+
+@query("dedup_semdedup_kmeans", oracle=None)  # rows-only: learned blocking
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup where the blocking
+    key is LEARNED — k-means clusters over normalized embeddings — so
+    the pairwise cosine stage runs within clusters, no labels required.
+    This materializes the claim in dedup_embedding_cosine's docstring
+    ("at 100 TB the label block becomes an IVF bucket"): same seeded
+    corpus, same 0.9 threshold, same min-id canonicalization, but the
+    quadratic stage is bounded by CLUSTER size, with k as the skew dial
+    (k scales with corpus so clusters stay ~constant-sized; the paper
+    runs 50k clusters over 5B embeddings).
+
+    Training mirrors sim_pq_adc_rerank's determinism recipe — Knuth-
+    hash-seeded init, 2 Lloyd rounds, exact-decimal centroid means,
+    dist-then-id tie-breaks — and the 16-centroid model collects to the
+    driver once (model state) so the assignment plan is one broadcast
+    join.  Contract asserted in tests/test_llm_ops.py: bit-deterministic
+    across runs, and on this fixture the output EQUALS the label-blocked
+    exact twin (every seeded duplicate group lands in one cluster —
+    scaled copies have cosine 1.0 with their source, so they share its
+    nearest centroid; no non-seeded pair anywhere reaches 0.9)."""
+    tune(spark)
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("vec")
+    )
+    seed = base.filter(F.col("vec_id") % _DUP_SEED_MOD == 0)
+
+    def scaled(offset: int, factor: float) -> DataFrame:
+        return seed.select(
+            (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
+            "label",
+            F.transform("vec", lambda x: x * F.lit(factor)).alias("vec"),
+        )
+
+    e = base.unionByName(scaled(_DUP_OFFSET_1, 2.0)).unionByName(
+        scaled(_DUP_OFFSET_2, 3.0)
+    )
+    en = (
+        e.select("vec_id", "vec", _norm("vec").alias("n0"))
+        .select("vec_id", "vec", F.explode(F.array("n0")).alias("n"))
+        .select("vec_id", F.transform("vec", lambda x: x / F.col("n")).alias("nvec"))
+    )
+    seeds = (
+        en.select("vec_id", ((F.col("vec_id") * _PQ_MULT) % _PQ_MOD).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_SEM_K)
+        .select(
+            "vec_id",
+            F.row_number().over(Window.orderBy("h", "vec_id")).alias("cid"),
+        )
+    )
+    cent = en.join(F.broadcast(seeds), "vec_id").select(
+        "cid", F.col("nvec").alias("cv")
+    )
+    for _ in range(_SEM_ITERS):
+        asg = en.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "nvec", "cid", _l2("nvec", "cv").alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        best = asg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        cent = (
+            best.select("cid", F.posexplode("nvec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("x")
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cv")
+            )
+        )
+    book = spark.createDataFrame(
+        [(r["cid"], r["cv"]) for r in cent.collect()], "cid int, cv array<double>"
+    )
+    asg = en.crossJoin(F.broadcast(book)).select(
+        "vec_id", "nvec", "cid", _l2("nvec", "cv").alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    clustered = (
+        asg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "nvec")
+    )
+    a = clustered.select(F.col("vec_id").alias("a_id"), "cid", F.col("nvec").alias("a_vec"))
+    b = clustered.select(F.col("vec_id").alias("b_id"), "cid", F.col("nvec").alias("b_vec"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(_dot("a_vec", "b_vec") > DUP_COSINE)
+        .select("a_id", "b_id")
+    )
+    return pairs.groupBy(F.col("b_id").alias("dup_id")).agg(
+        F.min("a_id").alias("canon_id")
+    )

@@ -455,3 +455,23 @@ def test_pq_adc_recall_and_determinism(spark):
     # floor is honest headroom, and far above the 0.1 a random
     # shortlist of the same size would score.
     assert recall >= 0.7, f"PQ-ADC recall {recall:.3f} < 0.7"
+
+
+def test_semdedup_deterministic_and_matches_label_twin(spark):
+    """SemDeDup's learned-cluster blocking must (a) be bit-deterministic
+    and (b) on this fixture reproduce the label-blocked exact twin's
+    output EXACTLY: each seeded duplicate group {k, k+1M, k+2M} shares a
+    nearest centroid (scaled copies are cosine-1.0 with their source),
+    and no unseeded pair reaches the 0.9 threshold in any block."""
+    reg = load_all()
+    runs = [
+        sorted(map(tuple, reg["dedup_semdedup_kmeans"].fn(spark, SF_ORACLE).collect()))
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1], "SemDeDup must be deterministic"
+    twin = sorted(
+        map(tuple, reg["dedup_embedding_cosine"].fn(spark, SF_ORACLE).collect())
+    )
+    assert runs[0] == twin, (
+        f"semdedup {len(runs[0])} rows != label twin {len(twin)} rows"
+    )
