@@ -721,3 +721,74 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("v_interp"),
         (F.col("v").isNull() & interior).cast("int").alias("is_interp"),
     )
+
+
+_NEG_ANCHORS = 20  # anchor docs: doc_id < 20
+_NEG_K = 5         # negatives per anchor
+_NEG_PRIME = 1_000_003
+
+
+@query(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT doc_id AS anchor_id, lang AS anchor_lang
+        FROM documents WHERE doc_id < {_NEG_ANCHORS}
+    ),
+    scored AS (
+        SELECT a.anchor_id, d.doc_id AS negative_id,
+               ((a.anchor_id * {_NEG_PRIME} + d.doc_id) * {_SAMPLE_MULT})
+                   % {_SAMPLE_MOD} AS h
+        FROM anchors a JOIN documents d ON d.lang <> a.anchor_lang
+    )
+    SELECT anchor_id, negative_id, rank FROM (
+        SELECT anchor_id, negative_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY h, negative_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_NEG_K}
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-negative mining — for each anchor
+    document, k pseudo-random negatives drawn from a DIFFERENT language
+    (the cheap hard-negative proxy; swap the predicate for any
+    dissimilarity gate).  Contrastive training data must be reproducible
+    run-to-run and resumable mid-corpus, so the "random" draw is a
+    Knuth hash of (anchor, candidate) — never rand(), whose partition
+    seeding is not stable across retries or cluster sizes (same doctrine
+    as sample_stratified_hash).
+
+    Scale shape: anchors broadcast against the corpus (k << corpus, so
+    the candidate set is anchor-partitioned and the per-anchor
+    row_number window never sees a global sort).  At 100 TB, pre-gate
+    candidates map-side with a hash threshold (keep ~4k of the corpus
+    per anchor, epsilon-padded) so the window sorts ~4k rows per anchor
+    instead of the corpus — the same two-phase trick as
+    sample_topk_per_group; the hash gate keeps the result IDENTICAL
+    because the top-k by hash order is invariant under any prefilter
+    that keeps hash values below the gate."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    anchors = d.filter(F.col("doc_id") < _NEG_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang")
+    )
+    cand = d.select(F.col("doc_id").alias("negative_id"), "lang")
+    scored = (
+        cand.join(F.broadcast(anchors), F.col("lang") != F.col("anchor_lang"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            (
+                (F.col("anchor_id") * _NEG_PRIME + F.col("negative_id"))
+                * _SAMPLE_MULT
+                % _SAMPLE_MOD
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "negative_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NEG_K)
+        .select("anchor_id", "negative_id", "rank")
+    )
