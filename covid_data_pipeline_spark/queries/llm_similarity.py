@@ -684,13 +684,16 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s", "code", F.col("sv").alias("cv")
     )
     for _ in range(_PQ_ITERS):
+        # argmin per (vec, subspace) as min(struct(d, code)) — a HASH
+        # aggregate with a map-side partial, replacing the row_number
+        # window's sort exchange; lexicographic struct order gives the
+        # identical dist-then-code tie-break.
         assign = subs.join(F.broadcast(centroids), "s").select(
-            "vec_id", "s", "sv", "code", _l2("sv", "cv").alias("d")
+            "vec_id", "s", "sv", _l2("sv", "cv").alias("d"), "code"
         )
-        w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
-        best = (
-            assign.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        )
+        best = assign.groupBy("vec_id", "s").agg(
+            F.min(F.struct("d", "code")).alias("b"), F.first("sv").alias("sv")
+        ).select("vec_id", "s", F.col("b.code").alias("code"), "sv")
         dim_means = best.select(
             "s", "code", F.posexplode("sv").alias("pos", "x")
         ).groupBy("s", "code", "pos").agg(
@@ -712,14 +715,13 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s int, code int, cv array<double>",
     )
 
-    # -- encode the corpus
-    wenc = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    # -- encode the corpus (same min-struct argmin as training)
     codes = (
         subs.join(F.broadcast(book), "s")
-        .select("vec_id", "s", "code", _l2("sv", "cv").alias("d"))
-        .withColumn("rn", F.row_number().over(wenc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "code")
+        .select("vec_id", "s", _l2("sv", "cv").alias("d"), "code")
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "code")).alias("b"))
+        .select("vec_id", "s", F.col("b.code").alias("code"))
     )
 
     # -- per-query ADC tables (query x codebook, corpus untouched)
@@ -823,10 +825,12 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_SEM_ITERS):
         asg = en.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "nvec", "cid", _l2("nvec", "cv").alias("d")
+            "vec_id", "nvec", _l2("nvec", "cv").alias("d"), "cid"
         )
-        w = Window.partitionBy("vec_id").orderBy("d", "cid")
-        best = asg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        # argmin as min(struct(d, cid)) — hash agg, no window sort
+        best = asg.groupBy("vec_id").agg(
+            F.min(F.struct("d", "cid")).alias("b"), F.first("nvec").alias("nvec")
+        ).select("vec_id", F.col("b.cid").alias("cid"), "nvec")
         cent = (
             best.select("cid", F.posexplode("nvec").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -848,13 +852,12 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["cid"], r["cv"]) for r in cent.collect()], "cid int, cv array<double>"
     )
     asg = en.crossJoin(F.broadcast(book)).select(
-        "vec_id", "nvec", "cid", _l2("nvec", "cv").alias("d")
+        "vec_id", "nvec", _l2("nvec", "cv").alias("d"), "cid"
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
     clustered = (
-        asg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "nvec")
+        asg.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("b"), F.first("nvec").alias("nvec"))
+        .select("vec_id", F.col("b.cid").alias("cid"), "nvec")
     )
     a = clustered.select(F.col("vec_id").alias("a_id"), "cid", F.col("nvec").alias("a_vec"))
     b = clustered.select(F.col("vec_id").alias("b_id"), "cid", F.col("nvec").alias("b_vec"))
