@@ -1287,6 +1287,9 @@ def analytics_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # four consumers (basket count, part totals, both pair sides):
+        # truncate lineage so the distinct runs once, not per consumer
+        .localCheckpoint(eager=False)
     )
     n = op.select(F.countDistinct("l_orderkey").alias("n_orders"))
     part_n = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))

@@ -701,6 +701,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 5
 
 
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN-sparsified co-purchase graph (pre-checkpoint plan —
+    tests/test_plans.py asserts its shape here, where the lineage is
+    still visible): supplier pairs weighted by shared customers, each
+    node keeping its top-_KNN_K partners, symmetrized to oriented
+    a < b edges."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sc = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    a = sc.select(F.col("s").alias("s1"), "c")
+    b = sc.select(F.col("s").alias("s2"), "c")
+    proj = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    directed = proj.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "shared"
+    ).unionByName(
+        proj.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "shared")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("shared").desc(), "dst")
+    knn = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("src", "dst")
+    )
+    return knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+
+
 @query(
     "graph_knn_triangles",
     oracle=f"""
@@ -769,35 +806,12 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sum of deg^2) on the SPARSIFIED graph (bounded by k^2 per node),
     not on the raw clique."""
     tune(spark)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    sc = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
-        .distinct()
-    )
-    a = sc.select(F.col("s").alias("s1"), "c")
-    b = sc.select(F.col("s").alias("s2"), "c")
-    proj = (
-        a.join(b, "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    directed = proj.select(
-        F.col("s1").alias("src"), F.col("s2").alias("dst"), "shared"
-    ).unionByName(
-        proj.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "shared")
-    )
-    w = Window.partitionBy("src").orderBy(F.col("shared").desc(), "dst")
-    knn = (
-        directed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KNN_K)
-        .select("src", "dst")
-    )
-    edges = knn.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    # edges feed FIVE consumers (e1/e2/e3, degrees, edge count); without
+    # lineage truncation each one replays the projection + kNN upstream
+    # (measured: 76 static exchanges, ~5 s at sf0.1).  localCheckpoint
+    # materializes the sparsified graph once — the operators/graph.py
+    # idiom; ~5k rows at sf0.1, k*n rows in general
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionByName(edges.select(F.col("b").alias("v")))

@@ -408,6 +408,11 @@ _SHUFFLE_BUDGET = {
     "text_bm25": 1,  # one 1-row stats agg; top-50 is TakeOrdered
     "text_entropy": 0,  # map-only: per-doc HOF fold, no explode
     "corpus_temperature_mix": 3,  # source agg + 1-row normalizer + reuse
+    "ts_interpolate_linear": 3,  # user-distinct + daily agg + 1-row bounds
+    "text_phrase_search": 1,  # one postings groupBy; term filter map-side
+    "analytics_copurchase_lift": 5,  # post-checkpoint: pairs agg + dims
+    "sample_negative_pairs": 1,  # per-anchor window on broadcast join
+    "graph_knn_triangles": 8,  # post-checkpoint census joins + stats
     "json_variant_ops": 1,  # one groupBy on the bucketed variant field
     "scan_csv_permissive": 2,  # one 2-row agg per projection mode (full+pruned)
     "agg_countmin_mergeable": 0,  # emitted DF is driver model state
@@ -534,14 +539,22 @@ def test_knn_triangles_no_cartesian_and_partitioned_window(spark):
     CartesianProduct anywhere, and the only nested-loop joins are the
     final crossJoins of the three 1-ROW stat frames (the
     analytics_idle_balances pattern); the kNN selection must window
-    per node, never globally (no SinglePartition window exchange)."""
+    per node, never globally (no SinglePartition window exchange).
+    The census side is planned from the final query; the edge-building
+    side from the pre-checkpoint helper (the localCheckpoint that stops
+    five consumers replaying the projection also hides its lineage from
+    the final plan)."""
+    from covid_data_pipeline_spark.queries.tpch_extra import _knn_edges
+
     plan = plan_of(q("graph_knn_triangles", spark), mode="simple")
     assert "CartesianProduct" not in plan
     # the edge/wedge/triangle joins themselves are hash equi-joins
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
         "ShuffledHashJoin" in plan
     )
-    win_line = next(ln for ln in plan.splitlines() if "Window [" in ln)
+    eplan = plan_of(_knn_edges(spark, SF_ORACLE), mode="simple")
+    assert "CartesianProduct" not in eplan
+    win_line = next(ln for ln in eplan.splitlines() if "Window [" in ln)
     assert "windowspecdefinition(src" in win_line, win_line
 
 
