@@ -45,6 +45,12 @@ _QUERIES = (
     "win_moving_median",
     "pipeline_snapshot_diff",
     "pipeline_partition_checksum",
+    # round-4 late additions: interpolation float chain, PQ fold +
+    # Lloyd means, SemDeDup Lloyd means, lift division
+    "ts_interpolate_linear",
+    "sim_pq_adc_rerank",
+    "dedup_semdedup_kmeans",
+    "analytics_copurchase_lift",
 )
 
 _GEOMETRIES = (
