@@ -982,3 +982,76 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("m").cast("long").alias("first_pos"),
         )
     )
+
+
+_BPE_MERGES = 8
+
+
+@query("text_bpe_train", oracle=None)  # rows-only: iterative, model-state
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al.) — N merge
+    rounds over the corpus: count adjacent-symbol pairs weighted by word
+    frequency, merge the most frequent pair everywhere, repeat.  Emits
+    the learned merge table (rank, left, right, merged, weighted count)
+    — the exact artifact a tokenizer ships.
+
+    The DISTRIBUTED shape is the whole point: the corpus-sized stage is
+    the word-frequency count (one explode + one shuffle — the classic
+    map-reduce), and every training round after that operates on the
+    DISTINCT-WORD table (|V| rows, here 31; sub-millions in any real
+    corpus), never the corpus — exactly how production BPE trainers
+    scale to 100 TB.  Per round: pair explosion over |V| symbol arrays,
+    a weighted groupBy, a 1-row argmax collected as MODEL STATE (the
+    kmeans-centroid pattern), and a left-to-right greedy merge applied
+    as an in-codegen array fold; lineage is truncated per round
+    (localCheckpoint — the operators/graph.py idiom) so round k's plan
+    does not replay rounds 1..k-1.  Tie-breaks are (count desc, left,
+    right), so the merge table is bit-deterministic; an independent
+    pure-Python BPE replay asserts exact equality in
+    tests/test_llm_ops.py."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = words.select("w", "freq", F.split("w", "").alias("seq"))
+    seqs = seqs.localCheckpoint(eager=False)
+
+    merges = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs = seqs.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(seq, 1, size(seq)-1),"
+                    " (x, i) -> struct(x AS a, seq[i+1] AS b))"
+                )
+            ).alias("p"),
+        )
+        counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+        best = counts.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()[0]
+        a, b, n = best["a"], best["b"], best["n"]
+        # symbols come from word characters — the fold below interpolates
+        # them into an expression, so refuse anything quotable outright
+        assert "'" not in a + b and "\\" not in a + b, (a, b)
+        merges.append((rank, a, b, a + b, int(n)))
+        seqs = seqs.select(
+            "w",
+            "freq",
+            F.expr(
+                f"""aggregate(seq, CAST(array() AS array<string>),
+                    (acc, x) -> CASE WHEN size(acc) > 0
+                                     AND element_at(acc, -1) = '{a}'
+                                     AND x = '{b}'
+                        THEN concat(slice(acc, 1, size(acc)-1),
+                                    array('{a}{b}'))
+                        ELSE concat(acc, array(x)) END)"""
+            ).alias("seq"),
+        )
+        seqs = seqs.localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, wcount long"
+    )

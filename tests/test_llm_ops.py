@@ -475,3 +475,49 @@ def test_semdedup_deterministic_and_matches_label_twin(spark):
     assert runs[0] == twin, (
         f"semdedup {len(runs[0])} rows != label twin {len(twin)} rows"
     )
+
+
+def test_bpe_train_matches_pure_python_replay(spark):
+    """The learned merge table must exactly equal an independent
+    pure-Python BPE run over the same word frequencies — same pairs,
+    same order, same weighted counts (tie-break: count desc, then
+    lexicographic pair)."""
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.io import load as load_table
+
+    reg = load_all()
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["wcount"])
+        for r in reg["text_bpe_train"].fn(spark, SF_ORACLE)
+        .orderBy("rank").collect()
+    ]
+    wf = {
+        r["w"]: r["freq"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").count()
+        .withColumnRenamed("count", "freq").collect()
+    }
+    seqs = {w: list(w) for w in wf}
+    want = []
+    for rank in range(1, len(got) + 1):
+        cnt = {}
+        for w, s in seqs.items():
+            f = wf[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + f
+        (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, a + b, n))
+        for w, s in seqs.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[w] = ns
+    assert got == want
