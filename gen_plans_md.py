@@ -173,6 +173,29 @@ SHOWN = (
         "iterative float algorithm hash-exact; top-20 is TakeOrdered.",
         False,
     ),
+    (
+        "text_phrase_search",
+        "Index-shaped phrase search: term filter BELOW the aggregate "
+        "(only probed terms' postings shuffle), partial_collect_list "
+        "map-side, ONE Exchange, adjacency as an in-array intersection "
+        "— never a token self-join.",
+        False,
+    ),
+    (
+        "ts_interpolate_linear",
+        "Backward and forward context frames FUSED into one Window node "
+        "over one sort (shared partition+order); day spine broadcast; "
+        "two hash exchanges total, both on small aggregates.",
+        False,
+    ),
+    (
+        "analytics_copurchase_lift",
+        "Basket-key self-equi-join pair generation (a-priori fan-out "
+        "bound), part totals + basket count broadcast, lift top-20 via "
+        "TakeOrderedAndProject; the 4-consumer distinct is lineage-"
+        "truncated so it executes once.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead
