@@ -74,6 +74,21 @@ def family_of(name: str) -> str:
 # query id; the generator fails if an id here is stale or a rows-only
 # query lacks an entry — so this list can never drift from the registry.
 ROWS_ONLY_WHY = {
+    "sim_pq_adc_rerank": (
+        "iterative Lloyd codebook training + model-state collect — the "
+        "driver-contract category exempt from SQL twins. Determinism and "
+        "recall@5 >= 0.7 vs the brute-force twin asserted in tests."
+    ),
+    "dedup_semdedup_kmeans": (
+        "k-means-learned blocking (iterative, model-state) — no SQL twin. "
+        "Determinism and EXACT equality with the label-blocked oracle-"
+        "checked twin asserted in tests."
+    ),
+    "text_bpe_train": (
+        "iterative merge training with per-round model-state argmax — no "
+        "SQL twin. Exact equality with an independent pure-Python BPE "
+        "replay asserted in tests."
+    ),
     "sink_compact_small_files": (
         "output is a FILE-COUNT audit of a filesystem rewrite; DuckDB has no "
         "view of Spark's task file layout. Row preservation is proven by the "
