@@ -792,3 +792,111 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _NEG_K)
         .select("anchor_id", "negative_id", "rank")
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT day, v,
+               CASE WHEN COUNT(*) OVER w7 = 7
+                    THEN CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER w7 AS DOUBLE)
+                         / 7 END AS trend
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT *, dayofweek(day) AS wd, v - trend AS resid0 FROM trended
+    ),
+    wk AS (
+        SELECT wd,
+               CAST(SUM(CAST(resid0 AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(resid0) AS raw
+        FROM detr WHERE resid0 IS NOT NULL GROUP BY wd
+    ),
+    wkc AS (
+        SELECT wd, raw - (SELECT CAST(SUM(CAST(raw AS DECIMAL(28,6)))
+                                      AS DOUBLE) / COUNT(*) FROM wk) AS seasonal
+        FROM wk
+    )
+    SELECT d.day, ROUND(d.v, 6) AS value,
+           ROUND(d.trend, 6) AS trend,
+           ROUND(w.seasonal, 6) AS seasonal,
+           ROUND(d.v - d.trend - w.seasonal, 6) AS resid,
+           CAST(d.trend IS NOT NULL AS INTEGER) AS has_trend
+    FROM detr d JOIN wkc w ON w.wd = d.wd
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the statsmodels
+    ``seasonal_decompose`` shape): daily total -> TREND (centered 7-day
+    moving mean, only where the window is complete — edges stay NULL
+    rather than fabricating a partial-mean trend) -> SEASONAL (per-
+    weekday mean of the detrended series, re-centered to sum to zero)
+    -> RESIDUAL.  The decomposition every metrics/anomaly stack runs
+    before alerting on a weekly-cyclic series.
+
+    Scale split, same as its ts siblings: the corpus-sized stage is the
+    one daily aggregate (map-side partial decimal sums, one shuffle);
+    the decomposition itself runs on ~one row per day — a windowed
+    7-row frame, a 7-row weekday aggregate broadcast back, and one
+    1-row centering aggregate.  Every mean goes through the exact-
+    decimal trick, NULL gating is cast to int, and all four emitted
+    floats are rounded post-identical-IEEE-chains, so the driver hash
+    is stable."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("v")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "v",
+        F.when(
+            F.count("v").over(w7) == 7,
+            F.sum(F.col("v").cast("decimal(28,6)")).over(w7).cast("double") / 7,
+        ).alias("trend"),
+    )
+    detr = trended.select(
+        "day", "v", "trend", F.dayofweek("day").alias("wd"),
+        (F.col("v") - F.col("trend")).alias("resid0"),
+    )
+    # three consumers (weekday means, centering via them, final join):
+    # truncate so the daily aggregate + trend window run once (~30 rows)
+    detr = detr.localCheckpoint(eager=False)
+    wk = (
+        detr.filter(F.col("resid0").isNotNull())
+        .groupBy("wd")
+        .agg(
+            (
+                F.sum(F.col("resid0").cast("decimal(28,6)")).cast("double")
+                / F.count("resid0")
+            ).alias("raw")
+        )
+    )
+    center = wk.agg(
+        (F.sum(F.col("raw").cast("decimal(28,6)")).cast("double") / F.count("raw"))
+        .alias("c")
+    )
+    wkc = wk.crossJoin(F.broadcast(center)).select(
+        "wd", (F.col("raw") - F.col("c")).alias("seasonal")
+    )
+    return (
+        detr.join(F.broadcast(wkc), "wd")
+        .select(
+            "day",
+            F.round("v", 6).alias("value"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias(
+                "resid"
+            ),
+            F.col("trend").isNotNull().cast("int").alias("has_trend"),
+        )
+    )
