@@ -521,3 +521,40 @@ def test_bpe_train_matches_pure_python_replay(spark):
                     i += 1
             seqs[w] = ns
     assert got == want
+
+
+def test_random_projection_is_unbiased_jl(spark):
+    """JL contract: the sign projection preserves pairwise squared
+    distances IN EXPECTATION — over sampled pairs the mean squared
+    distance ratio must sit near 1, and the median ratio inside a loose
+    band (k=16 is deliberately aggressive; measured median 0.89)."""
+    import itertools
+    import math
+    import random
+
+    from collections import defaultdict
+
+    reg = load_all()
+    proj = defaultdict(dict)
+    for r in reg["embed_random_projection"].fn(spark, SF_ORACLE).collect():
+        proj[r["vec_id"]][r["j"]] = r["pj"]
+    from covid_data_pipeline_spark.io import load as load_table
+
+    orig = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_ORACLE, "embeddings")
+        .orderBy("vec_id").limit(60).collect()
+    }
+    rng = random.Random(7)
+    pairs = rng.sample(list(itertools.combinations(sorted(orig), 2)), 300)
+    ratios = []
+    for a, b in pairs:
+        d0 = math.dist(orig[a], orig[b])
+        pa = [proj[a][j] for j in range(16)]
+        pb = [proj[b][j] for j in range(16)]
+        ratios.append(math.dist(pa, pb) / d0)
+    ratios.sort()
+    mean_sq = sum(r * r for r in ratios) / len(ratios)
+    assert 0.7 <= mean_sq <= 1.4, f"E[ratio^2] {mean_sq:.3f} not ~1"
+    med = ratios[len(ratios) // 2]
+    assert 0.6 <= med <= 1.3, f"median ratio {med:.3f} outside band"
