@@ -670,6 +670,11 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sub"),
     ).select("vec_id", F.col("sub.s").alias("s"), F.col("sub.sv").alias("sv"))
+    # subs feeds training (x2 rounds), encoding and the ADC tables; en
+    # feeds seeding, sizing and both re-rank vector sides — truncate both
+    # so the normalize+slice pipeline runs once, not per consumer
+    en = en.localCheckpoint(eager=False)
+    subs = subs.localCheckpoint(eager=False)
 
     # -- train: deterministic init (first K vec_ids in Knuth-hash order,
     # the same K vectors seed every subspace), then Lloyd rounds
@@ -819,6 +824,9 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "vec", F.explode(F.array("n0")).alias("n"))
         .select("vec_id", F.transform("vec", lambda x: x / F.col("n")).alias("nvec"))
     )
+    # en feeds seeding, two Lloyd rounds, the final assignment and both
+    # pair sides — truncate so union+normalize runs once, not 6x
+    en = en.localCheckpoint(eager=False)
     seeds = (
         en.select("vec_id", ((F.col("vec_id") * _PQ_MULT) % _PQ_MOD).alias("h"))
         .orderBy("h", "vec_id")
