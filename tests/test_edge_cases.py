@@ -151,3 +151,59 @@ def test_orc_roundtrip_equals_parquet_source(spark):
         .collect()
     }
     assert orc == pq
+
+
+def test_bpe_merge_fold_is_left_to_right_greedy(spark):
+    """The in-codegen merge fold must consume overlapping pairs left to
+    right: merging (a,a) in 'aaa' yields [aa, a] — never [a, aa], and
+    never the double-count [aa, aa]; 'aaaa' yields [aa, aa]."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("aba",), ("",)], "w string"
+    )
+    merged = df.select(
+        "w",
+        F.expr(
+            """aggregate(split(w, ''), CAST(array() AS array<string>),
+               (acc, x) -> CASE WHEN size(acc) > 0
+                                AND element_at(acc, -1) = 'a' AND x = 'a'
+                           THEN concat(slice(acc, 1, size(acc)-1), array('aa'))
+                           ELSE concat(acc, array(x)) END)"""
+        ).alias("seq"),
+    ).collect()
+    got = {r["w"]: r["seq"] for r in merged}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aba"] == ["a", "b", "a"]
+    # split('', '') is [''] in Spark — the trainer never sees it because
+    # words are filtered non-empty upstream; pinned here as documentation
+    assert got[""] == [""]
+
+
+def test_phrase_adjacency_counts_overlapping_repeats(spark):
+    """The posting-list intersection must count OVERLAPPING matches of a
+    repeated-token phrase exactly like the positional self-join the SQL
+    oracle spells: 'x x' in 'x x x' hits twice (positions 1 and 2)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x x x"), (2, "x y x"), (3, "y x x")],
+                               "doc_id int, text string")
+    tok = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).filter(F.col("tok") == "x")
+    postings = tok.groupBy("doc_id").agg(
+        F.collect_list(F.col("pos0") + 1).alias("p1")
+    )
+    matched = F.filter("p1", lambda x: F.array_contains(F.col("p1"), x + 1))
+    out = {
+        r["doc_id"]: (r["n"], r["first"])
+        for r in postings.select(
+            "doc_id",
+            F.size(matched).alias("n"),
+            F.array_min(matched).alias("first"),
+        ).collect()
+    }
+    assert out[1] == (2, 1)   # overlapping pair counted at pos 1 and 2
+    assert out[2] == (0, None)
+    assert out[3] == (1, 2)
