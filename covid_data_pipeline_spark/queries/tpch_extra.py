@@ -272,7 +272,8 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cost c JOIN eu e ON e.s_suppkey = c.l_suppkey
     )
     SELECT o.s_acctbal, o.s_name, o.n_name,
-           p.p_partkey, ROUND(o.unit_cost, 6) AS unit_cost
+           p.p_partkey,
+           CAST(FLOOR(o.unit_cost * 1000000 + 0.5) AS BIGINT) AS unit_cost_micro
     FROM offers o
     JOIN part p ON p.p_partkey = o.p_key
     WHERE p.p_size = 15
@@ -292,7 +293,15 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unit-cost division is a single IEEE op on identical inputs —
     deterministic cross-engine, so the equality join is safe; the
     min re-rank shuffles only (part, supplier) aggregates, never raw
-    lines."""
+    lines.
+
+    The emitted cost is INTEGER MICRO-UNITS via floor(x*1e6 + 0.5), not
+    ROUND(x, 6): a round-4 sf0.1 sweep caught a half-boundary value
+    (1027.3478125) where Spark's round (exact BigDecimal of the double,
+    HALF_UP) and DuckDB's (float-space) disagreed by one ulp in the 6th
+    decimal.  floor(x*1e6+0.5) is one IEEE multiply + add + floor on
+    identical inputs — bit-identical in any engine, no decimal
+    semantics involved (costs are positive, so floor(+0.5) == half-up)."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -323,7 +332,9 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "p_partkey",
-            F.round("unit_cost", 6).alias("unit_cost"),
+            F.floor(F.col("unit_cost") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("unit_cost_micro"),
         )
     )
 
