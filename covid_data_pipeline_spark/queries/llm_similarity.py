@@ -886,3 +886,72 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("b_id").alias("dup_id")).agg(
         F.min("a_id").alias("canon_id")
     )
+
+
+_HARDNEG_NQ = 10   # anchor set: vec_id < 10 (the ANN-twin convention)
+_HARDNEG_K = 5
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS vec
+        FROM embeddings
+    ),
+    anchors AS (SELECT vec_id AS anchor_id, label AS a_label, vec AS a_vec
+                FROM v WHERE vec_id < {_HARDNEG_NQ}),
+    scored AS (
+        SELECT a.anchor_id, c.vec_id AS negative_id,
+               ROUND({_SQL_DOT.format(a='a.a_vec', b='c.vec')}
+                     / ({_SQL_NORM.format(a='a.a_vec')}
+                        * {_SQL_NORM.format(a='c.vec')}), 6) AS cosine
+        FROM v c JOIN anchors a ON c.label <> a.a_label
+    )
+    SELECT anchor_id, negative_id, cosine, rank FROM (
+        SELECT anchor_id, negative_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, negative_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_HARDNEG_K}
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining — the other half of contrastive pair
+    construction next to sample_negative_pairs' random draw: for each
+    anchor, the top-k most-similar vectors with a DIFFERENT label (the
+    semi-hard negatives that actually move a contrastive loss; random
+    negatives are trivially separable).  In production this runs against
+    the ANN index (sim_pq_adc_rerank / sim_ann_ivf with a label-!=
+    post-filter); the exactness oracle here is the broadcast brute-force
+    twin, same convention as sim_topk_neighbors.
+
+    Scale shape: the anchor set broadcasts (queries << corpus), the
+    corpus never shuffles, and the per-anchor top-k window runs on
+    anchor-partitioned scores.  Cosines are fixed-order folds over
+    exact f32->f64 casts — identical bits cross-engine."""
+    tune(spark)
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("vec")
+    )
+    anchors = v.filter(F.col("vec_id") < _HARDNEG_NQ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("vec").alias("a_vec"),
+    )
+    scored = (
+        v.join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round(
+                _dot("a_vec", "vec") / (_norm("a_vec") * _norm("vec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "negative_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select("anchor_id", "negative_id", "cosine", "rank")
+    )

@@ -415,6 +415,7 @@ _SHUFFLE_BUDGET = {
     "graph_knn_triangles": 8,  # post-checkpoint census joins + stats
     "ts_seasonal_decompose": 4,  # daily agg + day-window + weekday agg + center
     "embed_random_projection": 0,  # map-only: hash-sign fold, no shuffle at all
+    "sample_hard_negatives": 1,  # broadcast anchors + per-anchor window
     "json_variant_ops": 1,  # one groupBy on the bucketed variant field
     "scan_csv_permissive": 2,  # one 2-row agg per projection mode (full+pruned)
     "agg_countmin_mergeable": 0,  # emitted DF is driver model state
