@@ -987,29 +987,14 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
-@query("text_bpe_train", oracle=None)  # rows-only: iterative, model-state
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (Sennrich et al.) — N merge
-    rounds over the corpus: count adjacent-symbol pairs weighted by word
-    frequency, merge the most frequent pair everywhere, repeat.  Emits
-    the learned merge table (rank, left, right, merged, weighted count)
-    — the exact artifact a tokenizer ships.
-
-    The DISTRIBUTED shape is the whole point: the corpus-sized stage is
-    the word-frequency count (one explode + one shuffle — the classic
-    map-reduce), and every training round after that operates on the
-    DISTINCT-WORD table (|V| rows, here 31; sub-millions in any real
-    corpus), never the corpus — exactly how production BPE trainers
-    scale to 100 TB.  Per round: pair explosion over |V| symbol arrays,
-    a weighted groupBy, a 1-row argmax collected as MODEL STATE (the
-    kmeans-centroid pattern), and a left-to-right greedy merge applied
-    as an in-codegen array fold; lineage is truncated per round
-    (localCheckpoint — the operators/graph.py idiom) so round k's plan
-    does not replay rounds 1..k-1.  Tie-breaks are (count desc, left,
-    right), so the merge table is bit-deterministic; an independent
-    pure-Python BPE replay asserts exact equality in
-    tests/test_llm_ops.py."""
-    tune(spark)
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, track_corpus_tokens: bool = False
+) -> tuple[list[tuple], list[tuple]]:
+    """Shared BPE trainer: returns (merges, curve) where merges is
+    [(rank, left, right, merged, weighted_count)] and curve — only
+    populated when track_corpus_tokens — is [(round, corpus_tokens)]
+    with round 0 = the character-level baseline.  Both are pure model
+    state (one 1-row collect per round)."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1020,6 +1005,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = words.select("w", "freq", F.split("w", "").alias("seq"))
     seqs = seqs.localCheckpoint(eager=False)
 
+    def corpus_tokens() -> int:
+        return int(
+            seqs.agg(
+                F.sum(F.col("freq") * F.size("seq")).alias("t")
+            ).collect()[0]["t"]
+        )
+
+    curve = [(0, corpus_tokens())] if track_corpus_tokens else []
     merges = []
     for rank in range(1, _BPE_MERGES + 1):
         pairs = seqs.select(
@@ -1052,6 +1045,70 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
         )
         seqs = seqs.localCheckpoint(eager=False)
+        if track_corpus_tokens:
+            curve.append((rank, corpus_tokens()))
+    return merges, curve
+
+
+@query("text_bpe_train", oracle=None)  # rows-only: iterative, model-state
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al.) — N merge
+    rounds over the corpus: count adjacent-symbol pairs weighted by word
+    frequency, merge the most frequent pair everywhere, repeat.  Emits
+    the learned merge table (rank, left, right, merged, weighted count)
+    — the exact artifact a tokenizer ships.
+
+    The DISTRIBUTED shape is the whole point: the corpus-sized stage is
+    the word-frequency count (one explode + one shuffle — the classic
+    map-reduce), and every training round after that operates on the
+    DISTINCT-WORD table (|V| rows, here 31; sub-millions in any real
+    corpus), never the corpus — exactly how production BPE trainers
+    scale to 100 TB.  Per round: pair explosion over |V| symbol arrays,
+    a weighted groupBy, a 1-row argmax collected as MODEL STATE (the
+    kmeans-centroid pattern), and a left-to-right greedy merge applied
+    as an in-codegen array fold; lineage is truncated per round
+    (localCheckpoint — the operators/graph.py idiom) so round k's plan
+    does not replay rounds 1..k-1.  Tie-breaks are (count desc, left,
+    right), so the merge table is bit-deterministic; an independent
+    pure-Python BPE replay asserts exact equality in
+    tests/test_llm_ops.py."""
+    tune(spark)
+    merges, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, wcount long"
+    )
+
+
+@query("text_bpe_compression", oracle=None)  # rows-only: iterative twin
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE COMPRESSION CURVE — corpus token count after each merge
+    round (round 0 = raw characters): the artifact that drives the real
+    vocab-size decision ("how much does the next thousand merges buy"),
+    here at the fixture's 8-round scale.  Shares the trainer with
+    text_bpe_train (_bpe_train); the per-round corpus count is one
+    integer aggregate over the distinct-word table (freq x |seq|), so
+    tracking the curve adds one tiny job per round, never another
+    corpus pass.  tokens_saved and the cumulative compression ratio vs
+    round 0 are emitted per row; all-integer except the ratio, which is
+    one IEEE divide rounded to 6.  The same pure-Python replay that
+    pins the merge table asserts this curve exactly
+    (tests/test_llm_ops.py)."""
+    tune(spark)
+    merges, curve = _bpe_train(spark, sf_dir, track_corpus_tokens=True)
+    base = curve[0][1]
+    merged_by_rank = {rank: m for rank, _a, _b, m, _n in merges}
+    rows = [
+        (
+            rnd,
+            merged_by_rank.get(rnd, ""),
+            toks,
+            (curve[i - 1][1] - toks) if i > 0 else 0,
+            round(toks / base, 6),
+        )
+        for i, (rnd, toks) in enumerate(curve)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, merged string, corpus_tokens long, tokens_saved long,"
+        " ratio_vs_chars double",
     )

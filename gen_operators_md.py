@@ -84,6 +84,11 @@ ROWS_ONLY_WHY = {
         "Determinism and EXACT equality with the label-blocked oracle-"
         "checked twin asserted in tests."
     ),
+    "text_bpe_compression": (
+        "per-round corpus token counts from the iterative trainer — no "
+        "SQL twin. The pure-Python replay asserts the curve exactly in "
+        "tests."
+    ),
     "text_bpe_train": (
         "iterative merge training with per-round model-state argmax — no "
         "SQL twin. Exact equality with an independent pure-Python BPE "

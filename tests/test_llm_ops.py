@@ -521,6 +521,28 @@ def test_bpe_train_matches_pure_python_replay(spark):
                     i += 1
             seqs[w] = ns
     assert got == want
+    # the compression-curve twin must match the same replay's counts
+    curve = {
+        r["round"]: (r["corpus_tokens"], r["tokens_saved"])
+        for r in reg["text_bpe_compression"].fn(spark, SF_ORACLE).collect()
+    }
+    seqs2 = {w: list(w) for w in wf}
+    toks_at = [sum(wf[w] * len(s) for w, s in seqs2.items())]
+    for rank, a, b, _m, _n in want:
+        for w, s in seqs2.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs2[w] = ns
+        toks_at.append(sum(wf[w] * len(s) for w, s in seqs2.items()))
+    for rnd, total in enumerate(toks_at):
+        saved = 0 if rnd == 0 else toks_at[rnd - 1] - total
+        assert curve[rnd] == (total, saved), (rnd, curve[rnd], (total, saved))
 
 
 def test_random_projection_is_unbiased_jl(spark):
