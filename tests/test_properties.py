@@ -259,7 +259,10 @@ def test_min_cost_supplier_is_min(spark):
     for row in eu_lines:
         true_min[row["l_partkey"]] = min(true_min[row["l_partkey"]], row["uc"])
     for row in rows:
-        assert abs(row["unit_cost"] - round(true_min[row["p_partkey"]], 6)) < 1e-9, (
+        # the query emits integer micro-units (floor(x*1e6 + 0.5)); allow
+        # the one-ulp slack the quantization itself carries
+        want_micro = true_min[row["p_partkey"]] * 1_000_000
+        assert abs(row["unit_cost_micro"] - want_micro) <= 0.51, (
             row,
             true_min[row["p_partkey"]],
         )
