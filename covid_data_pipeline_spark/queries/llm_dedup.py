@@ -357,6 +357,30 @@ def _simhash(spark: SparkSession, d: DataFrame) -> DataFrame:
     )
 
 
+# Single-expression twin of :func:`_simhash`: the whole fingerprint as
+# one projection over ``text`` — no explode, no shuffle — which is what
+# makes the simhash computable on a STREAMING DataFrame (Structured
+# Streaming allows at most one aggregation per query, and the stateful
+# band-dedup downstream needs it).  Bit-equality with the batch
+# formulation is pinned in tests/test_streaming.py.
+SIMHASH_EXPR_SQL = f"""
+aggregate(
+  sequence(0, {_SIMHASH_BITS - 1}),
+  cast(0 as bigint),
+  (acc, bit) -> acc + IF(
+     aggregate(
+       transform(split(text, ' '),
+                 t -> aggregate(transform(split(t, ''), ch -> cast(ascii(ch) as bigint)),
+                                cast(7 as bigint),
+                                (a, c) -> (a * 31 + c) % {1 << _SIMHASH_BITS})),
+       cast(0 as bigint),
+       (w, th) -> w + IF(((th >> bit) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))
+     ) > 0,
+     shiftleft(cast(1 as bigint), bit), cast(0 as bigint))
+)
+"""
+
+
 NGRAM_THRESHOLD = 0.5
 
 

@@ -535,3 +535,87 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
     return run_available_now(joined, output_mode="append")
+
+
+@query(
+    "stream_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, lang, token,
+               list_reduce(list_prepend(7, [CAST(unicode(x) AS BIGINT)
+                                            FOR x IN string_split_regex(token, '')]),
+                           (acc, c) -> (acc * 31 + c) % 67108864) AS thash
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, lang, b.bit,
+               SUM(CASE WHEN (thash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+        FROM th CROSS JOIN (SELECT unnest(range(26)) AS bit) b
+        GROUP BY doc_id, lang, b.bit
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id, lang
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND ((a.simhash & 8191) = (b.simhash & 8191)
+          OR (a.simhash >> 13) = (b.simhash >> 13))
+     AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming near-duplicate detection over the document corpus —
+    the incremental-ingest dedup story (reference analogue: skipping
+    already-seen page content as scans arrive, generalized from exact
+    hash match to near-dup).  Each arriving document's 26-bit simhash is
+    computed in ONE stateless projection (SIMHASH_EXPR_SQL — no shuffle,
+    streaming-legal), posted under its two 13-bit LSH bands, and compared
+    in GroupState against every fingerprint previously filed in those
+    buckets (streaming.transforms.stateful_simhash_band_dedup); pairs at
+    Hamming <= 3 are emitted the moment the second copy arrives.
+
+    Because pairs are canonicalized, the availableNow drain's final set
+    is arrival-order independent and equals the batch band-collision
+    self-join — so this genuinely incremental stateful run is
+    HASH-CHECKED against a DuckDB oracle (the distinct() below only
+    collapses the two bands' duplicate emissions of two-band collisions).
+    Cross-micro-batch statefulness (batch-2 docs matching batch-1 state)
+    is exercised in tests/test_streaming.py.
+
+    Scale: see the transform's docstring — sharded bucket state, RocksDB
+    + TTL at 100 TB; max fixture bucket is 256 docs."""
+    from ..queries.llm_dedup import _CC_BAND_BITS, _CC_BAND_MASK, SIMHASH_EXPR_SQL
+    from ..streaming import read_documents_stream, run_available_now
+
+    tune(spark)
+    # narrow state-store sharding at test scale (same rationale as
+    # stream_stateful_totals)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = read_documents_stream(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", "lang", F.expr(SIMHASH_EXPR_SQL).alias("simhash")
+    )
+    banded = sh.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.expr(f"simhash & {_CC_BAND_MASK}"),
+                F.expr(f"simhash >> {_CC_BAND_BITS}"),
+            )
+        ).alias("band", "val"),
+    )
+    pairs = run_available_now(
+        TR.stateful_simhash_band_dedup(banded), output_mode="append"
+    )
+    return pairs.select("doc_a", "doc_b", "lang", "hamming").distinct()

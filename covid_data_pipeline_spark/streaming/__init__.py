@@ -8,5 +8,9 @@ a ``readStream`` source, which is what makes the batch twins in
 foreachBatch sinks, checkpoints).
 """
 
-from .runner import read_events_stream, run_available_now  # noqa: F401
+from .runner import (  # noqa: F401
+    read_documents_stream,
+    read_events_stream,
+    run_available_now,
+)
 from . import transforms  # noqa: F401

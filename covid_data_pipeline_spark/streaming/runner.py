@@ -39,6 +39,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet — the incremental-ingest
+    view of the corpus (documents arriving over time) that the streaming
+    dedup operators consume."""
+    from ..schemas import DOCUMENTS
+
+    return (
+        spark.readStream.schema(DOCUMENTS)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     output_mode: str = "complete",

@@ -273,3 +273,60 @@ def daily_bitmap_partials(df: DataFrame) -> DataFrame:
             F.md5(F.hex("bm")).alias("bm_md5"),
         )
     )
+
+
+def stateful_simhash_band_dedup(banded: DataFrame, ham_max: int = 3) -> DataFrame:
+    """TRUE streaming near-duplicate detection: an LSH index that grows
+    as documents arrive.  Input rows are (doc_id, lang, simhash, band,
+    val) — each document posted under its two 13-bit simhash bands — and
+    GroupState per (lang, band, val) bucket carries every fingerprint
+    ever filed there; each arriving document is compared (XOR+popcount)
+    against the bucket's history and near-dup pairs (Hamming <=
+    ``ham_max``) are emitted incrementally, the moment the second copy
+    arrives.  This is the ingest-time shape of ``dedup_simhash`` +
+    band-collision clustering: no batch self-join, just per-bucket state.
+
+    Pairs are canonicalized (doc_a < doc_b), so the drained result is
+    arrival-order independent — which is what lets a genuine streaming
+    run be hash-checked against a batch SQL oracle.
+
+    Scale: state is bounded by corpus size but SHARDED by bucket key —
+    fixture-measured max bucket is 256 docs at sf0.1 (242k candidate
+    pairs vs 2.0M docs^2/2 per lang), so per-arrival work stays tiny; at
+    100 TB use the RocksDB state store + a TTL policy on bucket entries
+    (dedup-within-retention), the standard design for streaming dedup."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def file_and_compare(key, pdfs, state: GroupState):
+        lang = key[0]
+        ids, hashes = state.get if state.exists else ([], [])
+        ids, hashes = list(ids), list(hashes)
+        rows: list[tuple[int, int, str, int]] = []
+        incoming: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            incoming.extend(
+                zip(pdf["doc_id"].astype("int64"), pdf["simhash"].astype("int64"))
+            )
+        # doc_id order within the batch: emission timing is deterministic
+        # (pairs themselves are canonical regardless)
+        for doc_id, sh in sorted(incoming):
+            for prev_id, prev_sh in zip(ids, hashes):
+                if prev_id == doc_id:
+                    continue
+                ham = bin(sh ^ prev_sh).count("1")
+                if ham <= ham_max:
+                    a, b = (prev_id, doc_id) if prev_id < doc_id else (doc_id, prev_id)
+                    rows.append((a, b, lang, ham))
+            ids.append(int(doc_id))
+            hashes.append(int(sh))
+        state.update((ids, hashes))
+        yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "lang", "hamming"])
+
+    return banded.groupBy("lang", "band", "val").applyInPandasWithState(
+        file_and_compare,
+        outputStructType="doc_a long, doc_b long, lang string, hamming int",
+        stateStructType="ids array<bigint>, hashes array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -437,6 +437,7 @@ _SHUFFLE_BUDGET = {
     # combine + the est/merged union
     "agg_approx_topk_mergeable": 3,
     "stream_bitmap_partials": 1,  # one bounded-state day/bucket agg
+    "stream_dedup_simhash": 1,  # memory-sink drain + cross-band distinct
     "scan_xml_payload": 0,  # map-only construct->parse round trip
     "sql_parameterized": 1,  # bound literals still push down; one agg
     # per_v counted once per branch statically; runtime = 1 scan + 3

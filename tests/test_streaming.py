@@ -408,3 +408,111 @@ def test_stream_bitmap_partials_equals_batch(spark):
     )
     cols = ["day_us", "bucket", "n_users", "bm_md5"]
     assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_simhash_expr_twin_is_bit_identical(spark):
+    """SIMHASH_EXPR_SQL (the streaming-legal single projection) must be
+    bit-identical to the batch _simhash explode+groupBy formulation —
+    it is the fingerprint stream_dedup_simhash files into state."""
+    from covid_data_pipeline_spark.queries.llm_dedup import (
+        SIMHASH_EXPR_SQL,
+        _simhash,
+    )
+
+    d = load(spark, SF_SMOKE, "documents")
+    expr_sh = d.select("doc_id", "lang", F.expr(SIMHASH_EXPR_SQL).alias("simhash"))
+    batch_sh = _simhash(spark, d).withColumnRenamed("simhash", "b_sh")
+    joined = expr_sh.join(batch_sh, ["doc_id", "lang"])
+    assert joined.count() == d.count()
+    assert joined.filter(F.col("simhash") != F.col("b_sh")).count() == 0
+
+
+def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
+    """The LSH state must carry across micro-batches: split the corpus
+    into two files (odd/even doc_id), drain one file per trigger, and
+    the emitted pair set must still equal the batch band-collision
+    self-join — every cross-file near-dup pair can only be found if
+    batch 2 compares against batch 1's GroupState."""
+    from covid_data_pipeline_spark.queries.llm_dedup import (
+        _CC_BAND_BITS,
+        _CC_BAND_MASK,
+        SIMHASH_EXPR_SQL,
+        _simhash,
+    )
+    from covid_data_pipeline_spark.schemas import DOCUMENTS
+
+    d = load(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "even")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "odd")
+    )
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    banded = stream.select(
+        "doc_id",
+        "lang",
+        F.expr(SIMHASH_EXPR_SQL).alias("simhash"),
+    ).select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.expr(f"simhash & {_CC_BAND_MASK}"),
+                F.expr(f"simhash >> {_CC_BAND_BITS}"),
+            )
+        ).alias("band", "val"),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    drained = run_available_now(
+        TR.stateful_simhash_band_dedup(banded), output_mode="append"
+    )
+    got = _as_sorted_rows(
+        drained.distinct(), ["doc_a", "doc_b", "lang", "hamming"]
+    )
+
+    # batch truth: band-collision self-join at Hamming <= 3
+    sh = _simhash(spark, d)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang"),
+        F.col("simhash").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang"),
+        F.col("simhash").alias("sh_b"),
+    )
+    want_df = (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (
+                F.expr(f"sh_a & {_CC_BAND_MASK}")
+                == F.expr(f"sh_b & {_CC_BAND_MASK}")
+            )
+            | (
+                F.expr(f"sh_a >> {_CC_BAND_BITS}")
+                == F.expr(f"sh_b >> {_CC_BAND_BITS}")
+            )
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    want = _as_sorted_rows(want_df, ["doc_a", "doc_b", "lang", "hamming"])
+    assert len(want) > 0
+    # cross-file pairs exist (odd doc paired with even doc) — the part
+    # only cross-batch state can find
+    assert any((x[0] % 2) != (x[1] % 2) for x in want)
+    assert got == want
