@@ -357,28 +357,46 @@ def _simhash(spark: SparkSession, d: DataFrame) -> DataFrame:
     )
 
 
-# Single-expression twin of :func:`_simhash`: the whole fingerprint as
-# one projection over ``text`` — no explode, no shuffle — which is what
-# makes the simhash computable on a STREAMING DataFrame (Structured
-# Streaming allows at most one aggregation per query, and the stateful
-# band-dedup downstream needs it).  Bit-equality with the batch
-# formulation is pinned in tests/test_streaming.py.
-SIMHASH_EXPR_SQL = f"""
+# Projection-only twin of :func:`_simhash`: the whole fingerprint as
+# stateless expressions over ``text`` — no explode, no aggregation —
+# which is what makes the simhash computable on a STREAMING DataFrame
+# (Structured Streaming allows at most one aggregation per query, and
+# the stateful band-dedup downstream needs it).  Two pieces on purpose:
+# the token-hash array is materialized in its own projection so the
+# 26-bit fold references a COLUMN instead of re-deriving the array per
+# bit — inlining it into the fold is 1.57x slower at sf0.1 (Catalyst
+# does not CSE a subexpression across lambda nesting levels).
+# Bit-equality with the batch formulation is pinned in
+# tests/test_streaming.py.
+SIMHASH_THASHES_SQL = f"""
+transform(split(text, ' '),
+          t -> aggregate(transform(split(t, ''), ch -> cast(ascii(ch) as bigint)),
+                         cast(7 as bigint),
+                         (a, c) -> (a * 31 + c) % {1 << _SIMHASH_BITS}))
+"""
+
+# folds a `thashes` column produced by SIMHASH_THASHES_SQL
+SIMHASH_FOLD_SQL = f"""
 aggregate(
   sequence(0, {_SIMHASH_BITS - 1}),
   cast(0 as bigint),
   (acc, bit) -> acc + IF(
      aggregate(
-       transform(split(text, ' '),
-                 t -> aggregate(transform(split(t, ''), ch -> cast(ascii(ch) as bigint)),
-                                cast(7 as bigint),
-                                (a, c) -> (a * 31 + c) % {1 << _SIMHASH_BITS})),
+       thashes,
        cast(0 as bigint),
        (w, th) -> w + IF(((th >> bit) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))
      ) > 0,
      shiftleft(cast(1 as bigint), bit), cast(0 as bigint))
 )
 """
+
+
+def simhash_projection(d: "DataFrame") -> "DataFrame":
+    """(doc_id, lang, simhash) via projections only — the streaming-legal
+    twin of :func:`_simhash` (bit-equality pinned in tests)."""
+    return d.withColumn("thashes", F.expr(SIMHASH_THASHES_SQL)).select(
+        "doc_id", "lang", F.expr(SIMHASH_FOLD_SQL).alias("simhash")
+    )
 
 
 NGRAM_THRESHOLD = 0.5

@@ -577,11 +577,16 @@ def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the incremental-ingest dedup story (reference analogue: skipping
     already-seen page content as scans arrive, generalized from exact
     hash match to near-dup).  Each arriving document's 26-bit simhash is
-    computed in ONE stateless projection (SIMHASH_EXPR_SQL — no shuffle,
-    streaming-legal), posted under its two 13-bit LSH bands, and compared
+    computed in stateless projections (llm_dedup.simhash_projection — no
+    aggregation, streaming-legal), posted under its two 13-bit LSH bands, and compared
     in GroupState against every fingerprint previously filed in those
     buckets (streaming.transforms.stateful_simhash_band_dedup); pairs at
-    Hamming <= 3 are emitted the moment the second copy arrives.
+    Hamming <= 3 are emitted the moment the second copy arrives.  The
+    fixture scan is a single parquet file, so the stream is repartitioned
+    BEFORE fingerprinting — without it the fold (the compute-heavy
+    stage) runs in one task (same single-file trap as the containment
+    twins); the extra exchange moves only raw text once and buys full
+    parallelism on the hash work.
 
     Because pairs are canonicalized, the availableNow drain's final set
     is arrival-order independent and equals the batch band-collision
@@ -593,17 +598,23 @@ def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: see the transform's docstring — sharded bucket state, RocksDB
     + TTL at 100 TB; max fixture bucket is 256 docs."""
-    from ..queries.llm_dedup import _CC_BAND_BITS, _CC_BAND_MASK, SIMHASH_EXPR_SQL
+    from ..queries.llm_dedup import (
+        _CC_BAND_BITS,
+        _CC_BAND_MASK,
+        simhash_projection,
+    )
     from ..streaming import read_documents_stream, run_available_now
 
     tune(spark)
-    # narrow state-store sharding at test scale (same rationale as
-    # stream_stateful_totals)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    docs = read_documents_stream(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", "lang", F.expr(SIMHASH_EXPR_SQL).alias("simhash")
-    )
+    # WIDE state sharding, unlike the other stateful ops: they have few
+    # groups (users/sources), where per-state-store commit overhead
+    # dominates and 8 partitions win; this op shards ~2 buckets/doc
+    # (hundreds of thousands of groups at sf0.1), so the overhead
+    # amortizes and parallelism wins — measured 11.6 s at 8 partitions
+    # vs 4.3 s at 32 on sf0.1
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    docs = read_documents_stream(spark, sf_dir).repartition(32)
+    sh = simhash_projection(docs)
     banded = sh.select(
         "doc_id",
         "lang",

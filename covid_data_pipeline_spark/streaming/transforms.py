@@ -321,7 +321,8 @@ def stateful_simhash_band_dedup(banded: DataFrame, ham_max: int = 3) -> DataFram
             ids.append(int(doc_id))
             hashes.append(int(sh))
         state.update((ids, hashes))
-        yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "lang", "hamming"])
+        if rows:  # most buckets emit nothing — skip the empty frame
+            yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "lang", "hamming"])
 
     return banded.groupBy("lang", "band", "val").applyInPandasWithState(
         file_and_compare,

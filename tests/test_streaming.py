@@ -411,16 +411,17 @@ def test_stream_bitmap_partials_equals_batch(spark):
 
 
 def test_simhash_expr_twin_is_bit_identical(spark):
-    """SIMHASH_EXPR_SQL (the streaming-legal single projection) must be
-    bit-identical to the batch _simhash explode+groupBy formulation —
-    it is the fingerprint stream_dedup_simhash files into state."""
+    """simhash_projection (the streaming-legal projection-only twin)
+    must be bit-identical to the batch _simhash explode+groupBy
+    formulation — it is the fingerprint stream_dedup_simhash files into
+    state."""
     from covid_data_pipeline_spark.queries.llm_dedup import (
-        SIMHASH_EXPR_SQL,
         _simhash,
+        simhash_projection,
     )
 
     d = load(spark, SF_SMOKE, "documents")
-    expr_sh = d.select("doc_id", "lang", F.expr(SIMHASH_EXPR_SQL).alias("simhash"))
+    expr_sh = simhash_projection(d)
     batch_sh = _simhash(spark, d).withColumnRenamed("simhash", "b_sh")
     joined = expr_sh.join(batch_sh, ["doc_id", "lang"])
     assert joined.count() == d.count()
@@ -436,8 +437,8 @@ def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
     from covid_data_pipeline_spark.queries.llm_dedup import (
         _CC_BAND_BITS,
         _CC_BAND_MASK,
-        SIMHASH_EXPR_SQL,
         _simhash,
+        simhash_projection,
     )
     from covid_data_pipeline_spark.schemas import DOCUMENTS
 
@@ -456,11 +457,7 @@ def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(src + "/*")
     )
-    banded = stream.select(
-        "doc_id",
-        "lang",
-        F.expr(SIMHASH_EXPR_SQL).alias("simhash"),
-    ).select(
+    banded = simhash_projection(stream).select(
         "doc_id",
         "lang",
         "simhash",
