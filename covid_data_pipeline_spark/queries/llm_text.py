@@ -989,12 +989,15 @@ _BPE_MERGES = 8
 
 def _bpe_train(
     spark: SparkSession, sf_dir: str, track_corpus_tokens: bool = False
-) -> tuple[list[tuple], list[tuple]]:
-    """Shared BPE trainer: returns (merges, curve) where merges is
-    [(rank, left, right, merged, weighted_count)] and curve — only
+) -> tuple[list[tuple], list[tuple], DataFrame]:
+    """Shared BPE trainer: returns (merges, curve, vocab) where merges is
+    [(rank, left, right, merged, weighted_count)], curve — only
     populated when track_corpus_tokens — is [(round, corpus_tokens)]
-    with round 0 = the character-level baseline.  Both are pure model
-    state (one 1-row collect per round)."""
+    with round 0 = the character-level baseline, and vocab is the final
+    distinct-word table (w, freq, seq) with every merge applied — i.e.
+    the corpus fully tokenized at the WORD level, which is what
+    text_bpe_encode joins against.  merges/curve are pure model state
+    (one 1-row collect per round)."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1047,7 +1050,7 @@ def _bpe_train(
         seqs = seqs.localCheckpoint(eager=False)
         if track_corpus_tokens:
             curve.append((rank, corpus_tokens()))
-    return merges, curve
+    return merges, curve, seqs
 
 
 @query("text_bpe_train", oracle=None)  # rows-only: iterative, model-state
@@ -1073,7 +1076,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python BPE replay asserts exact equality in
     tests/test_llm_ops.py."""
     tune(spark)
-    merges, _ = _bpe_train(spark, sf_dir)
+    merges, _, _vocab = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, wcount long"
     )
@@ -1094,7 +1097,7 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the merge table asserts this curve exactly
     (tests/test_llm_ops.py)."""
     tune(spark)
-    merges, curve = _bpe_train(spark, sf_dir, track_corpus_tokens=True)
+    merges, curve, _vocab = _bpe_train(spark, sf_dir, track_corpus_tokens=True)
     base = curve[0][1]
     merged_by_rank = {rank: m for rank, _a, _b, m, _n in merges}
     rows = [
@@ -1111,4 +1114,45 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "round int, merged string, corpus_tokens long, tokens_saved long,"
         " ratio_vs_chars double",
+    )
+
+
+@query("text_bpe_encode", oracle=None)  # rows-only: applies iterative model
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of the tokenizer lifecycle: tokenize
+    every document with the merge table text_bpe_train learns, emitting
+    per-doc (n_words, n_tokens, n_chars) — the numbers a training-data
+    pipeline actually bills by (token counts for mixture weighting,
+    sequence packing, cost estimates).
+
+    The scale shape is the point: the trainer's final distinct-word
+    table IS the corpus tokenized at the word level (every merge already
+    applied), so encoding a document never re-runs a merge — it is ONE
+    explode + ONE broadcast join against the |V|-row vocabulary + ONE
+    per-doc aggregate.  At 100 TB the vocab stays broadcast-sized by
+    construction (BPE vocabularies are 32-256k entries; distinct words
+    bound it) and the corpus is touched exactly once — the same
+    join-against-pretokenized-vocab design production tokenizer services
+    use.  Exactness contract: per-doc token counts equal an independent
+    pure-Python BPE replay (train + greedy left-to-right apply) in
+    tests/test_llm_ops.py; all-integer output, golden-stable."""
+    tune(spark)
+    _merges, _curve, vocab = _bpe_train(spark, sf_dir)
+    wtok = vocab.select(
+        "w",
+        F.size("seq").cast("long").alias("w_tokens"),
+        F.length("w").cast("long").alias("w_chars"),
+    )
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_tokens").alias("n_tokens"),
+            F.sum("w_chars").alias("n_chars"),
+        )
     )

@@ -94,6 +94,11 @@ ROWS_ONLY_WHY = {
         "SQL twin. Exact equality with an independent pure-Python BPE "
         "replay asserted in tests."
     ),
+    "text_bpe_encode": (
+        "applies the iteratively-trained merge table — no SQL twin for "
+        "the training half. Per-doc token counts equal a pure-Python "
+        "train+apply replay exactly in tests."
+    ),
     "sink_compact_small_files": (
         "output is a FILE-COUNT audit of a filesystem rewrite; DuckDB has no "
         "view of Spark's task file layout. Row preservation is proven by the "

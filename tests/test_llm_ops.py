@@ -580,3 +580,54 @@ def test_random_projection_is_unbiased_jl(spark):
     assert 0.7 <= mean_sq <= 1.4, f"E[ratio^2] {mean_sq:.3f} not ~1"
     med = ratios[len(ratios) // 2]
     assert 0.6 <= med <= 1.3, f"median ratio {med:.3f} outside band"
+
+
+def test_bpe_encode_matches_pure_python_replay(spark):
+    """Per-doc token counts from text_bpe_encode must exactly equal an
+    independent pure-Python pipeline: replay the BPE training (same
+    tie-breaks), greedily apply the merges to each word, and count —
+    the full train+apply lifecycle checked end to end."""
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.io import load as load_table
+
+    reg = load_all()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in reg["text_bpe_encode"].fn(spark, SF_ORACLE).collect()
+    }
+    merges = [
+        (r["left"], r["right"])
+        for r in reg["text_bpe_train"].fn(spark, SF_ORACLE)
+        .orderBy("rank").collect()
+    ]
+
+    def apply_merges(w: str) -> int:
+        s = list(w)
+        for a, b in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return len(s)
+
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text").collect()
+    )
+    tok_cache: dict[str, int] = {}
+    want = {}
+    for r in docs:
+        ws = [w for w in r["text"].split(" ") if w != ""]
+        n_tokens = 0
+        for w in ws:
+            if w not in tok_cache:
+                tok_cache[w] = apply_merges(w)
+            n_tokens += tok_cache[w]
+        want[r["doc_id"]] = (len(ws), n_tokens, sum(len(w) for w in ws))
+    assert got == want

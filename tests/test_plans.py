@@ -438,6 +438,7 @@ _SHUFFLE_BUDGET = {
     "agg_approx_topk_mergeable": 3,
     "stream_bitmap_partials": 1,  # one bounded-state day/bucket agg
     "stream_dedup_simhash": 1,  # memory-sink drain + cross-band distinct
+    "text_bpe_encode": 1,  # one per-doc agg; vocab side is checkpointed+broadcast
     "scan_xml_payload": 0,  # map-only construct->parse round trip
     "sql_parameterized": 1,  # bound literals still push down; one agg
     # per_v counted once per branch statically; runtime = 1 scan + 3
