@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Measure stream_dedup_simhash's per-micro-batch cost as the stateful
+LSH index GROWS — the question that decides whether the streaming
+near-dup design survives an unbounded ingest: does batch k pay for the
+k-1 batches already filed in state?
+
+Method: split the sf0.1 documents into K equal files by doc_id hash,
+drain with maxFilesPerTrigger=1 (one file per micro-batch, checkpointed
+state carried across batches), and read per-batch durations and state
+row counts from the streaming progress events.  The design predicts
+~flat per-batch cost: each arrival compares only against its two
+buckets' occupancy (which grows like corpus/8192 per lang per band),
+never against the whole index — so cost per batch should track
+CANDIDATE PAIRS per batch, not cumulative state size.
+
+Run: python experiments/stream_dedup_growth.py   (~3 min, local[32])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from covid_data_pipeline_spark.io import load, tune  # noqa: E402
+from covid_data_pipeline_spark.queries.llm_dedup import (  # noqa: E402
+    _CC_BAND_BITS,
+    _CC_BAND_MASK,
+    simhash_projection,
+)
+from covid_data_pipeline_spark.schemas import DOCUMENTS  # noqa: E402
+from covid_data_pipeline_spark.session import get_spark  # noqa: E402
+from covid_data_pipeline_spark.streaming import transforms as TR  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K_BATCHES = 10
+
+
+def main() -> None:
+    spark = get_spark("stream-dedup-growth")
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    src = tempfile.mkdtemp(prefix="sdg_src_")
+    d = load(spark, SF_DIR, "documents")
+    n_docs = d.count()
+    # deterministic K-way split; one file per slice => one micro-batch each
+    for k in range(K_BATCHES):
+        d.filter((F.col("doc_id") * 2654435761 % 2**32) % K_BATCHES == k) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(src, f"b{k:02d}"))
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    banded = simhash_projection(stream.repartition(32)).select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.expr(f"simhash & {_CC_BAND_MASK}"),
+                F.expr(f"simhash >> {_CC_BAND_BITS}"),
+            )
+        ).alias("band", "val"),
+    )
+    sdf = TR.stateful_simhash_band_dedup(banded)
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    print(f"# {n_docs} docs in {K_BATCHES} micro-batches (sf_dir={SF_DIR})")
+    print("# batch  input_rows  batch_ms  state_rows  pairs_emitted")
+    rows = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        op = p["stateOperators"][0]
+        ms = p["batchDuration"]
+        rows.append(
+            (
+                p["batchId"],
+                p["numInputRows"],
+                ms,
+                op["numRowsTotal"],
+                op.get("numRowsUpdated", -1),
+            )
+        )
+        print(
+            f"{p['batchId']:>7} {p['numInputRows']:>11} {ms:>9}"
+            f" {op['numRowsTotal']:>11} {op.get('numRowsUpdated', -1):>13}"
+        )
+    total_pairs = spark.table(name).count()
+    first, last = rows[0][2], rows[-1][2]
+    print(
+        json.dumps(
+            {
+                "batches": len(rows),
+                "first_batch_ms": first,
+                "last_batch_ms": last,
+                "growth_ratio": round(last / first, 3),
+                "total_pair_emissions": total_pairs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
