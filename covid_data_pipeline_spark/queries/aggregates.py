@@ -1041,3 +1041,86 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("r_name")
     )
     return per_region.transpose()
+
+
+_HIST_BIN_W = 1000  # price bin width; estimate error bound = +/- one bin
+
+
+@query(
+    "agg_histogram_quantile",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice / {_HIST_BIN_W}) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, bin, n,
+               SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+               SUM(n) OVER (PARTITION BY l_returnflag) AS total
+        FROM h
+    ),
+    p AS (SELECT unnest([50, 90, 99]) AS p)
+    SELECT l_returnflag, p.p,
+           MIN(bin) * {_HIST_BIN_W} AS bin_lo,
+           CAST(MIN(bin) * {_HIST_BIN_W} + {_HIST_BIN_W} AS BIGINT) AS bin_hi,
+           CAST(MIN(total) AS BIGINT) AS n_rows
+    FROM c CROSS JOIN p
+    WHERE cum * 100 >= p.p * total
+    GROUP BY l_returnflag, p.p
+    """,
+)
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantiles via fixed-width histogram bins — the
+    deterministic, hash-checkable member of the sketch family (the
+    bitmap-distinct argument applied to percentiles): per-(group, bin)
+    counts are the partial state (map-side combine collapses each
+    partition to at most |bins| rows; partials from any split ADD), and
+    the quantile walk runs over the BIN table — bounded by value-range /
+    bin-width, here ~105 rows per group — never over the data.  Exact
+    percentile (agg_quantiles) sorts each group; approx_percentile keeps
+    an opaque sketch the oracle can't replay; this one trades a fixed
+    +/-one-bin error bound ({_HIST_BIN_W} price units) for bit-exact
+    mergeability, which is why the 100 TB rollup architecture (partials
+    table -> any-window re-aggregation) can hash-check it.  Emits the
+    [bin_lo, bin_hi) bracket of p50/p90/p99 per returnflag; the DISCRETE
+    quantile (the rank-ceil(n*p/100) order statistic) provably lands
+    inside — asserted in tests (note: the INTERPOLATED quantile_cont can
+    straddle a bin edge when the two straddling order statistics fall in
+    different bins, so the contract is on the order statistic).
+    All-integer arithmetic: the
+    rank threshold ceil(total*p/100) is compared as cum*100 >= p*total,
+    so no float division anywhere."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    h = (
+        li.groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") / _HIST_BIN_W)
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wb = Window.partitionBy("l_returnflag").orderBy("bin")
+    wt = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag",
+        "bin",
+        F.sum("n").over(wb).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    ps = F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("p")
+    return (
+        c.select("l_returnflag", "bin", "cum", "total", ps)
+        .filter(F.col("cum") * 100 >= F.col("p") * F.col("total"))
+        .groupBy("l_returnflag", "p")
+        .agg(
+            (F.min("bin") * _HIST_BIN_W).alias("bin_lo"),
+            (F.min("bin") * _HIST_BIN_W + _HIST_BIN_W)
+            .cast("long")
+            .alias("bin_hi"),
+            F.min("total").alias("n_rows"),
+        )
+    )

@@ -99,7 +99,8 @@ _loaded = False
 # reshape_transpose, and the late-round-4 additions graph_pagerank,
 # graph_knn_triangles, ts_interpolate_linear, text_phrase_search,
 # analytics_copurchase_lift, stream_stream_left_join,
-# sample_negative_pairs, stream_dedup_simhash, text_bpe_encode) — r5
+# sample_negative_pairs, stream_dedup_simhash, text_bpe_encode,
+# agg_histogram_quantile) — r5
 # candidates;
 # gen_showcase.py recomputes.
 # (sim_pq_adc_rerank and dedup_semdedup_kmeans are rows-only by design —

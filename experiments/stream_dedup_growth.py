@@ -13,7 +13,13 @@ buckets' occupancy (which grows like corpus/8192 per lang per band),
 never against the whole index — so cost per batch should track
 CANDIDATE PAIRS per batch, not cumulative state size.
 
-Run: python experiments/stream_dedup_growth.py   (~3 min, local[32])
+Both state backends run (default HDFS-backed, then RocksDB — the
+SCALE.md policy backend for unbounded key cardinality, which this op
+has): per-batch costs are printed for each and the final pair sets are
+asserted identical, putting a measured number on what the RocksDB
+policy costs at this scale.
+
+Run: python experiments/stream_dedup_growth.py   (~4 min, local[32])
 """
 
 from __future__ import annotations
@@ -42,20 +48,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 K_BATCHES = 10
 
 
-def main() -> None:
-    spark = get_spark("stream-dedup-growth")
-    tune(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-
-    src = tempfile.mkdtemp(prefix="sdg_src_")
-    d = load(spark, SF_DIR, "documents")
-    n_docs = d.count()
-    # deterministic K-way split; one file per slice => one micro-batch each
-    for k in range(K_BATCHES):
-        d.filter((F.col("doc_id") * 2654435761 % 2**32) % K_BATCHES == k) \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(os.path.join(src, f"b{k:02d}"))
-
+def drain(spark, src: str, provider: str | None):
+    """One availableNow drain of the K-file split under the given state
+    store provider; returns (per-batch rows, sorted emitted pair set)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if provider:
+        spark.conf.set(key, provider)
+    else:
+        spark.conf.unset(key)
     stream = (
         spark.readStream.schema(DOCUMENTS)
         .option("maxFilesPerTrigger", "1")
@@ -73,7 +73,6 @@ def main() -> None:
         ).alias("band", "val"),
     )
     sdf = TR.stateful_simhash_band_dedup(banded)
-
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         sdf.writeStream.format("memory")
@@ -84,41 +83,72 @@ def main() -> None:
         .start()
     )
     q.awaitTermination()
+    rows = [
+        (
+            p["batchId"],
+            p["numInputRows"],
+            p["batchDuration"],
+            p["stateOperators"][0]["numRowsTotal"],
+        )
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    pairs = sorted(
+        tuple(r)
+        for r in spark.table(name)
+        .select("doc_a", "doc_b", "lang", "hamming")
+        .distinct()
+        .collect()
+    )
+    return rows, pairs
+
+
+def main() -> None:
+    spark = get_spark("stream-dedup-growth")
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    src = tempfile.mkdtemp(prefix="sdg_src_")
+    d = load(spark, SF_DIR, "documents")
+    n_docs = d.count()
+    # deterministic K-way split; one file per slice => one micro-batch each
+    for k in range(K_BATCHES):
+        d.filter((F.col("doc_id") * 2654435761 % 2**32) % K_BATCHES == k) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(src, f"b{k:02d}"))
 
     print(f"# {n_docs} docs in {K_BATCHES} micro-batches (sf_dir={SF_DIR})")
-    print("# batch  input_rows  batch_ms  state_rows  pairs_emitted")
-    rows = []
-    for p in q.recentProgress:
-        if p["numInputRows"] == 0:
-            continue
-        op = p["stateOperators"][0]
-        ms = p["batchDuration"]
-        rows.append(
-            (
-                p["batchId"],
-                p["numInputRows"],
-                ms,
-                op["numRowsTotal"],
-                op.get("numRowsUpdated", -1),
+    results = {}
+    for label, provider in (
+        ("default", None),
+        (
+            "rocksdb",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ),
+    ):
+        rows, pairs = drain(spark, src, provider)
+        results[label] = (rows, pairs)
+        print(f"# [{label}] batch  input_rows  batch_ms  state_rows")
+        for bid, n_in, ms, st in rows:
+            print(f"[{label}] {bid:>5} {n_in:>11} {ms:>9} {st:>11}")
+        steady = [ms for _, _, ms, _ in rows[1:]]
+        print(
+            json.dumps(
+                {
+                    "backend": label,
+                    "batches": len(rows),
+                    "first_batch_ms": rows[0][2],
+                    "steady_min_ms": min(steady),
+                    "steady_max_ms": max(steady),
+                    "distinct_pairs": len(pairs),
+                }
             )
         )
-        print(
-            f"{p['batchId']:>7} {p['numInputRows']:>11} {ms:>9}"
-            f" {op['numRowsTotal']:>11} {op.get('numRowsUpdated', -1):>13}"
-        )
-    total_pairs = spark.table(name).count()
-    first, last = rows[0][2], rows[-1][2]
-    print(
-        json.dumps(
-            {
-                "batches": len(rows),
-                "first_batch_ms": first,
-                "last_batch_ms": last,
-                "growth_ratio": round(last / first, 3),
-                "total_pair_emissions": total_pairs,
-            }
-        )
+    assert results["default"][1] == results["rocksdb"][1], (
+        "pair sets differ between state backends"
     )
+    print("# pair sets bit-identical across backends")
     spark.stop()
 
 

@@ -439,6 +439,9 @@ _SHUFFLE_BUDGET = {
     "stream_bitmap_partials": 1,  # one bounded-state day/bucket agg
     "stream_dedup_simhash": 1,  # memory-sink drain + cross-band distinct
     "text_bpe_encode": 1,  # one per-doc agg; vocab side is checkpointed+broadcast
+    # bin agg + flag re-shuffle for the bin walk + final (flag,p) agg —
+    # every post-bin stage moves |bins| rows, never data
+    "agg_histogram_quantile": 3,
     "scan_xml_payload": 0,  # map-only construct->parse round trip
     "sql_parameterized": 1,  # bound literals still push down; one agg
     # per_v counted once per branch statically; runtime = 1 scan + 3

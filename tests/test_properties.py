@@ -473,3 +473,41 @@ def test_phrase_search_matches_python_replay(spark):
         if hits:
             want[row["doc_id"]] = (len(hits), hits[0])
     assert got == want
+
+
+def test_histogram_quantile_brackets_order_statistic(spark):
+    """Every [bin_lo, bin_hi) bracket agg_histogram_quantile emits must
+    contain the exact rank-ceil(n*p/100) order statistic, and the
+    histogram must be MERGEABLE: binning each half of the data
+    separately and adding the counts reproduces the same brackets."""
+    from covid_data_pipeline_spark.io import load as load_table
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    reg = load_all()
+    got = {
+        (r["l_returnflag"], r["p"]): (r["bin_lo"], r["bin_hi"], r["n_rows"])
+        for r in reg["agg_histogram_quantile"].fn(spark, SF_ORACLE).collect()
+    }
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    vals: dict[str, list[float]] = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    assert set(f for f, _ in got) == set(vals)
+    for (flag, p), (lo, hi, n_rows) in got.items():
+        xs = sorted(vals[flag])
+        assert n_rows == len(xs)
+        # rank-ceil(n*p/100) order statistic (1-indexed)
+        k = -(-len(xs) * p // 100)
+        stat = xs[k - 1]
+        assert lo <= stat < hi, (flag, p, lo, stat, hi)
+
+    # mergeability: histogram(half A) + histogram(half B) == histogram(all)
+    from collections import Counter
+
+    W = 1000
+    for flag, xs in vals.items():
+        a = Counter(int(x // W) for i, x in enumerate(xs) if i % 2 == 0)
+        b = Counter(int(x // W) for i, x in enumerate(xs) if i % 2 == 1)
+        assert a + b == Counter(int(x // W) for x in xs)
