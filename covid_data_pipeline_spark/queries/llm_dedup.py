@@ -399,6 +399,30 @@ def simhash_projection(d: "DataFrame") -> "DataFrame":
     )
 
 
+# Pigeonhole banding for Hamming <= 3 over the 26-bit simhash: FOUR
+# bands ((offset, width) = 7+7+6+6 bits) — any <=3 flipped bits leave at
+# least one band untouched, so band collision has recall EXACTLY 1 for
+# ham<=3 pairs (k+1 bands catch hamming<=k; the standard LSH-banding
+# guarantee).  Contrast with the 2x13 banding dedup_cluster_cc uses
+# (recall only guaranteed at ham<=1; measured 0.36 for ham<=3 on this
+# corpus — a balanced 2-band split is the recall MINIMUM, see
+# experiments/simhash_band_sweep.py): the clustering op trades recall
+# for 10.7x fewer candidates, the streaming dedup op wants the exact
+# semantic.
+SIMHASH_BANDS_HAM3 = ((0, 7), (7, 7), (14, 6), (20, 6))
+
+
+def simhash_band_array() -> "F.Column":
+    """array of the 4 pigeonhole band values of a `simhash` column (for
+    posexplode into (band, val) postings)."""
+    return F.array(
+        *[
+            F.expr(f"(simhash >> {off}) & {(1 << w) - 1}")
+            for off, w in SIMHASH_BANDS_HAM3
+        ]
+    )
+
+
 NGRAM_THRESHOLD = 0.5
 
 

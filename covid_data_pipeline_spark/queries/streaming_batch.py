@@ -567,8 +567,6 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
-     AND ((a.simhash & 8191) = (b.simhash & 8191)
-          OR (a.simhash >> 13) = (b.simhash >> 13))
      AND bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
@@ -578,40 +576,45 @@ def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-seen page content as scans arrive, generalized from exact
     hash match to near-dup).  Each arriving document's 26-bit simhash is
     computed in stateless projections (llm_dedup.simhash_projection — no
-    aggregation, streaming-legal), posted under its two 13-bit LSH bands, and compared
-    in GroupState against every fingerprint previously filed in those
-    buckets (streaming.transforms.stateful_simhash_band_dedup); pairs at
-    Hamming <= 3 are emitted the moment the second copy arrives.  The
-    fixture scan is a single parquet file, so the stream is repartitioned
-    BEFORE fingerprinting — without it the fold (the compute-heavy
-    stage) runs in one task (same single-file trap as the containment
-    twins); the extra exchange moves only raw text once and buys full
-    parallelism on the hash work.
+    aggregation, streaming-legal), posted under its FOUR pigeonhole
+    bands (llm_dedup.SIMHASH_BANDS_HAM3: any <=3 corrupted bits leave a
+    band intact, so recall for Hamming <= 3 is exactly 1 — note the
+    clean oracle above: ALL same-lang ham<=3 pairs, no band condition),
+    and compared in GroupState against every fingerprint previously
+    filed in those buckets (transforms.stateful_simhash_band_dedup);
+    each pair is emitted the moment its second document arrives.  The
+    first cut used 2x13 LSH bands — measured recall for ham<=3 was only
+    0.36 (a balanced 2-band split is the recall minimum,
+    experiments/simhash_band_sweep.py), which is fine for a clustering
+    heuristic but wrong for a dedup gate; 4 bands buy exactness for
+    10.7x the candidate volume (242k -> 2.58M comparisons at sf0.1,
+    absorbed by the vectorized XOR+popcount).
+
+    The fixture scan is a single parquet file, so the stream is
+    repartitioned BEFORE fingerprinting — without it the fold (the
+    compute-heavy stage) runs in one task (same single-file trap as the
+    containment twins).
 
     Because pairs are canonicalized, the availableNow drain's final set
-    is arrival-order independent and equals the batch band-collision
-    self-join — so this genuinely incremental stateful run is
-    HASH-CHECKED against a DuckDB oracle (the distinct() below only
-    collapses the two bands' duplicate emissions of two-band collisions).
-    Cross-micro-batch statefulness (batch-2 docs matching batch-1 state)
-    is exercised in tests/test_streaming.py.
+    is arrival-order independent and equals the batch ham<=3 self-join —
+    so this genuinely incremental stateful run is HASH-CHECKED against a
+    DuckDB oracle (the distinct() below only collapses duplicate
+    emissions of pairs colliding in several bands).  Cross-micro-batch
+    statefulness (batch-2 docs matching batch-1 state) is exercised in
+    tests/test_streaming.py.
 
     Scale: see the transform's docstring — sharded bucket state, RocksDB
-    + TTL at 100 TB; max fixture bucket is 256 docs."""
-    from ..queries.llm_dedup import (
-        _CC_BAND_BITS,
-        _CC_BAND_MASK,
-        simhash_projection,
-    )
+    + TTL at 100 TB; max fixture bucket is 926 docs."""
+    from ..queries.llm_dedup import simhash_band_array, simhash_projection
     from ..streaming import read_documents_stream, run_available_now
 
     tune(spark)
     # WIDE state sharding, unlike the other stateful ops: they have few
     # groups (users/sources), where per-state-store commit overhead
-    # dominates and 8 partitions win; this op shards ~2 buckets/doc
+    # dominates and 8 partitions win; this op shards ~4 buckets/doc
     # (hundreds of thousands of groups at sf0.1), so the overhead
     # amortizes and parallelism wins — measured 11.6 s at 8 partitions
-    # vs 4.3 s at 32 on sf0.1
+    # vs 4.3 s at 32 on sf0.1 (2-band variant)
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     docs = read_documents_stream(spark, sf_dir).repartition(32)
     sh = simhash_projection(docs)
@@ -619,12 +622,7 @@ def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "simhash",
-        F.posexplode(
-            F.array(
-                F.expr(f"simhash & {_CC_BAND_MASK}"),
-                F.expr(f"simhash >> {_CC_BAND_BITS}"),
-            )
-        ).alias("band", "val"),
+        F.posexplode(simhash_band_array()).alias("band", "val"),
     )
     pairs = run_available_now(
         TR.stateful_simhash_band_dedup(banded), output_mode="append"

@@ -36,8 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from covid_data_pipeline_spark.io import load, tune  # noqa: E402
 from covid_data_pipeline_spark.queries.llm_dedup import (  # noqa: E402
-    _CC_BAND_BITS,
-    _CC_BAND_MASK,
+    simhash_band_array,
     simhash_projection,
 )
 from covid_data_pipeline_spark.schemas import DOCUMENTS  # noqa: E402
@@ -65,12 +64,7 @@ def drain(spark, src: str, provider: str | None):
         "doc_id",
         "lang",
         "simhash",
-        F.posexplode(
-            F.array(
-                F.expr(f"simhash & {_CC_BAND_MASK}"),
-                F.expr(f"simhash >> {_CC_BAND_BITS}"),
-            )
-        ).alias("band", "val"),
+        F.posexplode(simhash_band_array()).alias("band", "val"),
     )
     sdf = TR.stateful_simhash_band_dedup(banded)
     name = f"mem_{uuid.uuid4().hex[:12]}"

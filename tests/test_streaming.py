@@ -429,15 +429,15 @@ def test_simhash_expr_twin_is_bit_identical(spark):
 
 
 def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
-    """The LSH state must carry across micro-batches: split the corpus
-    into two files (odd/even doc_id), drain one file per trigger, and
-    the emitted pair set must still equal the batch band-collision
-    self-join — every cross-file near-dup pair can only be found if
-    batch 2 compares against batch 1's GroupState."""
+    """The banded state must carry across micro-batches: split the
+    corpus into two files (odd/even doc_id), drain one file per trigger,
+    and the emitted pair set must still equal the batch Hamming<=3
+    self-join (the 4-band pigeonhole guarantees recall 1, so banding is
+    invisible in the truth) — every cross-file near-dup pair can only be
+    found if batch 2 compares against batch 1's GroupState."""
     from covid_data_pipeline_spark.queries.llm_dedup import (
-        _CC_BAND_BITS,
-        _CC_BAND_MASK,
         _simhash,
+        simhash_band_array,
         simhash_projection,
     )
     from covid_data_pipeline_spark.schemas import DOCUMENTS
@@ -461,12 +461,7 @@ def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
         "doc_id",
         "lang",
         "simhash",
-        F.posexplode(
-            F.array(
-                F.expr(f"simhash & {_CC_BAND_MASK}"),
-                F.expr(f"simhash >> {_CC_BAND_BITS}"),
-            )
-        ).alias("band", "val"),
+        F.posexplode(simhash_band_array()).alias("band", "val"),
     )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     drained = run_available_now(
@@ -476,7 +471,7 @@ def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
         drained.distinct(), ["doc_a", "doc_b", "lang", "hamming"]
     )
 
-    # batch truth: band-collision self-join at Hamming <= 3
+    # batch truth: the plain Hamming<=3 self-join (banding is recall-1)
     sh = _simhash(spark, d)
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
@@ -491,16 +486,6 @@ def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
     want_df = (
         a.join(b, "lang")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            (
-                F.expr(f"sh_a & {_CC_BAND_MASK}")
-                == F.expr(f"sh_b & {_CC_BAND_MASK}")
-            )
-            | (
-                F.expr(f"sh_a >> {_CC_BAND_BITS}")
-                == F.expr(f"sh_b >> {_CC_BAND_BITS}")
-            )
-        )
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
