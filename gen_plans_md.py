@@ -196,6 +196,23 @@ SHOWN = (
         "truncated so it executes once.",
         False,
     ),
+    (
+        "text_bpe_encode",
+        "Tokenizer APPLY as a broadcast join against the pre-merged "
+        "vocabulary (checkpointed model state): one corpus explode, "
+        "BroadcastHashJoin on the word, ONE per-doc hash aggregate — "
+        "the corpus is touched once and no merge re-runs at encode "
+        "time.",
+        False,
+    ),
+    (
+        "agg_histogram_quantile",
+        "Mergeable-quantile shape: partial+final HashAggregate builds "
+        "the (group, bin) table map-side; both Windows and the final "
+        "aggregate operate on the BIN table (bounded by value-range / "
+        "bin-width), never on lineitem rows.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead
