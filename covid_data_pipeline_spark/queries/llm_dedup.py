@@ -423,6 +423,18 @@ def simhash_band_array() -> "F.Column":
     )
 
 
+def banded_simhash(d: "DataFrame") -> "DataFrame":
+    """(doc_id, lang, simhash, band, val) postings — the exact input
+    contract of streaming.transforms.stateful_simhash_band_dedup,
+    defined once for the query, its tests and the growth experiment."""
+    return simhash_projection(d).select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.posexplode(simhash_band_array()).alias("band", "val"),
+    )
+
+
 NGRAM_THRESHOLD = 0.5
 
 

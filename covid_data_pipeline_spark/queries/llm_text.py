@@ -1144,15 +1144,18 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("w").cast("long").alias("w_chars"),
     )
     d = load(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
+    # explode_OUTER so a document with no non-empty words still yields a
+    # (doc_id, NULL) row: it must appear as 0 tokens, not a missing row
+    # (token-billing consumers see every doc_id) — and it costs nothing
+    # vs re-joining the doc list afterwards
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    words = d.select("doc_id", F.explode_outer(toks).alias("w"))
     return (
-        words.join(F.broadcast(wtok), "w")
+        words.join(F.broadcast(wtok), "w", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("w_tokens").alias("n_tokens"),
-            F.sum("w_chars").alias("n_chars"),
+            F.count("w").alias("n_words"),
+            F.coalesce(F.sum("w_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.sum("w_chars"), F.lit(0)).alias("n_chars"),
         )
     )

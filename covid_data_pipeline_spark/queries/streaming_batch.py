@@ -537,32 +537,13 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, output_mode="append")
 
 
+from .llm_dedup import _SIMHASH_SQL_CTES  # noqa: E402  (shared fingerprint)
+
+
 @query(
     "stream_dedup_simhash",
-    oracle="""
-    WITH tok AS (
-        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
-        FROM documents
-    ),
-    th AS (
-        SELECT doc_id, lang, token,
-               list_reduce(list_prepend(7, [CAST(unicode(x) AS BIGINT)
-                                            FOR x IN string_split_regex(token, '')]),
-                           (acc, c) -> (acc * 31 + c) % 67108864) AS thash
-        FROM tok
-    ),
-    bits AS (
-        SELECT doc_id, lang, b.bit,
-               SUM(CASE WHEN (thash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
-        FROM th CROSS JOIN (SELECT unnest(range(26)) AS bit) b
-        GROUP BY doc_id, lang, b.bit
-    ),
-    sh AS (
-        SELECT doc_id, lang,
-               CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-                    AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id, lang
-    )
+    oracle=f"""
+    WITH {_SIMHASH_SQL_CTES}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sh a JOIN sh b
@@ -605,7 +586,7 @@ def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: see the transform's docstring — sharded bucket state, RocksDB
     + TTL at 100 TB; max fixture bucket is 926 docs."""
-    from ..queries.llm_dedup import simhash_band_array, simhash_projection
+    from ..queries.llm_dedup import banded_simhash
     from ..streaming import read_documents_stream, run_available_now
 
     tune(spark)
@@ -617,14 +598,8 @@ def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs 4.3 s at 32 on sf0.1 (2-band variant)
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     docs = read_documents_stream(spark, sf_dir).repartition(32)
-    sh = simhash_projection(docs)
-    banded = sh.select(
-        "doc_id",
-        "lang",
-        "simhash",
-        F.posexplode(simhash_band_array()).alias("band", "val"),
-    )
     pairs = run_available_now(
-        TR.stateful_simhash_band_dedup(banded), output_mode="append"
+        TR.stateful_simhash_band_dedup(banded_simhash(docs)),
+        output_mode="append",
     )
     return pairs.select("doc_a", "doc_b", "lang", "hamming").distinct()

@@ -8,10 +8,11 @@ Method: split the sf0.1 documents into K equal files by doc_id hash,
 drain with maxFilesPerTrigger=1 (one file per micro-batch, checkpointed
 state carried across batches), and read per-batch durations and state
 row counts from the streaming progress events.  The design predicts
-~flat per-batch cost: each arrival compares only against its two
-buckets' occupancy (which grows like corpus/8192 per lang per band),
-never against the whole index — so cost per batch should track
-CANDIDATE PAIRS per batch, not cumulative state size.
+~flat per-batch cost: each arrival compares only against its four
+pigeonhole buckets' occupancy (bands of 7/7/6/6 bits — occupancy grows
+like corpus/128 and corpus/64 per lang per band), never against the
+whole index — so cost per batch should track CANDIDATE PAIRS per
+batch, not cumulative state size.
 
 Both state backends run (default HDFS-backed, then RocksDB — the
 SCALE.md policy backend for unbounded key cardinality, which this op
@@ -36,8 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from covid_data_pipeline_spark.io import load, tune  # noqa: E402
 from covid_data_pipeline_spark.queries.llm_dedup import (  # noqa: E402
-    simhash_band_array,
-    simhash_projection,
+    banded_simhash,
 )
 from covid_data_pipeline_spark.schemas import DOCUMENTS  # noqa: E402
 from covid_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -60,13 +60,7 @@ def drain(spark, src: str, provider: str | None):
         .option("maxFilesPerTrigger", "1")
         .parquet(src + "/*")
     )
-    banded = simhash_projection(stream.repartition(32)).select(
-        "doc_id",
-        "lang",
-        "simhash",
-        F.posexplode(simhash_band_array()).alias("band", "val"),
-    )
-    sdf = TR.stateful_simhash_band_dedup(banded)
+    sdf = TR.stateful_simhash_band_dedup(banded_simhash(stream.repartition(32)))
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         sdf.writeStream.format("memory")

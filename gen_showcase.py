@@ -41,6 +41,10 @@ FLAGSHIPS = (
 def main() -> None:
     reg = load_all()
     oracle_backed = [n for n, s in reg.items() if s.oracle is not None]
+    # a rows-only or typo'd flagship would silently waste an external
+    # witness slot (rows-only ids can never hash-check)
+    bad = sorted(set(FLAGSHIPS) - set(oracle_backed))
+    assert not bad, f"FLAGSHIPS not oracle-backed/registered: {bad}"
 
     last_seen: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):

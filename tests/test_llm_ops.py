@@ -584,27 +584,43 @@ def test_random_projection_is_unbiased_jl(spark):
 
 def test_bpe_encode_matches_pure_python_replay(spark):
     """Per-doc token counts from text_bpe_encode must exactly equal an
-    independent pure-Python pipeline: replay the BPE training (same
-    tie-breaks), greedily apply the merges to each word, and count —
-    the full train+apply lifecycle checked end to end."""
-    from pyspark.sql import functions as F
-
+    INDEPENDENT pure-Python pipeline: train the merges in plain Python
+    from the raw texts (same tie-breaks — no second distributed trainer
+    run), greedily apply them to each word, and count — the full
+    train+apply lifecycle checked end to end against the op.  Documents
+    with no non-empty words must appear as (0, 0, 0), not go missing."""
     from covid_data_pipeline_spark.io import load as load_table
+    from covid_data_pipeline_spark.queries.llm_text import _BPE_MERGES
 
     reg = load_all()
     got = {
         r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
         for r in reg["text_bpe_encode"].fn(spark, SF_ORACLE).collect()
     }
-    merges = [
-        (r["left"], r["right"])
-        for r in reg["text_bpe_train"].fn(spark, SF_ORACLE)
-        .orderBy("rank").collect()
-    ]
 
-    def apply_merges(w: str) -> int:
-        s = list(w)
-        for a, b in merges:
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text").collect()
+    )
+    # pure-Python training from raw texts (mirrors the replay in
+    # test_bpe_train_matches_pure_python_replay, which separately pins
+    # it equal to the distributed trainer)
+    wf: dict[str, int] = {}
+    for r in docs:
+        for w in r["text"].split(" "):
+            if w != "":
+                wf[w] = wf.get(w, 0) + 1
+    seqs = {w: list(w) for w in wf}
+    merges = []
+    for _rank in range(_BPE_MERGES):
+        cnt: dict[tuple[str, str], int] = {}
+        for w, s in seqs.items():
+            f = wf[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + f
+        (a, b), _n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        for w, s in seqs.items():
             ns, i = [], 0
             while i < len(s):
                 if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
@@ -613,21 +629,15 @@ def test_bpe_encode_matches_pure_python_replay(spark):
                 else:
                     ns.append(s[i])
                     i += 1
-            s = ns
-        return len(s)
+            seqs[w] = ns
 
-    docs = (
-        load_table(spark, SF_ORACLE, "documents")
-        .select("doc_id", "text").collect()
-    )
-    tok_cache: dict[str, int] = {}
+    # apply = the final seqs table (every merge already applied)
     want = {}
     for r in docs:
         ws = [w for w in r["text"].split(" ") if w != ""]
-        n_tokens = 0
-        for w in ws:
-            if w not in tok_cache:
-                tok_cache[w] = apply_merges(w)
-            n_tokens += tok_cache[w]
-        want[r["doc_id"]] = (len(ws), n_tokens, sum(len(w) for w in ws))
+        want[r["doc_id"]] = (
+            len(ws),
+            sum(len(seqs[w]) for w in ws),
+            sum(len(w) for w in ws),
+        )
     assert got == want

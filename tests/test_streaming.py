@@ -437,8 +437,7 @@ def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
     found if batch 2 compares against batch 1's GroupState."""
     from covid_data_pipeline_spark.queries.llm_dedup import (
         _simhash,
-        simhash_band_array,
-        simhash_projection,
+        banded_simhash,
     )
     from covid_data_pipeline_spark.schemas import DOCUMENTS
 
@@ -457,15 +456,10 @@ def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(src + "/*")
     )
-    banded = simhash_projection(stream).select(
-        "doc_id",
-        "lang",
-        "simhash",
-        F.posexplode(simhash_band_array()).alias("band", "val"),
-    )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     drained = run_available_now(
-        TR.stateful_simhash_band_dedup(banded), output_mode="append"
+        TR.stateful_simhash_band_dedup(banded_simhash(stream)),
+        output_mode="append",
     )
     got = _as_sorted_rows(
         drained.distinct(), ["doc_a", "doc_b", "lang", "hamming"]
