@@ -1124,3 +1124,46 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").alias("n_rows"),
         )
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    SELECT user_id, event_type AS mode_event, n FROM (
+        SELECT user_id, event_type, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a deterministic tie-break — the modal
+    event_type per user (most-frequent-value summaries; built-in
+    ``mode()`` on both engines breaks ties arbitrarily, so neither is
+    hash-checkable as-is).  Spark side: count per (user, type), then ONE
+    hash aggregate taking min(struct(-n, type)) — (-n, type) ascending
+    is (count desc, type asc), the argmin-by-struct idiom the PQ /
+    SemDeDup training paths use — so the mode costs two exchanges and no
+    window sort.  The oracle states the same semantics as a rank-1
+    window, which DuckDB plans efficiently; the struct-argmin is the
+    shape that scales on Spark (no per-group sort, partial aggregation
+    on both stages)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = counted.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("event_type").alias("event_type"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.event_type").alias("mode_event"),
+        (-F.col("b.neg_n")).alias("n"),
+    )

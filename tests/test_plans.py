@@ -442,6 +442,7 @@ _SHUFFLE_BUDGET = {
     # bin agg + flag re-shuffle for the bin walk + final (flag,p) agg —
     # every post-bin stage moves |bins| rows, never data
     "agg_histogram_quantile": 3,
+    "agg_mode_exact": 2,  # count agg + struct-argmin agg; no window sort
     "scan_xml_payload": 0,  # map-only construct->parse round trip
     "sql_parameterized": 1,  # bound literals still push down; one agg
     # per_v counted once per branch statically; runtime = 1 scan + 3
