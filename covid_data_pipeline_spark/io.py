@@ -76,6 +76,9 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # lake write default: zstd strictly dominated snappy/gzip/raw on
+        # size AND write AND scan in experiments/codec_ab.py (SCALE.md)
+        spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
         # reset confs that single operators (join_bloom_runtime) override
         # for their own plan, so they never leak into the next query
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
