@@ -492,3 +492,84 @@ def test_stream_dedup_simhash_matches_across_batches(spark, tmp_path):
     # only cross-batch state can find
     assert any((x[0] % 2) != (x[1] % 2) for x in want)
     assert got == want
+
+
+def test_stream_dedup_simhash_state_survives_restart(spark, tmp_path):
+    """State-store RECOVERY, not just cross-batch carriage: run 1 drains
+    half the corpus and stops; run 2 starts from the SAME checkpoint on
+    the grown source directory.  Run 2's emissions must include every
+    cross-half near-dup pair — only possible if the banded index was
+    reloaded from the checkpoint — and nothing from run 1 re-emits
+    (exactly-once offsets).  The union must equal the batch truth."""
+    from covid_data_pipeline_spark.queries.llm_dedup import (
+        _simhash,
+        banded_simhash,
+    )
+    from covid_data_pipeline_spark.schemas import DOCUMENTS
+
+    d = load(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "even")
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    emitted: list[tuple] = []
+
+    def sink(batch_df, _batch_id):
+        emitted.extend(
+            tuple(r)
+            for r in batch_df.select(
+                "doc_a", "doc_b", "lang", "hamming"
+            ).collect()
+        )
+
+    def drain_once() -> set:
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        emitted.clear()
+        stream = spark.readStream.schema(DOCUMENTS).parquet(src + "/*")
+        q = (
+            TR.stateful_simhash_band_dedup(banded_simhash(stream))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return set(emitted)
+
+    run1 = drain_once()
+    # the source grows between runs — the restart must pick up only the
+    # new file, with run 1's fingerprints restored from the checkpoint
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "odd")
+    )
+    run2 = drain_once()
+
+    sh = _simhash(spark, d)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("simhash").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("simhash").alias("sh_b")
+    )
+    want = {
+        tuple(r)
+        for r in a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "lang", "hamming")
+        .collect()
+    }
+    cross = {t for t in want if (t[0] % 2) != (t[1] % 2)}
+    assert cross, "fixture must contain cross-half near-dup pairs"
+    assert cross <= run2, "restart lost checkpointed fingerprints"
+    assert not (run1 & run2), "restart re-emitted run-1 pairs"
+    assert run1 | run2 == want
