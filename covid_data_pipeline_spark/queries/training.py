@@ -320,14 +320,34 @@ def kmeans_lloyd(
     at any partitioning, same doctrine as sim_label_centroids).  Only
     k x dim doubles ever reach the driver per iteration; at 100 TB
     mini-batch the update step and persist assignments only on the
-    final iteration."""
+    final iteration.
+
+    Shuffle width: every post-scan stage here is MODEL-sized (one row
+    per vector -> k x dim cells), so the loop runs NARROW regardless of
+    core count — experiments/cpu_scaling.py measured the wide version
+    scaling NEGATIVELY (3.12 s at 4c -> 3.92 s at 32c).  Narrowing
+    recovers only part of that (3.9 -> 3.7 s at 32c, measured): the
+    remaining latency is per-ROUND fixed cost — a centroid broadcast
+    plus two actions per iteration, nine driver-scheduled jobs total —
+    so wall time is iteration-count-bound, not core-bound.  That is the
+    real 100 TB lesson for iterative trainers: reduce rounds (mini-batch,
+    better init), because no partitioning dial amortizes per-round job
+    latency.  At 100 TB the corpus-sized assignment map still
+    parallelizes with the scan; only the shuffled aggregates stay
+    narrow."""
     tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     e = (
         load(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+        # narrow the CACHED corpus too: each iteration maps it 2-3 times,
+        # and at fixture scale 32 near-empty tasks per map stage per
+        # round is pure scheduling overhead (cpu_scaling.py) — size
+        # partitions to data, not cores
+        .coalesce(8)
         .cache()
     )
     cents = [
