@@ -511,3 +511,36 @@ def test_histogram_quantile_brackets_order_statistic(spark):
         a = Counter(int(x // W) for i, x in enumerate(xs) if i % 2 == 0)
         b = Counter(int(x // W) for i, x in enumerate(xs) if i % 2 == 1)
         assert a + b == Counter(int(x // W) for x in xs)
+
+
+def test_mode_tie_break_is_exercised_and_lexicographic(spark):
+    """Fixture honesty for agg_mode_exact: the oracle hash-compare only
+    witnesses the tie-break if ties exist — assert they do (24 users at
+    sf0.01, measured), and that every tied user's reported mode is the
+    lexicographically smallest among its tied maxima."""
+    from collections import Counter
+
+    from covid_data_pipeline_spark.io import load as load_table
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    got = {
+        r["user_id"]: (r["mode_event"], r["n"])
+        for r in load_all()["agg_mode_exact"].fn(spark, SF_ORACLE).collect()
+    }
+    counts: dict[int, Counter] = {}
+    for r in (
+        load_table(spark, SF_ORACLE, "events")
+        .select("user_id", "event_type")
+        .collect()
+    ):
+        counts.setdefault(r["user_id"], Counter())[r["event_type"]] += 1
+    tied = 0
+    for uid, c in counts.items():
+        mx = max(c.values())
+        winners = sorted(v for v, n in c.items() if n == mx)
+        if len(winners) > 1:
+            tied += 1
+        assert got[uid] == (winners[0], mx), (uid, got[uid], winners, mx)
+    assert tied > 0, "fixture has no tied modes — tie-break unwitnessed"
