@@ -641,3 +641,37 @@ def test_bpe_encode_matches_pure_python_replay(spark):
             sum(len(w) for w in ws),
         )
     assert got == want
+
+
+def test_bpe_encode_zero_token_documents_not_dropped(spark, tmp_path):
+    """The (0, 0, 0) path is unwitnessed by the fixture (every sf0.001
+    doc has words) — exercise it with a doctored corpus: an empty-text
+    doc and a whitespace-only doc must appear as zero-token rows, not
+    vanish from the billing output."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.io import load as load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [
+            (1_000_001, "", "en", "synthetic", 0),
+            (1_000_002, "   ", "en", "synthetic", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "doctored")
+    os.makedirs(sf_dir)
+    d.unionByName(extra).coalesce(1).write.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in load_all()["text_bpe_encode"].fn(spark, sf_dir)
+        .filter(F.col("doc_id") > 1_000_000)
+        .collect()
+    }
+    assert got == {1_000_001: (0, 0, 0), 1_000_002: (0, 0, 0)}
