@@ -572,3 +572,53 @@ def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# deterministic case-diversification of p_brand — collation semantics
+# are only witnessable if the fixture actually mixes cases
+_CASED_BRAND_SQL = (
+    "CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand) "
+    "WHEN p_partkey % 3 = 1 THEN lower(p_brand) ELSE p_brand END"
+)
+
+
+@query(
+    "str_collate_group",
+    oracle=f"""
+    SELECT lower(cb) AS brand,
+           COUNT(*) AS n,
+           CAST(lower(cb) = 'brand#13' AS INTEGER) AS is_b13
+    FROM (SELECT {_CASED_BRAND_SQL} AS cb FROM part)
+    GROUP BY lower(cb)
+    """,
+)
+def str_collate_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATIONS: grouping and equality under
+    UTF8_LCASE — the engine-level alternative to sprinkling lower()
+    through every predicate (and the only correct option once
+    collation-aware semantics like Turkish dotless-i matter).  The
+    fixture's brands are case-uniform, so the input is deterministically
+    case-diversified first (upper/lower/original by p_partkey % 3 —
+    collation semantics would otherwise be unwitnessed); the groupBy
+    runs ON THE COLLATED COLUMN (case-insensitive equality inside the
+    hash aggregate — no lower() in the grouping key) and the constant
+    comparison against 'brand#13' is likewise collated.  Output is
+    canonicalized through lower() only for the cross-engine hash; DuckDB
+    states the same semantics with explicit lower().  Scale: identical
+    partial+final hash-agg shape as any groupBy — collation changes the
+    comparator, not the plan."""
+    tune(spark)
+    p = load(spark, sf_dir, "part")
+    cased = F.expr(_CASED_BRAND_SQL)
+    return (
+        p.select(F.collate(cased, "UTF8_LCASE").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower("b").alias("brand"),
+            "n",
+            (F.col("b") == F.collate(F.lit("brand#13"), "UTF8_LCASE"))
+            .cast("int")
+            .alias("is_b13"),
+        )
+    )
