@@ -73,3 +73,33 @@ def test_survey_and_registry_stay_in_sync():
     row_ids = set(re.findall(r"^\| `([a-z0-9_]+)` \|", survey, re.M))
     ghosts = sorted(row_ids - reg)
     assert not ghosts, f"SURVEY.md rows with no registered query: {ghosts}"
+
+
+def test_migration_doc_references_only_registered_queries():
+    """MIGRATION.md maps reference verbs to query ids — a renamed or
+    removed query must fail here, not rot in the doc.  Checks every
+    backticked snake_case id that looks like a query id."""
+    import os
+    import re
+
+    from covid_data_pipeline_spark.registry import load_all
+
+    text = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "MIGRATION.md")
+    ).read()
+    reg = set(load_all())
+    prefixes = (
+        "scan_", "sink_", "source_", "str_", "text_", "json_", "win_",
+        "stream_", "dedup_", "sim_", "embed_", "agg_", "analytics_",
+        "join_", "corpus_", "doc_", "quality_", "pipeline_", "merge_",
+        "multimodal_", "udtf_", "sample_", "scd2_", "explode_",
+    )
+    ids = {
+        m
+        for m in re.findall(r"`([a-z0-9_]+)`", text)
+        if m.startswith(prefixes)
+    }
+    assert ids, "MIGRATION.md lost its query references?"
+    ghosts = sorted(ids - reg)
+    assert not ghosts, f"MIGRATION.md references unregistered ids: {ghosts}"
