@@ -1167,3 +1167,117 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.event_type").alias("mode_event"),
         (-F.col("b.neg_n")).alias("n"),
     )
+
+
+@query(
+    "agg_mad_anomaly",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ),
+    m AS (
+        SELECT event_type, MIN(n) AS n,
+               SUM(cents * (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+                            + CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END)) AS m2
+        FROM r GROUP BY event_type
+    ),
+    d AS (
+        SELECT r.event_type, ABS(2 * r.cents - m.m2) AS dev2, m.m2, m.n
+        FROM r JOIN m ON r.event_type = m.event_type
+    ),
+    dr AS (
+        SELECT event_type, dev2, m2, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2) AS rn
+        FROM d
+    ),
+    md AS (
+        SELECT event_type, MIN(m2) AS m2, MIN(n) AS n,
+               SUM(dev2 * (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+                           + CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END)) AS md2
+        FROM dr GROUP BY event_type
+    )
+    SELECT d.event_type,
+           MIN(d.n) AS n,
+           CAST(MIN(d.m2) * 5000 AS BIGINT) AS median_micro,
+           CAST(MIN(md.md2) * 2500 AS BIGINT) AS mad_micro,
+           CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * md.md2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM d JOIN md ON d.event_type = md.event_type
+    GROUP BY d.event_type
+    """,
+)
+def agg_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly detection: median / MAD (median absolute
+    deviation) / outliers-beyond-3-MAD per event type — the
+    outlier-resistant twin of win_anomaly_zscore (one wild value drags a
+    mean and explodes a stddev; it moves a median by at most one rank).
+
+    EXACT and hash-checkable, with no interpolation anywhere: values are
+    2-decimal by construction, so everything runs in integer cents, and
+    each median is carried as the SUM OF THE TWO MIDDLE ORDER STATISTICS
+    (x2 the median — for odd n the middle row is counted twice), which
+    keeps even-n medians integral where quantile interpolation would
+    produce engine-unstable halves.  The anomaly gate |x - med| > 3*MAD
+    becomes 2*dev2 > 3*md2 — all-integer, no rounding boundary to
+    disagree on.  Output units: micro-value (median_micro = m2 * 5000,
+    mad_micro = md2 * 2500).
+
+    Scale: exact medians cost one per-group sort each (two ranked passes
+    here) — the honest exact path, same budget class as agg_quantiles;
+    the sketch path at unbounded cardinality is agg_histogram_quantile /
+    agg_approx_percentile.  At 100 TB run this per bounded group (event
+    types, days), never per user."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", cents.alias("cents"))
+
+    def med2(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
+        """per-group (2 x median) of `col` via the two middle ranks."""
+        wr = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            *keep,
+            F.col(col),
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        lo = F.expr("(n + 1) div 2")
+        hi = F.expr("n div 2 + 1")
+        pick = F.when(F.col("rn") == lo, 1).otherwise(0) + F.when(
+            F.col("rn") == hi, 1
+        ).otherwise(0)
+        return r.groupBy("event_type").agg(
+            F.min("n").alias("n"),
+            F.sum(F.col(col) * pick).alias(f"{col}_m2"),
+        )
+
+    m = med2(c, "cents", [])
+    d = c.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "n",
+        F.col("cents_m2").alias("m2"),
+        F.abs(2 * F.col("cents") - F.col("cents_m2")).alias("dev2"),
+    )
+    md = med2(d.select("event_type", "dev2"), "dev2", [])
+    return (
+        d.join(F.broadcast(md.select("event_type", "dev2_m2")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            (F.min("m2") * 5000).alias("median_micro"),
+            (F.min("dev2_m2") * 2500).alias("mad_micro"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("dev2_m2"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+    )

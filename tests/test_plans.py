@@ -444,6 +444,9 @@ _SHUFFLE_BUDGET = {
     "agg_histogram_quantile": 3,
     "agg_mode_exact": 2,  # count agg + struct-argmin agg; no window sort
     "str_collate_group": 1,  # one collated hash-agg; comparator != plan
+    # two ranked median passes (sort per group) + final agg; the med/mad
+    # scalars rejoin via broadcast — exact-median budget class
+    "agg_mad_anomaly": 6,
     "scan_xml_payload": 0,  # map-only construct->parse round trip
     "sql_parameterized": 1,  # bound literals still push down; one agg
     # per_v counted once per branch statically; runtime = 1 scan + 3
