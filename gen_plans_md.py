@@ -213,6 +213,15 @@ SHOWN = (
         "bin-width), never on lineitem rows.",
         False,
     ),
+    (
+        "agg_mad_anomaly",
+        "Exact robust statistics: two ranked median passes (Window sort "
+        "per group) whose scalar results rejoin via BroadcastHashJoin; "
+        "every value integer (cents / doubled order statistics), so the "
+        "3-MAD gate is an integer comparison — no interpolation node "
+        "anywhere in the plan.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead
