@@ -900,3 +900,121 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("trend").isNotNull().cast("int").alias("has_trend"),
         )
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               list(n ORDER BY d) AS xs,
+               COUNT(*) AS nd,
+               SUM(n) AS tot
+        FROM daily GROUP BY event_type
+    ),
+    folded AS (
+        -- DuckDB list_reduce has no initial-value form, so the init
+        -- rides as the first element of a list-of-lists and each x is
+        -- wrapped as a 1-list (x[1] below)
+        SELECT event_type, nd, tot,
+               list_reduce(
+                   list_prepend([CAST(0 AS BIGINT), 0, 0, 0, 0],
+                                [[CAST(v AS BIGINT)] FOR v IN xs]),
+                   (acc, x) -> [
+                       greatest(CAST(0 AS BIGINT), acc[1] + x[1] * nd - tot),
+                       greatest(acc[2],
+                                greatest(CAST(0 AS BIGINT), acc[1] + x[1] * nd - tot)),
+                       acc[3] + CASE WHEN
+                           greatest(CAST(0 AS BIGINT), acc[1] + x[1] * nd - tot)
+                           * greatest(CAST(0 AS BIGINT), acc[1] + x[1] * nd - tot)
+                           > 16 * nd * tot THEN 1 ELSE 0 END,
+                       CASE WHEN acc[4] = 0 AND
+                           greatest(CAST(0 AS BIGINT), acc[1] + x[1] * nd - tot)
+                           * greatest(CAST(0 AS BIGINT), acc[1] + x[1] * nd - tot)
+                           > 16 * nd * tot THEN acc[5] + 1 ELSE acc[4] END,
+                       acc[5] + 1
+                   ]
+               ) AS a
+        FROM series
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS n_days,
+           CAST(tot AS BIGINT) AS total,
+           CAST(a[2] AS BIGINT) AS max_cusum,
+           CAST(a[3] AS BIGINT) AS n_alarm_days,
+           CAST(a[4] AS BIGINT) AS first_alarm_day
+    FROM folded
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the per-type daily event series —
+    the sequential test behind "did this source's behavior CHANGE?",
+    i.e. the reference's change-detection mission applied to volumes
+    rather than content hashes.  One-sided CUSUM: S_i = max(0, S_{i-1} +
+    (x_i*D - total)) accumulates deviation above the series mean (scaled
+    by D = days so everything stays integer), and a day alarms when
+    S exceeds 4 noise units — S^2 > 16*D*total, the integer form of
+    S > 4*sqrt(D*total), since sd(daily count) ~ sqrt(total/D) makes
+    sqrt(D*total) the natural scale of S.  Emits (n_days, total,
+    max_cusum, n_alarm_days, first_alarm_day[0 = never]) per type;
+    at the fixture both branches are witnessed at every sf (e.g. `view`
+    never alarms, `error` does).
+
+    Distributed shape: the corpus-sized stage is the daily count (one
+    shuffle, partial-agg); the CUSUM recurrence — inherently sequential,
+    inexpressible as a window — runs as an in-codegen array fold over
+    each type's 30-day series (bounded by the calendar, not the data),
+    the same bounded-fold idiom as text_tf's ranking.  Integer-overflow
+    bound: S^2 needs S < 3e9, i.e. daily totals below ~1e8 x D — beyond
+    that, rescale counts (e.g. to thousands) before folding.  DuckDB
+    twin folds the identical recurrence with list_reduce."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "n"))),
+                lambda s: s["n"],
+            ).alias("xs"),
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n").alias("tot"),
+        )
+    )
+    fold = F.expr("""
+        aggregate(
+            xs,
+            array(cast(0 as bigint), cast(0 as bigint), cast(0 as bigint),
+                  cast(0 as bigint), cast(0 as bigint)),
+            (acc, x) -> array(
+                greatest(cast(0 as bigint), acc[0] + x * nd - tot),
+                greatest(acc[1],
+                         greatest(cast(0 as bigint), acc[0] + x * nd - tot)),
+                acc[2] + IF(
+                    greatest(cast(0 as bigint), acc[0] + x * nd - tot)
+                    * greatest(cast(0 as bigint), acc[0] + x * nd - tot)
+                    > 16 * nd * tot, cast(1 as bigint), cast(0 as bigint)),
+                IF(acc[3] = 0 AND
+                    greatest(cast(0 as bigint), acc[0] + x * nd - tot)
+                    * greatest(cast(0 as bigint), acc[0] + x * nd - tot)
+                    > 16 * nd * tot, acc[4] + 1, acc[3]),
+                acc[4] + 1
+            )
+        )
+    """)
+    return series.select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        F.col("tot").alias("total"),
+        fold.getItem(1).alias("max_cusum"),
+        fold.getItem(2).alias("n_alarm_days"),
+        fold.getItem(3).alias("first_alarm_day"),
+    )

@@ -101,7 +101,7 @@ _loaded = False
 # analytics_copurchase_lift, stream_stream_left_join,
 # sample_negative_pairs, stream_dedup_simhash, text_bpe_encode,
 # agg_histogram_quantile, agg_mode_exact, str_collate_group,
-# agg_mad_anomaly) — r5
+# agg_mad_anomaly, ts_cusum_changepoint) — r5
 # candidates;
 # gen_showcase.py recomputes.
 # (sim_pq_adc_rerank and dedup_semdedup_kmeans are rows-only by design —

@@ -447,6 +447,9 @@ _SHUFFLE_BUDGET = {
     # two ranked median passes (sort per group) + final agg; the med/mad
     # scalars rejoin via broadcast — exact-median budget class
     "agg_mad_anomaly": 6,
+    # daily count agg + per-type series agg; the CUSUM recurrence is an
+    # in-codegen fold over the bounded day array, no extra exchange
+    "ts_cusum_changepoint": 2,
     "scan_xml_payload": 0,  # map-only construct->parse round trip
     "sql_parameterized": 1,  # bound literals still push down; one agg
     # per_v counted once per branch statically; runtime = 1 scan + 3
