@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -78,8 +79,6 @@ def main() -> None:
     # 2. Structured Streaming microbatch planner + state-store init (the
     #    r2 bench charged ~1-2 s of this to whichever streaming query ran
     #    first — VERDICT r2 "keep the full-suite total trending down")
-    import tempfile
-
     try:
         with tempfile.TemporaryDirectory() as ckpt:
             wq = (
@@ -99,16 +98,32 @@ def main() -> None:
             finally:
                 wq.stop()
     except Exception as exc:  # warm-up must never fail the bench
-        print(f"# streaming warm-up skipped: {exc}", file=sys.stderr)
-    # 3. Python worker pool + Arrow serde path
+        # LOUD (ADVICE r4): a broken streaming runtime must be
+        # distinguishable from an expectedly missing dependency — a
+        # silent skip here resurfaces as inflated first-query timings
+        print(
+            f"# WARMUP-FAIL streaming: {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
+    # 3. Python worker pool + Arrow serde path (scalar pandas_udf AND
+    #    the cogrouped-map eval path — separate serializers/workers)
     try:
+        import pandas as pd
         from pyspark.sql import functions as F
 
         spark.range(1_000).select(
             F.pandas_udf(lambda s: s + 1, "long")("id").alias("x")
         ).write.format("noop").mode("overwrite").save()
+        small = spark.createDataFrame([(0, 1), (1, 2)], "k int, v int")
+        small.groupBy("k").cogroup(small.groupBy("k")).applyInPandas(
+            lambda l, r: pd.DataFrame({"k": [0], "n": [len(l) + len(r)]}),
+            "k int, n long",
+        ).write.format("noop").mode("overwrite").save()
     except Exception as exc:
-        print(f"# python-worker warm-up skipped: {exc}", file=sys.stderr)
+        print(
+            f"# WARMUP-FAIL python-worker: {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
     # 4. The streaming machinery paths the rate->noop warm-up does NOT
     #    touch (VERDICT r3 #6: stream_change_detect / stream_stream_join /
     #    source_python_stream each carried 2-3 s of first-use start-up):
@@ -117,13 +132,11 @@ def main() -> None:
     #    Python DataSourceStreamReader planner — each exercised once on
     #    a 4-row throwaway input so the cost lands on no timed query.
     try:
-        import tempfile as _tf
-
         import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        with _tf.TemporaryDirectory() as tmp:
+        with tempfile.TemporaryDirectory() as tmp:
             src = os.path.join(tmp, "src")
             spark.createDataFrame(
                 [(i, i % 2) for i in range(4)], "v long, k int"
@@ -156,7 +169,7 @@ def main() -> None:
                 ),
             )
             for warm_df in (stateful, ssjoin):
-                ckpt = _tf.mkdtemp(dir=tmp)
+                ckpt = tempfile.mkdtemp(dir=tmp)
                 wq = (
                     warm_df.writeStream.format("noop")
                     .trigger(availableNow=True)
@@ -168,10 +181,11 @@ def main() -> None:
                 finally:
                     wq.stop()
     except Exception as exc:
-        print(f"# stateful-streaming warm-up skipped: {exc}", file=sys.stderr)
+        print(
+            f"# WARMUP-FAIL stateful-streaming: {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
     try:
-        import tempfile as _tf
-
         from pyspark.sql.datasource import (
             DataSource,
             DataSourceStreamReader,
@@ -203,7 +217,7 @@ def main() -> None:
                 return _WarmReader()
 
         spark.dataSource.register(_WarmStreamSource)
-        with _tf.TemporaryDirectory() as ckpt:
+        with tempfile.TemporaryDirectory() as ckpt:
             wq = (
                 spark.readStream.format("cdp_bench_warm_stream")
                 .load()
@@ -217,7 +231,44 @@ def main() -> None:
             finally:
                 wq.stop()
     except Exception as exc:
-        print(f"# python-ds-stream warm-up skipped: {exc}", file=sys.stderr)
+        print(
+            f"# WARMUP-FAIL python-ds-stream: {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
+    # 5. Python DataSource BATCH writer two-phase-commit machinery
+    #    (sink_python_datasource paid ~3 s of first-use planner/worker
+    #    cost in BENCH_r04 even with the stream reader warmed — the
+    #    batch write path spins its own plan + commit round-trip)
+    try:
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceWriter,
+            WriterCommitMessage,
+        )
+
+        class _WarmWriter(DataSourceWriter):
+            def write(self, rows):
+                for _ in rows:
+                    pass
+                return WriterCommitMessage()
+
+        class _WarmBatchSink(DataSource):
+            @classmethod
+            def name(cls):
+                return "cdp_bench_warm_sink"
+
+            def writer(self, schema, overwrite):
+                return _WarmWriter()
+
+        spark.dataSource.register(_WarmBatchSink)
+        spark.range(4).write.format("cdp_bench_warm_sink").mode(
+            "append"
+        ).save()
+    except Exception as exc:
+        print(
+            f"# WARMUP-FAIL python-ds-batch-sink: {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
 
     names = list(HEADLINE) + (sorted(set(reg) - set(HEADLINE)) if bench_all else [])
     timings: dict[str, float] = {}

@@ -1281,3 +1281,51 @@ def agg_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_anomalies"),
         )
     )
+
+
+@query(
+    "agg_decay_weighted",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value * pow(0.5, floor((anchor.max_us - epoch_us(ts))"
+                     " / 604800000000))")} AS decayed_value,
+           {sql_dsum("pow(0.5, floor((anchor.max_us - epoch_us(ts))"
+                     " / 604800000000))")} AS decayed_count
+    FROM events CROSS JOIN anchor
+    GROUP BY user_id
+    """,
+)
+def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay-weighted per-user aggregates — the feature-store /
+    data-sampling primitive: each event's value counts at
+    ``0.5 ** age_weeks`` relative to the newest event in the corpus
+    (half-life = 7 days, week-grain), so recent behaviour dominates and
+    stale history fades without ever being dropped.  Exactly the
+    recency weighting a training-data mixture uses to up-sample fresh
+    crawl snapshots.
+
+    Determinism: the age exponent is an INTEGER week count (floor over
+    exact microsecond arithmetic), so ``pow(0.5, k)`` is an exact power
+    of two in both engines — no libm ulp risk — and the weighted sums go
+    through the decimal-exact reduction (``dsum``).  Plan: the anchor
+    timestamp is a 1-row broadcast (never a driver collect), the rest is
+    one map-side-combinable groupBy; map-only before the single
+    shuffle — the same shape at any corpus size."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    age_weeks = F.floor(
+        (F.col("max_us") - F.unix_micros("ts")) / F.lit(604800000000)
+    )
+    w = F.pow(F.lit(0.5), age_weeks)
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * w).alias("decayed_value"),
+            dsum(w).alias("decayed_count"),
+        )
+    )

@@ -1284,3 +1284,91 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAIN_THRESHOLD)
         .select("a_id", "b_id", "lang", F.round("containment", 6).alias("containment"))
     )
+
+
+@query(
+    "dedup_span_ngram",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS pos,
+               toks
+        FROM d
+    ),
+    sh AS (
+        SELECT doc_id, pos,
+               array_to_string(list_slice(toks, pos, pos + 4), ' ') AS shingle
+        FROM pos
+    ),
+    dup AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (shingle)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS anchor
+        FROM marked
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
+    FROM isl GROUP BY doc_id, anchor
+    """,
+)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplication: maximal token spans (>=5 tokens)
+    that recur across documents — the Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") exact-substring dedup,
+    re-expressed relationally: their suffix-array scan over the
+    concatenated corpus becomes a 5-token shingle inventory with
+    positions, a duplicated-shingle filter (seen in >=2 distinct docs),
+    and a per-document gaps-and-islands merge of adjacent duplicated
+    positions into maximal spans.  Emits (doc_id, span_start, span_end,
+    n_dup_shingles) — exactly the byte ranges a span-removal pass cuts.
+
+    100 TB shape: shingles come from ONE in-codegen transform per
+    document (no token self-join); the duplicated-shingle set is a
+    map-side-combinable aggregate; the rejoin is a hash equi-join on the
+    shingle (the duplicated set is corpus-sized in the worst case, so it
+    stays a shuffle join — never broadcast); the islands window
+    partitions by doc_id, bounded by document length.  The suffix-array
+    formulation finds duplicates at EVERY length >= L with one scan;
+    this fixed-granule variant is the standard distributed trade — same
+    spans for length >= 5, linear shuffle volume."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks) - 4, 0)),"
+                    " (x, i) -> struct(i + 1 AS pos,"
+                    " array_join(slice(toks, i + 1, 5), ' ') AS shingle))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.shingle")
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    marked = sh.join(dup, "shingle").select("doc_id", "pos")
+    # islands window: partitioned by doc_id, bounded by document length
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marked.withColumn("anchor", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "anchor")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(4)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_shingles")
+    )

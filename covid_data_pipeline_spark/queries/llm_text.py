@@ -1030,21 +1030,30 @@ def _bpe_train(
         counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
         best = counts.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()[0]
         a, b, n = best["a"], best["b"], best["n"]
-        # symbols come from word characters — the fold below interpolates
-        # them into an expression, so refuse anything quotable outright
-        assert "'" not in a + b and "\\" not in a + b, (a, b)
         merges.append((rank, a, b, a + b, int(n)))
+        # symbols are data-derived: bind them as literal Columns via the
+        # Python lambda API (F.aggregate), never f-string-interpolated
+        # into a SQL expression (injection-proof for any vocabulary)
+        def _make_merge_fold(sym_a: str, sym_b: str):
+            lit_a, lit_b, lit_ab = F.lit(sym_a), F.lit(sym_b), F.lit(sym_a + sym_b)
+
+            def _merge_fold(acc, x):
+                return F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == lit_a)
+                    & (x == lit_b),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lit_ab)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return _merge_fold
+
         seqs = seqs.select(
             "w",
             "freq",
-            F.expr(
-                f"""aggregate(seq, CAST(array() AS array<string>),
-                    (acc, x) -> CASE WHEN size(acc) > 0
-                                     AND element_at(acc, -1) = '{a}'
-                                     AND x = '{b}'
-                        THEN concat(slice(acc, 1, size(acc)-1),
-                                    array('{a}{b}'))
-                        ELSE concat(acc, array(x)) END)"""
+            F.aggregate(
+                "seq", F.array().cast("array<string>"), _make_merge_fold(a, b)
             ).alias("seq"),
         )
         seqs = seqs.localCheckpoint(eager=False)
@@ -1157,5 +1166,217 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("w").alias("n_words"),
             F.coalesce(F.sum("w_tokens"), F.lit(0)).alias("n_tokens"),
             F.coalesce(F.sum("w_chars"), F.lit(0)).alias("n_chars"),
+        )
+    )
+
+
+@query(
+    "text_collocation_pmi",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS pos,
+               toks
+        FROM d
+    ),
+    bg AS (SELECT toks[pos] AS a, toks[pos + 1] AS b FROM pos),
+    cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+    uni AS (
+        SELECT token, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    nu AS (
+        SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_uni
+        FROM documents
+    ),
+    nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bg FROM cab),
+    scored AS (
+        SELECT cab.a, cab.b, cab.c_ab,
+               ROUND(ln((CAST(cab.c_ab AS DOUBLE) * nu.n_uni * nu.n_uni)
+                        / (CAST(nb.n_bg AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+        FROM cab
+        JOIN uni ua ON cab.a = ua.token
+        JOIN uni ub ON cab.b = ub.token
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE cab.c_ab >= 5
+    )
+    SELECT a, b, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information —
+    PMI = ln(p(a,b) / (p(a)·p(b))) with a min-count floor of 5, the
+    classic corpus-analysis primitive (Church & Hanks 1990) a
+    training-data pipeline uses to find multi-word expressions worth
+    protecting from tokenizer splits and to audit boilerplate phrases.
+
+    Scale shape: bigrams come from one zip_with pass per document (no
+    explode-join), counts are two map-side-combinable aggregates, the
+    two corpus totals are 1-row broadcasts, and the unigram rejoin hits
+    a min-count-pruned vocabulary that stays broadcast-sized at any
+    corpus (the c_ab >= 5 floor prunes the heavy tail before the join).
+    Ranking orders by the ROUNDED score (ln differs in the last ulp
+    across libm implementations — the text_tfidf doctrine) with an
+    (a, b) tiebreaker, and `orderBy().limit(20)` compiles to
+    TakeOrderedAndProject — never a global sort."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    bg = d.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    tok = d.select(F.explode(toks).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    nu = tok.agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
+    nb = cab.agg(F.sum("c_ab").cast("long").alias("n_bg"))
+    ua = uni.select(F.col("token").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("token").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_bg").cast("double") * F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        cab.filter(F.col("c_ab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@query(
+    "quality_percentile_buckets",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    contrib AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               tf.tf * ln(CAST(vocab.c AS DOUBLE) / tot.n) AS contrib
+        FROM tf JOIN vocab USING (token) CROSS JOIN tot
+    ),
+    packed AS (
+        SELECT doc_id,
+               list(contrib ORDER BY token) AS cs,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens
+        FROM contrib GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT doc_id,
+               ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                                 (a, x) -> a + x) / n_tokens, 6) AS avg_logprob
+        FROM packed
+    ),
+    docs AS (
+        SELECT d.lang, s.doc_id,
+               CAST(floor(s.avg_logprob * 1000 + 0.5) AS BIGINT) AS score_milli
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    hist AS (
+        SELECT lang, score_milli, COUNT(*) AS c FROM docs GROUP BY lang, score_milli
+    ),
+    rs AS (
+        SELECT lang, score_milli,
+               SUM(c) OVER (PARTITION BY lang ORDER BY score_milli DESC) AS run,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist
+    ),
+    cut AS (
+        SELECT lang,
+               MAX(CASE WHEN run >= floor((CAST(n AS DOUBLE) + 2) / 3)
+                        THEN score_milli END) AS c_head,
+               MAX(CASE WHEN run >= floor((2 * CAST(n AS DOUBLE) + 2) / 3)
+                        THEN score_milli END) AS c_mid
+        FROM rs GROUP BY lang
+    )
+    SELECT d.lang,
+           CASE WHEN d.score_milli >= c.c_head THEN 'head'
+                WHEN d.score_milli >= c.c_mid THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(d.score_milli) AS min_score_milli,
+           MAX(d.score_milli) AS max_score_milli
+    FROM docs d JOIN cut c USING (lang)
+    GROUP BY 1, 2
+    """,
+)
+def quality_percentile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing: score every document
+    with the unigram-LM fluency proxy (text_perplexity_proxy), then cut
+    each language into head/middle/tail terciles by score — the exact
+    partitioning CCNet ships (Wenzek et al. 2020) and mixture builders
+    consume (train mostly on head, sample middle, audit tail).
+
+    100 TB shape — NO per-language document window: a per-lang ntile
+    over raw docs is a single task per language, unbounded.  Instead the
+    tercile CUTOFFS come from the (lang × milli-quantized score)
+    HISTOGRAM — a closed domain bounded by the score range (unigram
+    logprobs land in roughly [-12, 0], so <=12k milli-grain values per
+    lang regardless of corpus size; the pipeline.py KS-window doctrine),
+    with a running sum over that bounded table and one max-filter per
+    target.  Docs then bucket by comparing against the broadcast
+    one-row-per-lang cutoffs — map-only.  Boundary ties land whole-grain
+    on the head side (>= cutoff), so bucket sizes are within one grain
+    of n/3 — the threshold semantics real CCNet uses, not exact-rank
+    ntile.  Integer milli-unit quantization, not ROUND (the measured
+    half-boundary engine divergence in SCALE.md)."""
+    tune(spark)
+    scored = text_perplexity_proxy(spark, sf_dir).select("doc_id", "avg_logprob")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = scored.join(d, "doc_id").select(
+        "lang",
+        "doc_id",
+        F.floor(F.col("avg_logprob") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_milli"),
+    )
+    hist = docs.groupBy("lang", "score_milli").agg(F.count(F.lit(1)).alias("c"))
+    # bounded window: one row per (lang, milli-grain score) — closed
+    # <=12k-value domain per lang at ANY corpus size (see docstring)
+    w_desc = Window.partitionBy("lang").orderBy(F.col("score_milli").desc())
+    rs = hist.select(
+        "lang",
+        "score_milli",
+        F.sum("c").over(w_desc).alias("run"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    head_t = F.floor((F.col("n").cast("double") + 2) / 3)
+    mid_t = F.floor((2 * F.col("n").cast("double") + 2) / 3)
+    cut = rs.groupBy("lang").agg(
+        F.max(F.when(F.col("run") >= head_t, F.col("score_milli"))).alias("c_head"),
+        F.max(F.when(F.col("run") >= mid_t, F.col("score_milli"))).alias("c_mid"),
+    )
+    bucket = (
+        F.when(F.col("score_milli") >= F.col("c_head"), "head")
+        .when(F.col("score_milli") >= F.col("c_mid"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        docs.join(F.broadcast(cut), "lang")
+        .select("lang", bucket.alias("bucket"), "score_milli")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score_milli").alias("min_score_milli"),
+            F.max("score_milli").alias("max_score_milli"),
         )
     )

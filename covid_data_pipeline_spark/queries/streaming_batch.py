@@ -277,9 +277,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, run_available_now
 
     tune(spark)
-    # one state-store instance per shuffle partition — at local scale the
-    # per-instance commit overhead dominates, so run the stateful op
-    # narrower (cluster policy: size to cores as usual)
+    # one state-store instance per shuffle partition — few state groups,
+    # so per-instance commit overhead dominates and narrow (8) wins;
+    # the many-group regime (stream_dedup_simhash) wants 32.  Full
+    # sizing policy: SCALE.md "Streaming state sizing policy".
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     sunk = run_available_now(
         TR.stateful_user_totals(read_events_stream(spark, sf_dir)),
@@ -424,6 +425,11 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
+    # materialize the (per-user, bounded) aggregate on executors and cut
+    # its lineage off the cached microbatch output, so the cache can be
+    # released NOW instead of leaking into the shared session (ADVICE r4)
+    out = out.localCheckpoint(eager=True)
+    sunk.unpersist()
     return out
 
 
@@ -595,7 +601,8 @@ def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominates and 8 partitions win; this op shards ~4 buckets/doc
     # (hundreds of thousands of groups at sf0.1), so the overhead
     # amortizes and parallelism wins — measured 11.6 s at 8 partitions
-    # vs 4.3 s at 32 on sf0.1 (2-band variant)
+    # vs 4.3 s at 32 on sf0.1 (2-band variant).  Full sizing policy:
+    # SCALE.md "Streaming state sizing policy".
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     docs = read_documents_stream(spark, sf_dir).repartition(32)
     pairs = run_available_now(

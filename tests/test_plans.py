@@ -470,6 +470,19 @@ _SHUFFLE_BUDGET = {
     # edges/deg/nodes counted once PER BRANCH; AQE reuses at runtime.
     # Growth here means an iteration gained an exchange — the real guard.
     "graph_pagerank": 49,
+    # zip_with bigrams + unigram vocab agg (counted per join branch
+    # statically, ReusedExchange at runtime) + two 1-row totals;
+    # top-20 is TakeOrdered, never a global sort
+    "text_collocation_pmi": 6,
+    # perplexity subtree counted once per consumer statically
+    # (ReusedExchange at runtime, pinned below) + milli-grain histogram
+    # agg + one bounded per-lang window + cutoff agg + final agg
+    "quality_percentile_buckets": 11,
+    # duplicated-shingle countDistinct (2 exchanges) + islands window;
+    # the (doc_id, anchor) agg reuses the window's doc_id partitioning
+    "dedup_span_ngram": 3,
+    # 1-row anchor agg (broadcast) + the per-user groupBy
+    "agg_decay_weighted": 2,
 }
 
 
@@ -528,6 +541,44 @@ def test_cogroup_merge_is_cogrouped_map(spark):
     plan = plan_of(q("udf_cogroup_merge", spark))
     assert "FlatMapCoGroupsInPandas" in plan
     assert "Join" not in plan
+
+
+def test_collocation_pmi_topk_is_take_ordered(spark):
+    """The PMI top-20 must compile to TakeOrderedAndProject (per-
+    partition partial top-k) — the bigram table grows with the corpus
+    and must never be globally sorted.  The two corpus totals must join
+    broadcast-wise (no cartesian)."""
+    plan = plan_of(q("text_collocation_pmi", spark))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_buckets_cutoffs_broadcast_and_subtree_reused(spark):
+    """The one-row-per-lang cutoff frame must join the doc table as a
+    BROADCAST join (a shuffled join would re-move the corpus to bucket
+    it), and the shared perplexity subtree must be ReusedExchange at
+    runtime, not computed once per consumer.  No unpartitioned window
+    anywhere — the tercile cutoffs come from the bounded per-lang
+    histogram, never a per-lang ntile over raw documents."""
+    df = q("quality_percentile_buckets", spark)
+    static = plan_of(df)
+    assert "BroadcastHashJoin" in static
+    df.collect()
+    final = plan_of(df, mode="simple").split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1, final
+
+
+def test_span_ngram_islands_window_is_doc_partitioned(spark):
+    """The gaps-and-islands window must partition by doc_id (bounded by
+    document length) — a global-order window here would serialize the
+    corpus through one task; and the shingle inventory must come from an
+    in-codegen transform, never a token self-join (no cartesian)."""
+    plan = plan_of(q("dedup_span_ngram", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    win_specs = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert win_specs and all("doc_id" in s for s in win_specs), plan
 
 
 import pytest as _pytest
