@@ -483,6 +483,10 @@ _SHUFFLE_BUDGET = {
     "dedup_span_ngram": 3,
     # 1-row anchor agg (broadcast) + the per-user groupBy
     "agg_decay_weighted": 2,
+    # span_ngram's 3 (countDistinct x2 + islands window); the per-doc
+    # interval-union fold and the doc left join add NO exchange (the
+    # groupBy reuses the window's doc_id partitioning; spans broadcast)
+    "dedup_span_removal": 3,
 }
 
 
