@@ -1018,3 +1018,135 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.getItem(2).alias("n_alarm_days"),
         fold.getItem(3).alias("first_alarm_day"),
     )
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS tot
+        FROM daily GROUP BY event_type
+    ),
+    yd AS (
+        SELECT daily.event_type, daily.d,
+               daily.x * stats.nd - stats.tot AS y, stats.nd
+        FROM daily JOIN stats USING (event_type)
+    ),
+    lagged AS (
+        SELECT event_type, nd, y,
+               LAG(y, 1) OVER w AS y1, LAG(y, 2) OVER w AS y2,
+               LAG(y, 3) OVER w AS y3, LAG(y, 4) OVER w AS y4,
+               LAG(y, 5) OVER w AS y5, LAG(y, 6) OVER w AS y6,
+               LAG(y, 7) OVER w AS y7
+        FROM yd WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    agg AS (
+        SELECT event_type, MAX(nd) AS nd,
+               CAST(SUM(y * y) AS BIGINT) AS den,
+               CAST(SUM(y * y1) AS BIGINT) AS n1,
+               CAST(SUM(y * y2) AS BIGINT) AS n2,
+               CAST(SUM(y * y3) AS BIGINT) AS n3,
+               CAST(SUM(y * y4) AS BIGINT) AS n4,
+               CAST(SUM(y * y5) AS BIGINT) AS n5,
+               CAST(SUM(y * y6) AS BIGINT) AS n6,
+               CAST(SUM(y * y7) AS BIGINT) AS n7
+        FROM lagged GROUP BY event_type
+    ),
+    exploded AS (
+        SELECT event_type, CAST(nd AS BIGINT) AS n_days, den,
+               unnest([{'k': CAST(1 AS BIGINT), 'num': n1},
+                       {'k': CAST(2 AS BIGINT), 'num': n2},
+                       {'k': CAST(3 AS BIGINT), 'num': n3},
+                       {'k': CAST(4 AS BIGINT), 'num': n4},
+                       {'k': CAST(5 AS BIGINT), 'num': n5},
+                       {'k': CAST(6 AS BIGINT), 'num': n6},
+                       {'k': CAST(7 AS BIGINT), 'num': n7}]) AS u
+        FROM agg
+    )
+    SELECT event_type, n_days, u.k AS lag,
+           CAST(floor(1000000.0 * CAST(u.num AS DOUBLE)
+                      / CAST(den AS DOUBLE) + 0.5) AS BIGINT) AS acf_micro
+    FROM exploded WHERE den > 0
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of each event type's daily-count series —
+    the periodicity detector behind "is this source weekly-cyclic?"
+    (an ACF peak at lag 7 flags weekly seasonality; near-zero tails flag
+    white noise), feeding the same alerting stack as
+    ts_seasonal_decompose / ts_cusum_changepoint.
+
+    ALL-INTEGER until the final division: with n days and total T, the
+    centered value (x_t - T/n) is carried as y_t = n·x_t - T (exact
+    BIGINT), and ACF(k) = Σ y_t·y_{t-k} / Σ y_t² — the n² factors
+    cancel, so numerator and denominator are exact int64 sums and the
+    single double division + micro-unit quantization is bit-identical
+    cross-engine (the ROUND-half-boundary doctrine).  Overflow bound:
+    |y| <= n·max(x), so Σy² needs n³·max(x)² < 2^63 — rescale counts
+    past ~1e5 days·events, stated here like the CUSUM bound.
+
+    Scale split, same as the ts siblings: the corpus-sized stage is the
+    one daily aggregate; the lag windows partition per event_type over
+    ~one row per DAY (calendar-bounded, the windows.py:193 doctrine);
+    the 7 lag products ride ONE window pass and one final small agg."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("tot")
+    )
+    yd = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("x") * F.col("nd") - F.col("tot")).alias("y"),
+        "nd",
+    )
+    # per-type day series: bounded by the calendar, never the corpus
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = yd.select(
+        "event_type",
+        "nd",
+        "y",
+        *[F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, 8)],
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.max("nd").cast("long").alias("n_days"),
+        F.sum(F.col("y") * F.col("y")).alias("den"),
+        *[
+            F.sum(F.col("y") * F.col(f"y{k}")).alias(f"n{k}")
+            for k in range(1, 8)
+        ],
+    )
+    lags = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"), F.col(f"n{k}").alias("num")
+            )
+            for k in range(1, 8)
+        ]
+    )
+    return (
+        agg.select("event_type", "n_days", "den", F.explode(lags).alias("u"))
+        .filter(F.col("den") > 0)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("u.k").alias("lag"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("u.num").cast("double")
+                / F.col("den").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("acf_micro"),
+        )
+    )

@@ -1380,3 +1380,137 @@ def quality_percentile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score_milli").alias("max_score_milli"),
         )
     )
+
+
+@query(
+    "text_keyphrase_rake",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+               string_split(text, ' ') AS l
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, pos, l[pos] AS token FROM toks),
+    nonstop AS (
+        SELECT doc_id, pos, token,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS anchor
+        FROM tok WHERE token NOT IN ('a', 'the')
+    ),
+    inst AS (
+        SELECT doc_id, anchor,
+               string_agg(token, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM nonstop GROUP BY doc_id, anchor
+    ),
+    wstats AS (
+        SELECT n.token,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(i.n_words) AS BIGINT) AS deg
+        FROM nonstop n JOIN inst i USING (doc_id, anchor)
+        GROUP BY n.token
+    ),
+    phrases AS (
+        SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS phrase_freq
+        FROM inst GROUP BY phrase
+    ),
+    pw AS (
+        SELECT p.phrase, p.n_words, p.phrase_freq,
+               unnest(string_split(p.phrase, ' ')) AS token
+        FROM phrases p
+    ),
+    scored AS (
+        SELECT pw.phrase, pw.n_words, pw.phrase_freq,
+               CAST(SUM(CAST(CAST(w.deg AS DOUBLE) / w.freq
+                             AS DECIMAL(28,6))) AS DOUBLE) AS score
+        FROM pw JOIN wstats w USING (token)
+        GROUP BY pw.phrase, pw.n_words, pw.phrase_freq
+    )
+    SELECT phrase, n_words, phrase_freq,
+           CAST(floor(1000000.0 * score + 0.5) AS BIGINT) AS score_micro
+    FROM scored WHERE n_words >= 2
+    ORDER BY score_micro DESC, phrase LIMIT 15
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the classic
+    unsupervised keyword extractor: candidate phrases are maximal
+    stopword-delimited token runs; each word scores deg(w)/freq(w)
+    (degree = total phrase-mates incl. itself across all occurrences);
+    a phrase scores the sum of its member-word scores.  The corpus-audit
+    primitive for "what is this crawl about" and phrase-blocklist
+    mining; the fixture's stopword set is its two function words
+    ('a'/'the').
+
+    Determinism: deg/freq are exact BIGINTs, the per-word ratio is one
+    IEEE division (identical cross-engine), the per-phrase sum of those
+    doubles goes through the decimal-exact reduction, and the final
+    ranking orders on integer micro-units with a phrase tiebreaker.
+    Phrase assembly is order-exact via pos-sorted aggregation on both
+    engines.  Scale shape: the islands window partitions by doc_id
+    (doc-length bounded); the phrase-instance aggregate groups on
+    (doc_id, anchor) and reuses that partitioning; word stats are one
+    map-side-combinable aggregate; top-15 is TakeOrderedAndProject —
+    phrase tables never globally sort."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    # islands window: partitioned by doc_id, bounded by document length
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nonstop = tok.filter(~F.col("token").isin("a", "the")).withColumn(
+        "anchor", F.col("pos") - F.row_number().over(w)
+    )
+    inst = nonstop.groupBy("doc_id", "anchor").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x.getField("token"),
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    wstats = (
+        nonstop.join(inst.select("doc_id", "anchor", "n_words"), ["doc_id", "anchor"])
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("n_words").alias("deg"))
+    )
+    phrases = inst.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("phrase_freq"),
+    )
+    pw = phrases.select(
+        "phrase", "n_words", "phrase_freq",
+        F.explode(F.split("phrase", " ")).alias("token"),
+    )
+    scored = (
+        pw.join(wstats, "token")
+        .groupBy("phrase", "n_words", "phrase_freq")
+        .agg(
+            F.sum(
+                (F.col("deg").cast("double") / F.col("freq")).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        scored.filter(F.col("n_words") >= 2)
+        .select(
+            "phrase",
+            "n_words",
+            "phrase_freq",
+            F.floor(F.lit(1000000.0) * F.col("score") + F.lit(0.5))
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(15)
+    )

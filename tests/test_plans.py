@@ -487,6 +487,14 @@ _SHUFFLE_BUDGET = {
     # interval-union fold and the doc left join add NO exchange (the
     # groupBy reuses the window's doc_id partitioning; spans broadcast)
     "dedup_span_removal": 3,
+    # daily agg + per-type stats agg (broadcast back) + the calendar-
+    # bounded lag window + final per-type agg; all 7 lags ride ONE
+    # window pass
+    "ts_autocorrelation": 4,
+    # islands window (doc-bounded) + word-stats agg + distinct-phrase
+    # agg + phrase-word rejoin + per-phrase score agg; the instance agg
+    # reuses the window's doc_id partitioning; top-15 is TakeOrdered
+    "text_keyphrase_rake": 6,
 }
 
 
