@@ -610,3 +610,69 @@ def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return pairs.select("doc_a", "doc_b", "lang", "hamming").distinct()
+
+
+def decay_agg(df: DataFrame, anchor_us: int) -> DataFrame:
+    """Half-life-decayed per-user aggregate of an events frame (batch OR
+    streaming) against a PINNED anchor — shared by stream_decay_weighted
+    and its multi-batch equivalence test.  Week-grain integer exponent
+    so every weight is an exact power of two (the agg_decay_weighted
+    doctrine)."""
+    age_weeks = F.floor(
+        (F.lit(anchor_us) - F.unix_micros("ts")) / F.lit(604800000000)
+    )
+    w = F.pow(F.lit(0.5), age_weeks)
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value") * w).cast(DEC)).cast("double").alias("decayed_value"),
+        F.sum(w.cast(DEC)).cast("double").alias("decayed_count"),
+    )
+
+
+@query(
+    "stream_decay_weighted",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value * pow(0.5, floor((anchor.max_us - epoch_us(ts))"
+                     " / 604800000000))")} AS decayed_value,
+           {sql_dsum("pow(0.5, floor((anchor.max_us - epoch_us(ts))"
+                     " / 604800000000))")} AS decayed_count
+    FROM events CROSS JOIN anchor
+    GROUP BY user_id
+    """,
+)  # oracle-checked: complete-mode final snapshot == the batch decay
+def stream_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ingest half of recency weighting
+    (agg_decay_weighted's twin, the stream_bitmap_partials pattern):
+    decayed per-user feature sums maintained incrementally as events
+    arrive.  The design point that makes this streamable at all: with a
+    PINNED anchor, each event's weight 0.5^age_weeks depends only on its
+    own timestamp, so decayed sums are plain mergeable aggregation state
+    — no per-event state machine — and RE-ANCHORING later is one exact
+    multiply: decayed(anchor + k weeks) = decayed(anchor) · 2^-k (powers
+    of two are exact in IEEE doubles; asserted to quantization precision
+    in tests/test_streaming.py, which also drains a 3-file split one
+    file per trigger to witness genuine cross-micro-batch merging).
+    That identity is why production feature stores never re-scan history
+    to move the decay origin.
+
+    The anchor itself is one scalar read from the batch table (the
+    streaming closable-boundary idiom); the availableNow complete-mode
+    final snapshot equals the batch aggregate, so a genuine streaming
+    run hash-checks against the same DuckDB oracle as the batch twin.
+    At 100 TB: state is one row per user per shuffle partition (narrow
+    sharding — few groups), weights cost one codegen pow per event."""
+    from ..streaming import read_events_stream, run_available_now
+
+    tune(spark)
+    # few state groups (users): narrow sharding — SCALE.md sizing policy
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    anchor_us = (
+        load(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .collect()[0]["m"]
+    )
+    agg = decay_agg(read_events_stream(spark, sf_dir), anchor_us)
+    return run_available_now(agg, output_mode="complete")

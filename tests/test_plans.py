@@ -495,6 +495,9 @@ _SHUFFLE_BUDGET = {
     # agg + phrase-word rejoin + per-phrase score agg; the instance agg
     # reuses the window's doc_id partitioning; top-15 is TakeOrdered
     "text_keyphrase_rake": 6,
+    # the returned frame reads the complete-mode memory sink — the
+    # streaming aggregation's exchange lives inside the drained run
+    "stream_decay_weighted": 0,
 }
 
 

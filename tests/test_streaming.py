@@ -573,3 +573,63 @@ def test_stream_dedup_simhash_state_survives_restart(spark, tmp_path):
     assert cross <= run2, "restart lost checkpointed fingerprints"
     assert not (run1 & run2), "restart re-emitted run-1 pairs"
     assert run1 | run2 == want
+
+
+def test_stream_decay_weighted_merges_across_batches(spark, tmp_path):
+    """Decayed sums with a pinned anchor are plain mergeable aggregation
+    state: split events into three files (user_id mod 3), drain one file
+    per trigger, and the complete-mode final snapshot must equal the
+    batch decay over the whole table — batch-3 users' partial sums can
+    only be right if state merged across triggers."""
+    from covid_data_pipeline_spark.queries.streaming_batch import decay_agg
+    from covid_data_pipeline_spark.schemas import EVENTS
+
+    ev = load(spark, SF_SMOKE, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0]["m"]
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_value"], r["decayed_count"])
+        for r in run_available_now(
+            decay_agg(stream, anchor), output_mode="complete"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["decayed_value"], r["decayed_count"])
+        for r in decay_agg(ev, anchor).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_decay_reanchoring_identity(spark):
+    """Moving the decay origin k weeks later multiplies every decayed
+    sum by exactly 2^-k (powers of two are exact in IEEE doubles) — the
+    identity that lets a feature store re-anchor without re-scanning
+    history.  The shipped aggregates quantize each TERM to decimal(28,6)
+    before summing, so the identity holds to within one quantization
+    step per event (|err| <= n_events * 1e-6), not bit-exactly — the
+    tolerance below is exactly that bound."""
+    from covid_data_pipeline_spark.queries.streaming_batch import decay_agg
+
+    ev = load(spark, SF_SMOKE, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0]["m"]
+    WEEK_US = 604_800_000_000
+    base = {r["user_id"]: (r["n_events"], r["decayed_value"])
+            for r in decay_agg(ev, anchor).collect()}
+    shifted = {r["user_id"]: r["decayed_value"]
+               for r in decay_agg(ev, anchor + 2 * WEEK_US).collect()}
+    assert set(base) == set(shifted) and len(base) > 0
+    for uid, (n, v) in base.items():
+        assert abs(shifted[uid] - v * 0.25) <= n * 1e-6, (
+            uid, shifted[uid], v * 0.25, n
+        )
