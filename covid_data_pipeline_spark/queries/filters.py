@@ -162,3 +162,46 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status": "O",
         },
     )
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in FROM — the SQL surface every
+    per-entity-drilldown report is written in ("for each customer, its
+    top-2 orders"): the subquery references the outer row and carries
+    its own ORDER BY ... LIMIT.
+
+    The plan is the point: Catalyst DECORRELATES the per-row subquery
+    into a set-based plan — no nested-loop re-execution per customer —
+    and the LIMIT 2 compiles to WindowGroupLimit with a PARTIAL
+    pre-shuffle pass (each map task prunes to <=2 candidate orders per
+    customer BEFORE the exchange, pinned in tests/test_plans.py), so at
+    100 TB the shuffle carries 2·|customers| rows, not |orders|.  Same
+    semantics as topk_per_group's explicit window; this rung proves the
+    declarative spelling reaches the same (better-pruned) physical
+    plan."""
+    tune(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

@@ -498,6 +498,9 @@ _SHUFFLE_BUDGET = {
     # the returned frame reads the complete-mode memory sink — the
     # streaming aggregation's exchange lives inside the drained run
     "stream_decay_weighted": 0,
+    # decorrelated lateral: one orders shuffle (WindowGroupLimit prunes
+    # to <=2 rows/customer map-side first); customer side broadcasts
+    "sql_lateral_topk": 1,
 }
 
 
@@ -581,6 +584,18 @@ def test_quality_buckets_cutoffs_broadcast_and_subtree_reused(spark):
     df.collect()
     final = plan_of(df, mode="simple").split("== Initial Plan ==")[0]
     assert final.count("ReusedExchange") >= 1, final
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ORDER BY..LIMIT subquery must decorrelate into a
+    WindowGroupLimit with a PARTIAL pre-shuffle pass (map-side top-2
+    per customer) — never a per-row re-execution (no nested-loop join
+    against the orders scan) and never a full per-group sort."""
+    plan = plan_of(q("sql_lateral_topk", spark), mode="simple")
+    # partial (map-side, pre-shuffle) + final WindowGroupLimit passes
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert ", Partial" in plan and ", Final" in plan, plan
+    assert "CartesianProduct" not in plan
 
 
 def test_span_ngram_islands_window_is_doc_partitioned(spark):
