@@ -51,6 +51,14 @@ _QUERIES = (
     "sim_pq_adc_rerank",
     "dedup_semdedup_kmeans",
     "analytics_copurchase_lift",
+    # round-5 additions: ln+round ranking, perplexity-fold terciles,
+    # power-of-two decayed decimal sums, integer ACF's final division,
+    # RAKE's decimal score sums
+    "text_collocation_pmi",
+    "quality_percentile_buckets",
+    "agg_decay_weighted",
+    "ts_autocorrelation",
+    "text_keyphrase_rake",
 )
 
 _GEOMETRIES = (
