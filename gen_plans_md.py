@@ -222,6 +222,14 @@ SHOWN = (
         "anywhere in the plan.",
         False,
     ),
+    (
+        "sql_lateral_topk",
+        "LATERAL ORDER BY..LIMIT decorrelated: WindowGroupLimit runs "
+        "Partial BEFORE the exchange (each map task keeps <=2 orders "
+        "per customer) then Final after it — the shuffle carries "
+        "2·|customers| rows, not |orders|; customer side broadcasts.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead
