@@ -188,9 +188,11 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-shuffle pass (each map task prunes to <=2 candidate orders per
     customer BEFORE the exchange, pinned in tests/test_plans.py), so at
     100 TB the shuffle carries 2·|customers| rows, not |orders|.  Same
-    semantics as topk_per_group's explicit window; this rung proves the
-    declarative spelling reaches the same (better-pruned) physical
-    plan."""
+    semantics as topk_per_group's explicit window — and measurably the
+    same plan: Spark's InferWindowGroupLimit gives the row_number()<=k
+    spelling the identical partial+final WindowGroupLimit, so this rung
+    proves API-surface parity, not a win over the hand-tuned window
+    (experiments/lateral_grouplimit_ab.py)."""
     tune(spark)
     load(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
