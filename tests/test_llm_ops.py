@@ -675,3 +675,31 @@ def test_bpe_encode_zero_token_documents_not_dropped(spark, tmp_path):
         .collect()
     }
     assert got == {1_000_001: (0, 0, 0), 1_000_002: (0, 0, 0)}
+
+
+def test_quality_buckets_are_ordered_near_terciles(spark):
+    """CCNet-tercile contract: every language has all three buckets,
+    score ranges are strictly ordered head > middle > tail (the
+    cutoffs partition the milli-score axis), the head bucket holds at
+    least ceil(n/3) docs (boundary ties land head-side by definition),
+    and bucket totals reconstruct the per-lang doc count."""
+    import math
+
+    reg = load_all()
+    rows = reg["quality_percentile_buckets"].fn(spark, SF_ORACLE).collect()
+    langs: dict[str, dict[str, tuple[int, int, int]]] = {}
+    for r in rows:
+        langs.setdefault(r["lang"], {})[r["bucket"]] = (
+            r["n_docs"], r["min_score_milli"], r["max_score_milli"]
+        )
+    docs = load_all()["text_lang_profile"].fn(spark, SF_ORACLE).collect()
+    n_by_lang = {r["lang"]: r["n_docs"] for r in docs}
+    assert set(langs) == set(n_by_lang)
+    for lang, b in langs.items():
+        assert set(b) == {"head", "middle", "tail"}, (lang, b)
+        n = n_by_lang[lang]
+        assert sum(v[0] for v in b.values()) == n
+        assert b["head"][0] >= math.ceil(n / 3), (lang, b, n)
+        # strict score-range ordering: the cutoffs PARTITION the axis
+        assert b["head"][1] > b["middle"][2], (lang, b)
+        assert b["middle"][1] > b["tail"][2], (lang, b)
