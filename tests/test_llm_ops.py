@@ -703,3 +703,20 @@ def test_quality_buckets_are_ordered_near_terciles(spark):
         # strict score-range ordering: the cutoffs PARTITION the axis
         assert b["head"][1] > b["middle"][2], (lang, b)
         assert b["middle"][1] > b["tail"][2], (lang, b)
+
+
+def test_span_dedup_not_degenerate(spark):
+    """Granule-collapse guard (the dedup_near_jaccard candidate-count
+    pattern): the measured sweep (SCALE.md) shows granule 3 marks
+    92-99.9% of this closed-vocabulary fixture by CHANCE n-gram
+    recurrence, while the shipped granule 5 removes ~9-13%.  If a
+    fixture regen (bigger vocab shrink, shorter docs) pushes the shipped
+    granule into the degenerate regime, span-removal quietly guts the
+    corpus — fail loudly instead."""
+    reg = load_all()
+    rows = reg["dedup_span_removal"].fn(spark, SF_ORACLE).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    removed = sum(r["n_removed"] for r in rows)
+    assert total > 0 and 0 < removed < 0.3 * total, (
+        f"span dedup degenerate or vacuous: {removed}/{total} tokens marked"
+    )
