@@ -845,3 +845,105 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH sc AS (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    proj AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+        FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT s1 AS src, s2 AS dst, shared FROM proj
+        UNION ALL
+        SELECT s2 AS src, s1 AS dst, shared FROM proj
+    ),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY shared DESC, dst) AS rn
+            FROM directed
+        ) WHERE rn <= {_KNN_K}
+    ),
+    edges AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM knn
+    ),
+    adj AS (
+        SELECT a AS v, b AS n FROM edges
+        UNION ALL
+        SELECT b AS v, a AS n FROM edges
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    common AS (
+        SELECT x.v AS u, y.v AS v, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM adj x JOIN adj y ON x.n = y.n AND x.v < y.v
+        GROUP BY 1, 2
+    )
+    SELECT c.u, c.v, c.cn AS common_neighbors,
+           du.d AS deg_u, dv.d AS deg_v,
+           CAST(floor(1000000.0 * CAST(c.cn AS DOUBLE)
+                      / (du.d + dv.d - c.cn) + 0.5) AS BIGINT) AS jac_micro
+    FROM common c
+    JOIN deg du ON c.u = du.v
+    JOIN deg dv ON c.v = dv.v
+    ORDER BY jac_micro DESC, c.u, c.v LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity over the kNN-sparsified
+    co-purchase graph — the classic link-prediction / entity-resolution
+    score: J(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, top-20 pairs.
+    (Same sparsified graph as graph_knn_triangles; same reason — on the
+    raw near-clique projection every Jaccard is ~1 and the score is
+    vacuous.)
+
+    The scale discipline is candidate generation: pairs are generated
+    ONLY through shared neighbors (the adjacency self-join on the
+    common endpoint — a wedge enumeration bounded by sum-of-deg²,
+    k²·|V| on the sparsified graph), never by pairing all nodes.
+    Everything until the final division is exact integers (common
+    count, two degrees; union size by inclusion-exclusion), then one
+    double division + micro quantization — the ts_autocorrelation
+    doctrine.  Top-20 is TakeOrderedAndProject.  The edge set is
+    localCheckpoint-truncated once and feeds both the adjacency and
+    degree consumers (the graph_knn_triangles idiom)."""
+    tune(spark)
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    x = adj.select(F.col("v").alias("u"), "n")
+    y = adj.select(F.col("v").alias("v"), "n")
+    common = (
+        x.join(y, "n")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("v").alias("v"), F.col("d").alias("deg_v"))
+    jac = F.floor(
+        F.lit(1000000.0)
+        * F.col("common_neighbors").cast("double")
+        / (F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors"))
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "common_neighbors", "deg_u", "deg_v",
+            jac.alias("jac_micro"),
+        )
+        .orderBy(F.col("jac_micro").desc(), "u", "v")
+        .limit(20)
+    )

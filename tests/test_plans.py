@@ -501,6 +501,10 @@ _SHUFFLE_BUDGET = {
     # decorrelated lateral: one orders shuffle (WindowGroupLimit prunes
     # to <=2 rows/customer map-side first); customer side broadcasts
     "sql_lateral_topk": 1,
+    # post-checkpoint: wedge self-join on the shared endpoint (adj
+    # counted per branch statically) + (u,v) agg + degree agg + the two
+    # deg rejoins; top-20 is TakeOrdered — pairs never globally sort
+    "graph_jaccard_neighbors": 7,
 }
 
 
