@@ -1150,3 +1150,154 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acf_micro"),
         )
     )
+
+
+@query(
+    "ts_holt_winters",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, list(x ORDER BY d) AS xs, COUNT(*) AS nd
+        FROM daily GROUP BY event_type
+    ),
+    init AS (
+        SELECT event_type, xs, nd,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                        list_slice(xs, 1, 7)),
+                           (a, b) -> a + b) / 7 AS l0,
+               (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                         list_slice(xs, 8, 14)),
+                            (a, b) -> a + b) / 7
+                - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                           list_slice(xs, 1, 7)),
+                              (a, b) -> a + b) / 7) / 7 AS b0
+        FROM series WHERE nd >= 15
+    ),
+    folded AS (
+        SELECT event_type, nd,
+               list_reduce(
+                   list_prepend(
+                       list_concat([l0, b0],
+                           [xs[i] - l0 FOR i IN generate_series(1, 7)]),
+                       [[CAST(v AS DOUBLE)] FOR v IN
+                        list_slice(xs, 15, 100000)]
+                   ),
+                   (a, x) -> [
+                       CAST(0.3 AS DOUBLE) * (x[1] - a[3])
+                           + CAST(0.7 AS DOUBLE) * (a[1] + a[2]),
+                       CAST(0.1 AS DOUBLE)
+                           * ((CAST(0.3 AS DOUBLE) * (x[1] - a[3])
+                               + CAST(0.7 AS DOUBLE) * (a[1] + a[2]))
+                              - a[1])
+                           + CAST(0.9 AS DOUBLE) * a[2],
+                       a[4], a[5], a[6], a[7], a[8], a[9],
+                       CAST(0.2 AS DOUBLE)
+                           * (x[1] - (CAST(0.3 AS DOUBLE) * (x[1] - a[3])
+                                      + CAST(0.7 AS DOUBLE) * (a[1] + a[2])))
+                           + CAST(0.8 AS DOUBLE) * a[3]
+                   ]
+               ) AS f
+        FROM init
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           CAST(floor(1000000.0 * f[1] + 0.5) AS BIGINT) AS level_micro,
+           CAST(floor(1000000.0 * f[2] + 0.5) AS BIGINT) AS trend_micro,
+           CAST(floor(1000000.0 * f[3] + 0.5) AS BIGINT)
+               AS season_next_micro,
+           CAST(floor(1000000.0 * (f[1] + f[2] + f[3]) + 0.5) AS BIGINT)
+               AS forecast1_micro
+    FROM folded
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing (weekly
+    season, alpha=0.3 beta=0.1 gamma=0.2) over each type's daily-count
+    series — the classic capacity-forecasting recurrence, emitting the
+    final level/trend, next season component, and the one-step-ahead
+    forecast.
+
+    Like CUSUM, the recurrence is inherently sequential (L_t needs
+    L_{t-1}, B_{t-1}, S_{t-7}) — no window frame expresses it — so it
+    runs as a bounded in-codegen array fold over each type's day array
+    (calendar-bounded).  The seasonal ring buffer is ROTATED rather than
+    index-updated (acc = [L, B, S_{t-7}..S_{t-1}]; each step drops the
+    head and appends the fresh seasonal), which keeps the fold free of
+    indexed writes on both engines.  Determinism: both engines execute
+    the IDENTICAL double-arithmetic chain in the identical sequential
+    order (L's expression inlined into B's and S's, matching the DuckDB
+    lambda, which has no lets), so the result is bit-stable and the
+    outputs quantize to micro units.  Init is the textbook first-week
+    mean / week-over-week trend / first-week seasonal offsets; types
+    shorter than 15 days are excluded rather than extrapolated.
+
+    Scale split, same as the ts siblings: corpus-sized work = the one
+    daily aggregate; the fold runs over ~one value per day per type."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "x"))),
+            lambda s: s.getField("x"),
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+
+    def _fsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    init = series.filter(F.col("nd") >= 15).select(
+        "event_type",
+        "xs",
+        "nd",
+        (_fsum(F.slice("xs", 1, 7)) / 7).alias("l0"),
+        (
+            (_fsum(F.slice("xs", 8, 7)) / 7 - _fsum(F.slice("xs", 1, 7)) / 7)
+            / 7
+        ).alias("b0"),
+    )
+    acc0 = F.concat(
+        F.array(F.col("l0"), F.col("b0")),
+        F.transform(F.slice("xs", 1, 7), lambda v: v - F.col("l0")),
+    )
+    rest = F.slice(F.col("xs"), F.lit(15), F.size("xs") - F.lit(14))
+
+    def _step(a, x):
+        # L's expression is INLINED into B and S (the DuckDB lambda has
+        # no lets) so both engines run the identical IEEE chain
+        el = lambda k: F.element_at(a, k)  # noqa: E731
+        L = F.lit(0.3) * (x - el(3)) + F.lit(0.7) * (el(1) + el(2))
+        B = F.lit(0.1) * (
+            (F.lit(0.3) * (x - el(3)) + F.lit(0.7) * (el(1) + el(2))) - el(1)
+        ) + F.lit(0.9) * el(2)
+        S = F.lit(0.2) * (
+            x - (F.lit(0.3) * (x - el(3)) + F.lit(0.7) * (el(1) + el(2)))
+        ) + F.lit(0.8) * el(3)
+        return F.array(L, B, el(4), el(5), el(6), el(7), el(8), el(9), S)
+
+    folded = init.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        F.aggregate(rest, acc0, _step).alias("f"),
+    )
+
+    def micro(expr):
+        return F.floor(F.lit(1000000.0) * expr + F.lit(0.5)).cast("long")
+
+    f = F.col("f")
+    return folded.select(
+        "event_type",
+        "n_days",
+        micro(F.element_at(f, 1)).alias("level_micro"),
+        micro(F.element_at(f, 2)).alias("trend_micro"),
+        micro(F.element_at(f, 3)).alias("season_next_micro"),
+        micro(
+            F.element_at(f, 1) + F.element_at(f, 2) + F.element_at(f, 3)
+        ).alias("forecast1_micro"),
+    )

@@ -505,6 +505,10 @@ _SHUFFLE_BUDGET = {
     # counted per branch statically) + (u,v) agg + degree agg + the two
     # deg rejoins; top-20 is TakeOrdered — pairs never globally sort
     "graph_jaccard_neighbors": 7,
+    # daily agg + per-type series agg; the HW recurrence is an
+    # in-codegen fold over the bounded day array — no extra exchange,
+    # no Window, no Python
+    "ts_holt_winters": 2,
 }
 
 
