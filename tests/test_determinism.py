@@ -59,6 +59,11 @@ _QUERIES = (
     "agg_decay_weighted",
     "ts_autocorrelation",
     "text_keyphrase_rake",
+    # late round-5: sequential float fold (order fixed by sort_array,
+    # but the collect itself must not leak partition order), wedge-
+    # blocked integer Jaccard's final division
+    "ts_holt_winters",
+    "graph_jaccard_neighbors",
 )
 
 _GEOMETRIES = (
