@@ -1514,3 +1514,113 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(15)
     )
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, token
+    ),
+    stot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY source
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS gc FROM tok GROUP BY token
+    ),
+    gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn FROM tok),
+    grid AS (
+        SELECT s.source, v.token, v.gc, s.n, gtot.gn,
+               COALESCE(st.c, 0) AS c
+        FROM stot s CROSS JOIN vocab v CROSS JOIN gtot
+        LEFT JOIN st ON st.source = s.source AND st.token = v.token
+    ),
+    terms AS (
+        SELECT source,
+               CASE WHEN c > 0 THEN
+                   CAST(0.5 AS DOUBLE) * (CAST(c AS DOUBLE) / n)
+                   * ln((CAST(c AS DOUBLE) / n)
+                        / ((CAST(c AS DOUBLE) / n
+                            + CAST(gc AS DOUBLE) / gn) / 2))
+               ELSE CAST(0 AS DOUBLE) END
+               + CAST(0.5 AS DOUBLE) * (CAST(gc AS DOUBLE) / gn)
+                 * ln((CAST(gc AS DOUBLE) / gn)
+                      / ((CAST(c AS DOUBLE) / n
+                          + CAST(gc AS DOUBLE) / gn) / 2)) AS term
+        FROM grid
+    )
+    SELECT source,
+           CAST(floor(1000000.0
+                      * CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE)
+                      + 0.5) AS BIGINT) AS js_micro
+    FROM terms GROUP BY source
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each SOURCE's token
+    distribution and the whole-corpus distribution — the
+    vocabulary-drift monitor a crawl pipeline runs per feed ("did this
+    source's language change?"), complementing
+    quality_distribution_drift's numeric KS/PSI with a distribution
+    test over the token simplex.  JS (unlike KL) is finite when a
+    source is missing tokens, which is exactly the zero-count case the
+    grid join materializes.
+
+    Determinism: every term is per-row IEEE arithmetic from exact
+    integer counts (identical expression shape both engines, including
+    the inlined mixture m = (p+q)/2), the per-source reduction goes
+    through the decimal-exact sum, and the result quantizes to micro
+    units.  Scale shape: two count aggregates; the term grid is
+    |vocab| x |sources| via a broadcast-friendly source-totals cross
+    (bounded: sources are a registry, vocab prunes by min-count in an
+    open-vocabulary corpus — same note as text_collocation_pmi); one
+    final per-source sum."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    stot = st.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("gc"))
+    gtot = tok.agg(F.count(F.lit(1)).alias("gn"))
+    grid = (
+        F.broadcast(stot)
+        .crossJoin(vocab)
+        .crossJoin(F.broadcast(gtot))
+        .join(st, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            "gc",
+            "n",
+            "gn",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("gc").cast("double") / F.col("gn")
+    m = (F.col("c").cast("double") / F.col("n")
+         + F.col("gc").cast("double") / F.col("gn")) / 2
+    term = (
+        F.when(F.col("c") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.lit(0.5) * q * F.log(q / m)
+    )
+    return (
+        grid.select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.floor(
+                F.lit(1000000.0)
+                * F.sum(F.col("term").cast("decimal(28,6)")).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("js_micro")
+        )
+    )

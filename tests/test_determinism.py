@@ -64,6 +64,7 @@ _QUERIES = (
     # blocked integer Jaccard's final division
     "ts_holt_winters",
     "graph_jaccard_neighbors",
+    "text_js_divergence",
 )
 
 _GEOMETRIES = (

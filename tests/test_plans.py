@@ -509,6 +509,11 @@ _SHUFFLE_BUDGET = {
     # in-codegen fold over the bounded day array — no extra exchange,
     # no Window, no Python
     "ts_holt_winters": 2,
+    # (source,token) + source-total + vocab + 1-row total aggs (tok
+    # subtree counted per branch statically) + final per-source sum;
+    # the grid rides two broadcast nested-loop joins of 1-row/20-row
+    # frames, never a shuffled cartesian
+    "text_js_divergence": 6,
 }
 
 
