@@ -1301,3 +1301,78 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(f, 1) + F.element_at(f, 2) + F.element_at(f, 3)
         ).alias("forecast1_micro"),
     )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    peaks AS (
+        SELECT event_type, d, v,
+               MAX(v) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS peak
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(MAX(peak - v) AS BIGINT) AS max_drawdown,
+           strftime(MIN(CASE WHEN peak - v =
+                                  (SELECT MAX(p2.peak - p2.v)
+                                   FROM peaks p2
+                                   WHERE p2.event_type = peaks.event_type)
+                             THEN d END), '%Y-%m-%d') AS trough_day,
+           CAST(MAX(peak) AS BIGINT) AS peak_value
+    FROM peaks GROUP BY event_type
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each type's daily-count series — the
+    peak-to-trough collapse metric every ops/volume dashboard tracks
+    ("how far below its best day has this source fallen?"): running
+    peak via an unbounded-preceding MAX window, drawdown = peak - value,
+    plus the (earliest) trough day and the all-time peak.
+
+    ALL-INTEGER (counts, maxes, differences) — no float anywhere, so
+    the hash compare is exact by construction; the trough day
+    tie-breaks to the EARLIEST day hitting the maximum drawdown
+    (min_by over candidates), deterministic on both engines.  The
+    running-max window partitions per event_type over ~one row per day
+    (calendar-bounded, the ts-family doctrine); corpus-sized work is
+    the single daily aggregate."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaks = daily.select(
+        "event_type", "d", "v", F.max("v").over(w).alias("peak")
+    ).withColumn("dd", F.col("peak") - F.col("v"))
+    # the bounded (type, day) frame feeds two consumers — truncate once
+    peaks = peaks.localCheckpoint(eager=False)
+    mdd = peaks.groupBy("event_type").agg(
+        F.max("dd").cast("long").alias("max_drawdown"),
+        F.max("peak").cast("long").alias("peak_value"),
+    )
+    return (
+        peaks.join(F.broadcast(mdd), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("max_drawdown").alias("max_drawdown"),
+            F.date_format(
+                F.min(
+                    F.when(F.col("dd") == F.col("max_drawdown"), F.col("d"))
+                ),
+                "yyyy-MM-dd",
+            ).alias("trough_day"),
+            F.max("peak_value").alias("peak_value"),
+        )
+        .select("event_type", "max_drawdown", "trough_day", "peak_value")
+    )

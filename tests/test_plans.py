@@ -514,6 +514,10 @@ _SHUFFLE_BUDGET = {
     # the grid rides two broadcast nested-loop joins of 1-row/20-row
     # frames, never a shuffled cartesian
     "text_js_divergence": 6,
+    # daily agg + calendar-bounded running-max window (post-checkpoint);
+    # the max-dd scalar rejoins broadcast and the final agg reuses the
+    # window's event_type partitioning
+    "win_drawdown": 2,
 }
 
 
