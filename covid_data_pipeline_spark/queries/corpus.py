@@ -1376,3 +1376,197 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "max_drawdown", "trough_day", "peak_value")
     )
+
+
+def _durbin_levinson_sql() -> str:
+    """Generate the Durbin-Levinson CTE chain (lags 1..7) — one ak-CTE +
+    one phi-CTE per step so every coefficient is a NAMED column and both
+    engines evaluate the identical IEEE chain (no lambda, no lets)."""
+    ctes = []
+    prev = "base"
+    # step 1 inline: phi_1_1 = r1, v_1 = 1 - r1*r1
+    ctes.append(
+        "step1 AS (SELECT *, r1 AS phi_1_1, 1 - r1 * r1 AS v_1 FROM base)"
+    )
+    prev = "step1"
+    for k in range(2, 8):
+        inner = " + ".join(
+            f"phi_{k-1}_{j} * r{k-j}" for j in range(1, k)
+        )
+        ctes.append(
+            f"step{k}a AS (SELECT *, (r{k} - ({inner})) / v_{k-1} AS a_{k} "
+            f"FROM {prev})"
+        )
+        phis = ", ".join(
+            f"phi_{k-1}_{j} - a_{k} * phi_{k-1}_{k-j} AS phi_{k}_{j}"
+            for j in range(1, k)
+        )
+        ctes.append(
+            f"step{k} AS (SELECT *, {phis}, a_{k} AS phi_{k}_{k}, "
+            f"v_{k-1} * (1 - a_{k} * a_{k}) AS v_{k} FROM step{k}a)"
+        )
+        prev = f"step{k}"
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "ts_partial_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS tot
+        FROM daily GROUP BY event_type
+    ),
+    yd AS (
+        SELECT daily.event_type, daily.d,
+               daily.x * stats.nd - stats.tot AS y, stats.nd
+        FROM daily JOIN stats USING (event_type)
+    ),
+    lagged AS (
+        SELECT event_type, nd, y,
+               LAG(y, 1) OVER w AS y1, LAG(y, 2) OVER w AS y2,
+               LAG(y, 3) OVER w AS y3, LAG(y, 4) OVER w AS y4,
+               LAG(y, 5) OVER w AS y5, LAG(y, 6) OVER w AS y6,
+               LAG(y, 7) OVER w AS y7
+        FROM yd WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    base AS (
+        SELECT event_type, MAX(nd) AS nd,
+               CAST(SUM(y * y1) AS DOUBLE) / CAST(SUM(y * y) AS BIGINT) AS r1,
+               CAST(SUM(y * y2) AS DOUBLE) / CAST(SUM(y * y) AS BIGINT) AS r2,
+               CAST(SUM(y * y3) AS DOUBLE) / CAST(SUM(y * y) AS BIGINT) AS r3,
+               CAST(SUM(y * y4) AS DOUBLE) / CAST(SUM(y * y) AS BIGINT) AS r4,
+               CAST(SUM(y * y5) AS DOUBLE) / CAST(SUM(y * y) AS BIGINT) AS r5,
+               CAST(SUM(y * y6) AS DOUBLE) / CAST(SUM(y * y) AS BIGINT) AS r6,
+               CAST(SUM(y * y7) AS DOUBLE) / CAST(SUM(y * y) AS BIGINT) AS r7
+        FROM lagged GROUP BY event_type
+        HAVING SUM(y * y) > 0
+    ),
+    {_durbin_levinson_sql()},
+    exploded AS (
+        SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+               unnest([{", ".join(
+                   "{'k': CAST(%d AS BIGINT), 'p': phi_%d_%d}" % (k, k, k)
+                   for k in range(1, 8))}]) AS u
+        FROM step7
+    )
+    SELECT event_type, n_days, u.k AS lag,
+           CAST(floor(1000000.0 * u.p + 0.5) AS BIGINT) AS pacf_micro
+    FROM exploded
+    """,
+)
+def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1..7) of each type's daily series
+    via the Durbin-Levinson recursion — the AR-order-selection companion
+    to ts_autocorrelation (an AR(p) process's PACF cuts off after lag p,
+    which is how the textbook picks p; the ACF alone cannot).
+
+    The recursion is sequential in k but only 7 steps deep, so instead
+    of a runtime fold it is STATICALLY UNROLLED — one generator
+    (`_durbin_levinson_sql`) emits the identical named-column chain for
+    both engines (the graph_pagerank unrolling idiom): each step's
+    reflection coefficient a_k is a named column computed once, the
+    phi vector updates reference it, and every inner product is written
+    in the same fixed left-to-right order, so the IEEE chains match
+    bit-for-bit.  Inputs are the exact-integer autocovariances from the
+    ACF formulation (y = n·x − T centering; the scale factors cancel in
+    the correlation ratios).  Corpus-sized work = the one daily
+    aggregate; everything after runs on one row per type."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("tot")
+    )
+    yd = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("x") * F.col("nd") - F.col("tot")).alias("y"),
+        "nd",
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = yd.select(
+        "event_type",
+        "nd",
+        "y",
+        *[F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, 8)],
+    )
+    base = (
+        lagged.groupBy("event_type")
+        .agg(
+            F.max("nd").cast("long").alias("nd"),
+            F.sum(F.col("y") * F.col("y")).alias("den"),
+            *[
+                F.sum(F.col("y") * F.col(f"y{k}")).alias(f"n{k}")
+                for k in range(1, 8)
+            ],
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "event_type",
+            "nd",
+            *[
+                (F.col(f"n{k}").cast("double") / F.col("den")).alias(f"r{k}")
+                for k in range(1, 8)
+            ],
+        )
+    )
+    # statically unrolled Durbin-Levinson, mirroring _durbin_levinson_sql
+    cur = base.select(
+        "*", F.col("r1").alias("phi_1_1"),
+        (F.lit(1) - F.col("r1") * F.col("r1")).alias("v_1"),
+    )
+    for k in range(2, 8):
+        inner = None
+        for j in range(1, k):
+            t = F.col(f"phi_{k-1}_{j}") * F.col(f"r{k-j}")
+            inner = t if inner is None else inner + t
+        cur = cur.select(
+            "*", ((F.col(f"r{k}") - inner) / F.col(f"v_{k-1}")).alias(f"a_{k}")
+        )
+        cur = cur.select(
+            "*",
+            *[
+                (
+                    F.col(f"phi_{k-1}_{j}")
+                    - F.col(f"a_{k}") * F.col(f"phi_{k-1}_{k-j}")
+                ).alias(f"phi_{k}_{j}")
+                for j in range(1, k)
+            ],
+            F.col(f"a_{k}").alias(f"phi_{k}_{k}"),
+            (
+                F.col(f"v_{k-1}")
+                * (F.lit(1) - F.col(f"a_{k}") * F.col(f"a_{k}"))
+            ).alias(f"v_{k}"),
+        )
+    lags = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"phi_{k}_{k}").alias("p"),
+            )
+            for k in range(1, 8)
+        ]
+    )
+    return (
+        cur.select(
+            "event_type",
+            F.col("nd").cast("long").alias("n_days"),
+            F.explode(lags).alias("u"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.col("u.k").alias("lag"),
+            F.floor(F.lit(1000000.0) * F.col("u.p") + F.lit(0.5))
+            .cast("long")
+            .alias("pacf_micro"),
+        )
+    )

@@ -65,6 +65,7 @@ _QUERIES = (
     "ts_holt_winters",
     "graph_jaccard_neighbors",
     "text_js_divergence",
+    "ts_partial_autocorrelation",
 )
 
 _GEOMETRIES = (

@@ -518,6 +518,10 @@ _SHUFFLE_BUDGET = {
     # the max-dd scalar rejoins broadcast and the final agg reuses the
     # window's event_type partitioning
     "win_drawdown": 2,
+    # the ACF base (daily + stats + lag window + covariance agg, counted
+    # statically); the 12 unrolled Durbin-Levinson projections add NO
+    # exchange — they are pure column arithmetic on one row per type
+    "ts_partial_autocorrelation": 8,
 }
 
 
