@@ -1570,3 +1570,85 @@ def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pacf_micro"),
         )
     )
+
+
+@query(
+    "win_rolling_regression",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2, 3
+    ),
+    sums AS (
+        SELECT event_type, d,
+               COUNT(*) OVER w AS n,
+               SUM(t) OVER w AS st,
+               SUM(y) OVER w AS sy,
+               SUM(t * y) OVER w AS sty,
+               SUM(t * t) OVER w AS stt
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(floor(1000000.0
+                      * CAST(n * sty - st * sy AS DOUBLE)
+                      / (n * stt - st * st) + 0.5) AS BIGINT) AS slope_micro
+    FROM sums WHERE n = 7
+    """,
+)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS slope of each type's daily counts — the trend
+    VELOCITY metric ("how fast is this source growing right now?") that
+    a level-only moving average cannot see; the windowed sibling of
+    agg_regr_exact.
+
+    Exactness: the day index and counts are integers, so the four
+    rolling sums (Σt, Σy, Σty, Σt²) are exact BIGINTs from ONE shared
+    window frame, and the closed-form slope (nΣty − ΣtΣy)/(nΣt² − (Σt)²)
+    performs its single division in doubles at the very end,
+    micro-quantized.  Incomplete leading windows are EXCLUDED (n = 7
+    gate) rather than emitting a partial-window slope — the
+    ts_seasonal_decompose edge policy.  The window partitions per
+    event_type over ~one row per day (calendar-bounded); corpus-sized
+    work is the one daily aggregate."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    sums = daily.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("t").over(w).alias("st"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("t") * F.col("y")).over(w).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).over(w).alias("stt"),
+    )
+    slope = F.floor(
+        F.lit(1000000.0)
+        * (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        sums.filter(F.col("n") == 7)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            slope.alias("slope_micro"),
+        )
+    )

@@ -522,6 +522,8 @@ _SHUFFLE_BUDGET = {
     # statically); the 12 unrolled Durbin-Levinson projections add NO
     # exchange — they are pure column arithmetic on one row per type
     "ts_partial_autocorrelation": 8,
+    # daily agg + one shared 7-row frame carrying all four rolling sums
+    "win_rolling_regression": 2,
 }
 
 
