@@ -1624,3 +1624,64 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("js_micro")
         )
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(floor(1000000.0
+                      * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+               AS hapax_ratio_micro,
+           CAST(floor(1000000.0 * CAST(COUNT(*) AS DOUBLE) / SUM(c) + 0.5)
+                AS BIGINT) AS type_token_micro
+    FROM tc GROUP BY doc_id
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT lexical diversity: hapax-legomena ratio (share of
+    the doc's vocabulary used exactly once) and type-token ratio — the
+    classic corpus-linguistics signals that separate template/boiler-
+    plate text (low hapax, low TTR: the same tokens cycled) from
+    diverse prose, feeding the same quality funnel as
+    text_repetition_ratio from the opposite direction.
+
+    Document grain deliberately (not per-source): lexical diversity is
+    length-sensitive, and on this closed-vocabulary fixture a source-
+    level hapax count is ~0 at every sf (measured) — vacuous evidence —
+    while the per-doc formulation exercises hapax counts 0..20 at all
+    scales.  All-integer counts; the two ratios are single divisions of
+    exact BIGINTs, micro-quantized.  Two map-side-combinable aggregates
+    total — (doc, token) then doc — nothing else."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+
+    def micro(expr):
+        return F.floor(F.lit(1000000.0) * expr + F.lit(0.5)).cast("long")
+
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        hapax.cast("long").alias("hapax"),
+        micro(hapax.cast("double") / F.count(F.lit(1))).alias(
+            "hapax_ratio_micro"
+        ),
+        micro(F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+            "type_token_micro"
+        ),
+    )

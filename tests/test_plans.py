@@ -524,6 +524,9 @@ _SHUFFLE_BUDGET = {
     "ts_partial_autocorrelation": 8,
     # daily agg + one shared 7-row frame carrying all four rolling sums
     "win_rolling_regression": 2,
+    # (doc, token) counts then per-doc rollup — two partial-agg'd
+    # shuffles, no window, no join
+    "text_hapax_ratio": 2,
 }
 
 
