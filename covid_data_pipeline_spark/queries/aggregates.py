@@ -1329,3 +1329,50 @@ def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(w).alias("decayed_count"),
         )
     )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+               AS st_o_n,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
+               AS st_o_total,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+               AS st_f_n,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
+               AS st_f_total,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+               AS st_p_n,
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
+               AS st_p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause (Spark SQL surface, vs agg_pivot's
+    DataFrame ``.pivot()``) — multi-aggregate pivot with aliased pivot
+    values, the report spelling analysts actually write.  The oracle is
+    the equivalent conditional aggregation, proving the clause is pure
+    sugar over one grouped scan: Catalyst plans the same single
+    partial+final aggregate either way, with NO per-value re-scan —
+    which is exactly why an explicit IN list is required (the engine
+    must know the output schema without a discovery pass; at 100 TB the
+    two-pass "dynamic pivot" alternative costs a full extra scan).
+    Counts are integers; sums ride the decimal-exact reduction."""
+    tune(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pivot_orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice
+            FROM pivot_orders
+        )
+        PIVOT (
+            COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+            FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p)
+        )
+        """
+    )

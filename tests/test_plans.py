@@ -527,6 +527,9 @@ _SHUFFLE_BUDGET = {
     # (doc, token) counts then per-doc rollup — two partial-agg'd
     # shuffles, no window, no join
     "text_hapax_ratio": 2,
+    # PIVOT plans as one grouped scan (single parquet scan, partial+
+    # final agg) — a per-value re-scan here is the dynamic-pivot trap
+    "sql_pivot_clause": 2,
 }
 
 
