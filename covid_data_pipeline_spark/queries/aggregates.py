@@ -1376,3 +1376,70 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT flag, price_c, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY price_c
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM cents
+    )
+    SELECT flag,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_c END) AS BIGINT)
+               AS wmedian_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM ranked GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag — "the
+    typical price a unit actually sold at", which the unweighted median
+    misstates whenever cheap items ship in bulk.  Lower weighted
+    median: the smallest price whose cumulative weight reaches half the
+    total (2·cumw >= tw in integers — no halves, no interpolation).
+
+    ALL-INTEGER: prices in cents (the agg_mad_anomaly idiom), weights
+    are integral quantities, the crossing test is an integer
+    comparison — the hash compare is exact by construction.  Cost class:
+    exact-median (one per-group ranked pass — a sort per group, the
+    documented agg_mad budget class); at unbounded group cardinality
+    use the mergeable histogram bracket (agg_histogram_quantile) with
+    weight-summed bins instead.  Ties in price collapse into one
+    cumulative step regardless of row order, so the window needs no
+    row-level tiebreaker."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wrun = (
+        Window.partitionBy("flag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cents.select(
+        "flag",
+        "price_c",
+        F.sum("w").over(wrun).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return ranked.groupBy("flag").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c"))
+        ).alias("wmedian_cents"),
+        F.max("tw").cast("long").alias("total_weight"),
+    )

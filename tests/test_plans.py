@@ -530,6 +530,9 @@ _SHUFFLE_BUDGET = {
     # PIVOT plans as one grouped scan (single parquet scan, partial+
     # final agg) — a per-value re-scan here is the dynamic-pivot trap
     "sql_pivot_clause": 2,
+    # ONE flag shuffle feeds both window passes + the final agg
+    # (exact-median budget class: one sort per group)
+    "agg_weighted_median": 1,
 }
 
 
