@@ -1443,3 +1443,63 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wmedian_cents"),
         F.max("tw").cast("long").alias("total_weight"),
     )
+
+
+@query(
+    "agg_entropy_by_group",
+    oracle=f"""
+    WITH mix AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM mix GROUP BY user_id
+    )
+    SELECT mix.user_id, MAX(tot.n) AS n_events, MAX(tot.n_types) AS n_types,
+           CAST(floor(1000000.0 * CAST(SUM(CAST(
+                    -(CAST(mix.c AS DOUBLE) / tot.n)
+                        * ln(CAST(mix.c AS DOUBLE) / tot.n)
+                    AS DECIMAL(28,6))) AS DOUBLE) + 0.5) AS BIGINT)
+               AS entropy_micro
+    FROM mix JOIN tot USING (user_id)
+    GROUP BY mix.user_id
+    """,
+)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity score bot/abuse detection runs first: scripted accounts
+    concentrate on one action (entropy → 0) while organic users spread
+    across the catalog (entropy → ln k); the same statistic scores a
+    training-data source's genre mix.
+
+    Determinism: counts are exact integers, each −p·ln p term is
+    per-row IEEE arithmetic with identical shape on both engines (the
+    text_perplexity_proxy ln discipline), the per-user reduction rides
+    the decimal-exact sum, and the result quantizes to micro units.
+    Two map-side-combinable aggregates + one (user_id)-keyed join that
+    reuses the mix partitioning — no window, no explode."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    mix = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = mix.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = (-p * F.log(p)).cast("decimal(28,6)")
+    return (
+        mix.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max("n_types").cast("long").alias("n_types"),
+            F.floor(
+                F.lit(1000000.0) * F.sum(term).cast("double") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("entropy_micro"),
+        )
+    )

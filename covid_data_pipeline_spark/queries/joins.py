@@ -761,3 +761,70 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts AS purchase_ts,
+           CASE WHEN prior_view_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(prior_view_ts) <= 1800000000
+                THEN prior_view_ts END AS matched_view_ts,
+           CASE WHEN prior_view_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(prior_view_ts) <= 1800000000
+                THEN epoch_us(ts) - epoch_us(prior_view_ts) END AS gap_us,
+           CAST(prior_view_ts IS NOT NULL
+                AND epoch_us(ts) - epoch_us(prior_view_ts) > 1800000000
+                AS INT) AS stale_dropped
+    FROM (
+        SELECT e.*,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_view_ts
+        FROM events e
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (30 min) — the
+    point-in-time-correct feature-store lookup: a purchase only matches
+    the user's most recent prior view if that view is fresh enough;
+    older matches are NULLED, not silently used (pandas
+    ``merge_asof(tolerance=...)`` semantics).  Every purchase row
+    survives — the `stale_dropped` flag (cast to int, the house
+    nullable-bool rule) records whether a match EXISTED but was too
+    old, which is the data-quality signal feature pipelines alert on.
+
+    Same scale shape as join_asof: one window per user (never a
+    conditional self-join), with the tolerance applied as a post-window
+    projection — zero extra shuffles over the unbounded variant."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    gap = F.unix_micros("ts") - F.unix_micros("prior_view_ts")
+    fresh = F.col("prior_view_ts").isNotNull() & (gap <= 1800000000)
+    return (
+        ev.withColumn("prior_view_ts", prior_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(fresh, F.col("prior_view_ts")).alias("matched_view_ts"),
+            F.when(fresh, gap).alias("gap_us"),
+            (
+                F.col("prior_view_ts").isNotNull() & (gap > 1800000000)
+            )
+            .cast("int")
+            .alias("stale_dropped"),
+        )
+    )

@@ -947,3 +947,79 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jac_micro").desc(), "u", "v")
         .limit(20)
     )
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+        SELECT nation, rev_c,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY rev_c, c_custkey) AS i,
+               COUNT(*) OVER (PARTITION BY nation) AS n
+        FROM cust
+    )
+    SELECT nation,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(floor(1000000.0
+                      * CAST(2 * SUM(i * rev_c) - (MAX(n) + 1) * SUM(rev_c)
+                             AS DOUBLE)
+                      / (MAX(n) * SUM(rev_c)) + 0.5) AS BIGINT)
+               AS gini_micro
+    FROM ranked GROUP BY nation
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the standard
+    inequality/concentration index ("is this market a few whales or a
+    broad base?"), the continuous companion to
+    analytics_revenue_concentration's top-k share.  Closed form over
+    ascending ranks: G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx).
+
+    ALL-INTEGER until the final division: revenues in cents, ranks from
+    a deterministic (revenue, custkey) order — ties broken by key so the
+    rank assignment is engine-stable, and Σ i·x_i is an exact BIGINT
+    (bounded ~n²·max_rev; rescale to euros past ~10⁷ customers/group,
+    stated like the CUSUM bound).  One ranked pass per nation (the
+    exact-median cost class; at unbounded group size bracket G from the
+    mergeable histogram's Lorenz curve instead).  The per-customer
+    revenue rollup is the only corpus-sized stage."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("rev_c", "c_custkey")
+    ranked = cust.select(
+        "nation",
+        "rev_c",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("nation")).alias("n"),
+    )
+    gini = F.floor(
+        F.lit(1000000.0)
+        * (
+            2 * F.sum(F.col("i") * F.col("rev_c"))
+            - (F.max("n") + 1) * F.sum("rev_c")
+        ).cast("double")
+        / (F.max("n") * F.sum("rev_c"))
+        + F.lit(0.5)
+    ).cast("long")
+    return ranked.groupBy("nation").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        gini.alias("gini_micro"),
+    )

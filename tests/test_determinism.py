@@ -66,6 +66,8 @@ _QUERIES = (
     "graph_jaccard_neighbors",
     "text_js_divergence",
     "ts_partial_autocorrelation",
+    "agg_entropy_by_group",
+    "agg_gini_coefficient",
 )
 
 _GEOMETRIES = (

@@ -533,6 +533,15 @@ _SHUFFLE_BUDGET = {
     # ONE flag shuffle feeds both window passes + the final agg
     # (exact-median budget class: one sort per group)
     "agg_weighted_median": 1,
+    # orders-customer join + per-customer rollup + the nation ranked
+    # pass (exact-median class) + final nation agg
+    "agg_gini_coefficient": 4,
+    # one user window, tolerance applied as a post-window projection —
+    # zero extra exchanges over the unbounded as-of
+    "join_asof_tolerance": 1,
+    # mix agg + totals agg + final agg; the join and both downstream
+    # aggs reuse the (user_id) partitioning
+    "agg_entropy_by_group": 3,
 }
 
 
