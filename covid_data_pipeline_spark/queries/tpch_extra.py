@@ -1023,3 +1023,185 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_customers"),
         gini.alias("gini_micro"),
     )
+
+
+@query(
+    "analytics_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    cust AS (
+        SELECT o_custkey AS c,
+               CAST(datediff('day', MAX(o_orderdate), anchor.mx) AS BIGINT)
+                   AS rec,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                          / 10000) AS BIGINT) AS mon
+        FROM orders CROSS JOIN anchor GROUP BY o_custkey, anchor.mx
+    ),
+    rh AS (SELECT rec AS v, COUNT(*) AS cnt FROM cust GROUP BY rec),
+    fh AS (SELECT freq AS v, COUNT(*) AS cnt FROM cust GROUP BY freq),
+    mh AS (SELECT mon AS v, COUNT(*) AS cnt FROM cust GROUP BY mon),
+    rcut AS (
+        SELECT MAX(CASE WHEN run >= floor((CAST(n AS DOUBLE) + 3) / 4)
+                        THEN v END) AS q1,
+               MAX(CASE WHEN run >= floor((2 * CAST(n AS DOUBLE) + 2) / 4)
+                        THEN v END) AS q2,
+               MAX(CASE WHEN run >= floor((3 * CAST(n AS DOUBLE) + 1) / 4)
+                        THEN v END) AS q3
+        FROM (SELECT v, SUM(cnt) OVER (ORDER BY v DESC) AS run,
+                     SUM(cnt) OVER () AS n FROM rh)
+    ),
+    fcut AS (
+        SELECT MAX(CASE WHEN run >= floor((CAST(n AS DOUBLE) + 3) / 4)
+                        THEN v END) AS q1,
+               MAX(CASE WHEN run >= floor((2 * CAST(n AS DOUBLE) + 2) / 4)
+                        THEN v END) AS q2,
+               MAX(CASE WHEN run >= floor((3 * CAST(n AS DOUBLE) + 1) / 4)
+                        THEN v END) AS q3
+        FROM (SELECT v, SUM(cnt) OVER (ORDER BY v DESC) AS run,
+                     SUM(cnt) OVER () AS n FROM fh)
+    ),
+    mcut AS (
+        SELECT MAX(CASE WHEN run >= floor((CAST(n AS DOUBLE) + 3) / 4)
+                        THEN v END) AS q1,
+               MAX(CASE WHEN run >= floor((2 * CAST(n AS DOUBLE) + 2) / 4)
+                        THEN v END) AS q2,
+               MAX(CASE WHEN run >= floor((3 * CAST(n AS DOUBLE) + 1) / 4)
+                        THEN v END) AS q3
+        FROM (SELECT v, SUM(cnt) OVER (ORDER BY v DESC) AS run,
+                     SUM(cnt) OVER () AS n FROM mh)
+    ),
+    scored AS (
+        SELECT
+            CASE WHEN rec >= rcut.q1 THEN 1
+                 WHEN rec >= rcut.q2 THEN 2
+                 WHEN rec >= rcut.q3 THEN 3
+                 ELSE 4 END AS r_score,
+            CASE WHEN freq >= fcut.q1 THEN 4
+                 WHEN freq >= fcut.q2 THEN 3
+                 WHEN freq >= fcut.q3 THEN 2
+                 ELSE 1 END AS f_score,
+            CASE WHEN mon >= mcut.q1 THEN 4
+                 WHEN mon >= mcut.q2 THEN 3
+                 WHEN mon >= mcut.q3 THEN 2
+                 ELSE 1 END AS m_score,
+            mon
+        FROM cust CROSS JOIN rcut CROSS JOIN fcut CROSS JOIN mcut
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon) AS BIGINT) AS total_monetary_h
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic CRM / retention analysis:
+    score every customer 1-4 on Recency (days since last order, lower
+    better), Frequency (order count), Monetary (lifetime revenue at a
+    $100 grain), then report segment sizes and value per (R,F,M) cell
+    (<=64 bounded rows — "champions" 444 down to "hibernating" 111).
+
+    Scale discipline = quality_percentile_buckets': NO ntile over raw
+    customers — quartile cutoffs come from the bounded per-dimension
+    value HISTOGRAMS (recency <= calendar days, frequency <= max orders
+    per customer, monetary quantized to $100 grains), each with a
+    running sum over that bounded table, then one broadcast 1-row
+    cutoff frame and a map-only CASE per dimension.  All values exact
+    integers; bucket boundary ties land whole-grain on the better-score
+    side (>= cutoff), deterministic on both engines.  Recency scores
+    invert (small = recent = 4) by bucketing on the DESC running sum of
+    days-ago, mirrored exactly in the oracle."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c"), "mx")
+        .agg(
+            F.datediff("mx", F.max("o_orderdate")).cast("long").alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 10000
+            )
+            .cast("long")
+            .alias("mon"),
+        )
+        .drop("mx")
+    )
+    # four consumers (three cutoff branches + the scoring join):
+    # truncate so the per-customer rollup runs once (the
+    # graph_knn_triangles idiom; one row per customer)
+    cust = cust.localCheckpoint(eager=False)
+
+    def cutoffs(df, col):
+        h = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        wd = Window.orderBy(F.col("v").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        # bounded window: one row per distinct integer grain (calendar
+        # days / order counts / $100 revenue grains — closed domains)
+        rs = h.select(
+            "v",
+            F.sum("cnt").over(wd).alias("run"),
+            F.sum("cnt").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        def t(mult, add):
+            return F.floor((mult * F.col("n").cast("double") + add) / 4)
+        return rs.agg(
+            F.max(F.when(F.col("run") >= t(1, 3), F.col("v"))).alias("q1"),
+            F.max(F.when(F.col("run") >= t(2, 2), F.col("v"))).alias("q2"),
+            F.max(F.when(F.col("run") >= t(3, 1), F.col("v"))).alias("q3"),
+        )
+
+    rcut = cutoffs(cust, "rec").select(
+        F.col("q1").alias("rq1"), F.col("q2").alias("rq2"), F.col("q3").alias("rq3")
+    )
+    fcut = cutoffs(cust, "freq").select(
+        F.col("q1").alias("fq1"), F.col("q2").alias("fq2"), F.col("q3").alias("fq3")
+    )
+    mcut = cutoffs(cust, "mon").select(
+        F.col("q1").alias("mq1"), F.col("q2").alias("mq2"), F.col("q3").alias("mq3")
+    )
+    r_score = (
+        F.when(F.col("rec") >= F.col("rq1"), 1)
+        .when(F.col("rec") >= F.col("rq2"), 2)
+        .when(F.col("rec") >= F.col("rq3"), 3)
+        .otherwise(4)
+    )
+    f_score = (
+        F.when(F.col("freq") >= F.col("fq1"), 4)
+        .when(F.col("freq") >= F.col("fq2"), 3)
+        .when(F.col("freq") >= F.col("fq3"), 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("mon") >= F.col("mq1"), 4)
+        .when(F.col("mon") >= F.col("mq2"), 3)
+        .when(F.col("mon") >= F.col("mq3"), 2)
+        .otherwise(1)
+    )
+    return (
+        cust.crossJoin(F.broadcast(rcut))
+        .crossJoin(F.broadcast(fcut))
+        .crossJoin(F.broadcast(mcut))
+        .select(
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+            "mon",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("mon").cast("long").alias("total_monetary_h"),
+        )
+    )

@@ -542,6 +542,10 @@ _SHUFFLE_BUDGET = {
     # mix agg + totals agg + final agg; the join and both downstream
     # aggs reuse the (user_id) partitioning
     "agg_entropy_by_group": 3,
+    # post-checkpoint: 1-row anchor + per-customer rollup + three
+    # bounded-histogram cutoff branches (each one SinglePartition
+    # window) + final segment agg; cutoff frames broadcast back
+    "analytics_rfm_segmentation": 7,
 }
 
 
