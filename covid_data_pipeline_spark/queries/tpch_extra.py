@@ -1205,3 +1205,67 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mon").cast("long").alias("total_monetary_h"),
         )
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(floor(10000000000.0
+                      * CAST(SUM(CAST(rev_c AS DECIMAL(19,0))
+                                 * CAST(rev_c AS DECIMAL(19,0))) AS DOUBLE)
+                      / (CAST(SUM(rev_c) AS DOUBLE) * SUM(rev_c))
+                      + 0.5) AS BIGINT) AS hhi_e10
+    FROM cust GROUP BY nation
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of customer revenue per nation — the
+    antitrust-standard concentration measure (Σ share², 1/n for a flat
+    market, 1.0 for a monopoly), the square-law companion to
+    agg_gini_coefficient: HHI weights the head, Gini the whole curve,
+    and screening rules quote HHI.
+
+    NO ranking needed (unlike Gini) — HHI is Σ rev² / (Σ rev)², two
+    plain sums, so this one stays a pure two-level aggregate with
+    map-side partials at any scale: the exact-median cost class does
+    not apply.  Σ rev² MUST accumulate in DECIMAL — cents² overflows
+    int64 at just ~$40M of lifetime revenue (measured: the BIGINT
+    formulation threw ARITHMETIC_OVERFLOW at sf0.1), so the exact
+    square-sum rides decimal(38,0) on both engines, still partial-agg
+    mergeable; the single division quantizes at 1e-10
+    (HHI lives in [1/n, 1], so micro units would crush small markets).
+    The two SUM(rev_c) references are the identical expression — one
+    aggregate buffer, squared once in the final projection, same shape
+    both engines."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    rev_dec = F.col("rev_c").cast("decimal(19,0)")
+    hhi = F.floor(
+        F.lit(10000000000.0)
+        * F.sum(rev_dec * rev_dec).cast("double")
+        / (F.sum("rev_c").cast("double") * F.sum("rev_c"))
+        + F.lit(0.5)
+    ).cast("long")
+    return cust.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        hhi.alias("hhi_e10"),
+    )

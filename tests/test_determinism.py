@@ -68,6 +68,7 @@ _QUERIES = (
     "ts_partial_autocorrelation",
     "agg_entropy_by_group",
     "agg_gini_coefficient",
+    "agg_hhi_concentration",
 )
 
 _GEOMETRIES = (

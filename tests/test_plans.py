@@ -546,6 +546,10 @@ _SHUFFLE_BUDGET = {
     # bounded-histogram cutoff branches (each one SinglePartition
     # window) + final segment agg; cutoff frames broadcast back
     "analytics_rfm_segmentation": 7,
+    # orders-customer join (2 sides at scale; broadcast here) + the
+    # per-customer rollup + final nation agg — pure aggregates, no
+    # ranking (unlike Gini)
+    "agg_hhi_concentration": 4,
 }
 
 
