@@ -1489,3 +1489,82 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_removed", zero).alias("n_removed"),
         (F.col("n_tokens") - F.coalesce("n_removed", zero)).alias("n_kept"),
     )
+
+
+@query(
+    "dedup_source_report",
+    oracle="""
+    WITH corpus AS (
+        SELECT source, doc_id, text FROM documents
+        UNION ALL
+        SELECT 'mirror' AS source, doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    hashed AS (
+        SELECT source, doc_id, sha256(text) AS h FROM corpus
+    ),
+    groups AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM hashed GROUP BY h
+    )
+    SELECT hashed.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_source,
+           CAST(floor(1000000.0
+                      * CAST(SUM(CASE WHEN g.n > 1 THEN 1 ELSE 0 END)
+                             AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+               AS dup_rate_micro
+    FROM hashed JOIN groups g USING (h)
+    GROUP BY hashed.source
+    """,
+)
+def dedup_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication observability — the report a crawl
+    operator actually reads after dedup runs: for each feed, how many
+    of its documents are corpus-wide exact duplicates (dup_rate), and
+    how many collide with OTHER sources (the scraped-mirror /
+    syndication signal that tells you two feeds cover the same site).
+
+    Fixture honesty (the dedup_embedding_cosine doctrine): the raw
+    corpus has ZERO exact-duplicate texts below sf0.1 (measured — the
+    dup branches would be vacuous at the golden scale), so the query
+    seeds a deterministic 'mirror' feed (every doc_id % 50 == 0 copied
+    verbatim under a shifted id) — exactly the syndicated-mirror
+    situation the report exists to expose; every counter and both CASE
+    branches are then witnessed at every sf.  All-integer counts with
+    one micro-quantized rate; plan is the hash groupBy (map-side
+    combinable) + an equi-join back on the hash (group table is
+    corpus-fraction sized — never broadcast by assumption) + one
+    per-source rollup."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    mirror = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.lit("mirror").alias("source"),
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+    )
+    corpus = d.select("source", "doc_id", "text").unionByName(mirror)
+    hashed = corpus.select("source", "doc_id", F.sha2("text", 256).alias("h"))
+    groups = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    j = hashed.join(groups, "h")
+    dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dup.cast("long").alias("n_dup_docs"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_source"),
+        F.floor(
+            F.lit(1000000.0) * dup.cast("double") / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dup_rate_micro"),
+    )

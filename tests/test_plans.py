@@ -550,6 +550,9 @@ _SHUFFLE_BUDGET = {
     # per-customer rollup + final nation agg — pure aggregates, no
     # ranking (unlike Gini)
     "agg_hhi_concentration": 4,
+    # hash-group agg (countDistinct adds one) + rejoin + per-source
+    # rollup; the seeded mirror union is map-only
+    "dedup_source_report": 3,
 }
 
 
