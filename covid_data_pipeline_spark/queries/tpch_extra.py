@@ -1269,3 +1269,89 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         hhi.alias("hhi_e10"),
     )
+
+
+@query(
+    "analytics_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand AS brand, p.p_partkey,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, p.p_partkey
+    ),
+    ranked AS (
+        SELECT brand, rev_c,
+               SUM(rev_c) OVER (PARTITION BY brand
+                                ORDER BY rev_c DESC, p_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(rev_c) OVER (PARTITION BY brand) AS tot
+        FROM rev
+    ),
+    classed AS (
+        SELECT brand, rev_c,
+               CASE WHEN 100 * cum <= 80 * tot THEN 'A'
+                    WHEN 100 * cum <= 95 * tot THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT brand, abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY brand, abc
+    """,
+)
+def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification per brand — the
+    operations-management classic: rank parts by revenue, class A =
+    parts inside the top 80% of cumulative brand revenue, B = next 15%,
+    C = tail; purchasing policies key off exactly these classes.
+
+    ALL-INTEGER class boundaries: revenues in cents, the 80%/95% tests
+    are the cross-multiplied comparisons 100·cum <= 80·tot (no share
+    division, no float anywhere before the output — the hash compare is
+    exact by construction; overflow bound ~100·tot stated like the
+    CUSUM rule, rescale to dollars past ~10^16 cents/brand).  Ranking
+    ties break by part key, so class assignment is engine-stable.  Cost
+    class: exact-median (one ranked pass per brand); at unbounded parts
+    per group, classify against histogram-bracketed cumulative cutoffs
+    instead (the RFM discipline)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), "p_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("rev_c")
+        )
+    )
+    wrun = (
+        Window.partitionBy("brand")
+        .orderBy(F.col("rev_c").desc(), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        "brand",
+        "rev_c",
+        F.sum("rev_c").over(wrun).alias("cum"),
+        F.sum("rev_c").over(Window.partitionBy("brand")).alias("tot"),
+    )
+    abc = (
+        F.when(100 * F.col("cum") <= 80 * F.col("tot"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("tot"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("brand", "rev_c", abc.alias("abc"))
+        .groupBy("brand", "abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_c").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -553,6 +553,9 @@ _SHUFFLE_BUDGET = {
     # hash-group agg (countDistinct adds one) + rejoin + per-source
     # rollup; the seeded mirror union is map-only
     "dedup_source_report": 3,
+    # per-part revenue rollup + ONE brand shuffle shared by both window
+    # passes and the final class agg (exact-median budget class)
+    "analytics_abc_classification": 2,
 }
 
 
