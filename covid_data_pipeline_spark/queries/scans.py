@@ -932,3 +932,40 @@ def sink_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         dsum("o_totalprice").alias("kept_total"),
     )
+
+
+@query(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    """,
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented TEXT source/sink roundtrip (`spark.read.text` /
+    `write.text`) — the rawest ingestion format every corpus pipeline
+    still meets (one document per line, no schema, no delimiter
+    parsing), completing the format family beside parquet/CSV/JSONL/
+    XML/ORC/binary.  Write every document's text as one line, read the
+    directory back through the text source (single `value` column),
+    and aggregate line/char/token totals.
+
+    The roundtrip is lossless for this corpus (fixture text contains no
+    newlines — FIXTURES.md), so the read-back totals equal the direct
+    aggregates over `documents` — the filesystem side effect is fully
+    ORACLE-CHECKABLE (a dropped, split, or duplicated line breaks all
+    three counters).  At 100 TB: text scans parallelize by line-split
+    byte ranges exactly like CSV; the aggregate is one map-side-combined
+    1-row reduction."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "text_roundtrip")
+    d = load(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(F.size(F.split("value", " "))).cast("long").alias("total_tokens"),
+    )

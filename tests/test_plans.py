@@ -556,6 +556,8 @@ _SHUFFLE_BUDGET = {
     # per-part revenue rollup + ONE brand shuffle shared by both window
     # passes and the final class agg (exact-median budget class)
     "analytics_abc_classification": 2,
+    # one map-side-combined 1-row reduction over the read-back lines
+    "scan_text_roundtrip": 1,
 }
 
 
