@@ -71,6 +71,25 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") != "0"
     spark = get_spark("cdp-spark-bench")
+    # Quiet the "No Partition Defined for Window operation" WARNs: every
+    # partition-less window in the suite is bounded by construction
+    # (calendar days / closed value domains / limit(K) seeds — pinned at
+    # sf0.1 by tests/test_plans.py::test_global_window_cardinality_bounded),
+    # so the ~20 repeats per run are noise, not scale smells.  Targeted
+    # per-logger (log4j2 Configurator), not a global setLogLevel, so real
+    # warnings still reach the driver log.
+    try:
+        jvm = spark.sparkContext._jvm
+        _cfg = jvm.org.apache.logging.log4j.core.config.Configurator
+        _err = jvm.org.apache.logging.log4j.Level.ERROR
+        for _cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowInPandasExec",
+            "org.apache.spark.sql.execution.window.WindowGroupLimitExec",
+        ):
+            _cfg.setLevel(_cls, _err)
+    except Exception:
+        pass  # py4j surface moved — warnings are cosmetic, never fail bench
     reg = load_all()
 
     # warm-ups (not timed) — charge one-time machinery to no query:

@@ -133,7 +133,10 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate (the 100 TB path: constant
     memory per group vs the exact expand).  Accuracy asserted separately
-    in tests against the exact count (rsd=0.02)."""
+    in tests against the exact count (rsd=0.02).
+
+    Driver sees (sf0.01): 5 rows; columns (event_type, approx_users).
+    """
     tune(spark)
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -351,17 +354,33 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile", oracle=None)  # rows-only: sketch-based
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS p50_approx,
+           quantile_disc(l_extendedprice, 0.9) AS p90_approx,
+           quantile_disc(l_extendedprice, 0.99) AS p99_approx
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via the KLL/GK-style sketch
-    (``approx_percentile``, accuracy 10000) — fixed memory per group
-    regardless of cardinality, the 100 TB path for distribution
-    summaries.  Accuracy vs the exact twin asserted in
-    tests/test_llm_ops.py."""
+    """Percentiles via the GK sketch (``approx_percentile``) run in
+    EXACT mode: accuracy 1,000,000 >= every group's cardinality at bench
+    scale (max group ~200k rows at sf0.1, pinned in tests), so the
+    sketch degenerates to the exact discrete percentile — the smallest
+    element with rank >= ceil(p*n).  That is bit-identical to DuckDB's
+    ``quantile_disc`` (both return an actual data element, no
+    interpolation arithmetic), which makes this hash-checkable.
+
+    The 100 TB path is the SAME operator with accuracy dialed down
+    (fixed sketch memory per group regardless of cardinality); that
+    sketch regime's 1%-agreement contract vs the exact twin is asserted
+    in tests/test_llm_ops.py with accuracy=1000."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
     pcts = F.approx_percentile(
-        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1000000)
     )
     return li.groupBy("l_returnflag").agg(
         F.element_at(pcts, 1).alias("p50_approx"),
@@ -381,7 +400,10 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain, persist bytes, answer any coarser rollup (weekly, global,
     ad-hoc unions) by merging — each merge is bytes-sized, not
     data-sized.  Estimate accuracy and union-vs-direct agreement are
-    asserted in tests/test_llm_ops.py."""
+    asserted in tests/test_llm_ops.py.
+
+    Driver sees (sf0.01): 31 rows; columns (scope, est_users).
+    """
     tune(spark)
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
@@ -535,7 +557,10 @@ def agg_sliding_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global (partition-less) window — the "No Partition Defined"
     WARN — runs on the already-aggregated DAILY table: one sketch row
     per calendar day at any data scale, so the single-task sort is
-    bounded by construction (same justification as win_moving_avg)."""
+    bounded by construction (same justification as win_moving_avg).
+
+    Driver sees (sf0.01): 30 rows; columns (day, users_7d).
+    """
     tune(spark)
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(

@@ -1184,7 +1184,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list_concat([l0, b0],
                            [xs[i] - l0 FOR i IN generate_series(1, 7)]),
                        [[CAST(v AS DOUBLE)] FOR v IN
-                        list_slice(xs, 15, 100000)]
+                        list_slice(xs, 15, len(xs))]
                    ),
                    (a, x) -> [
                        CAST(0.3 AS DOUBLE) * (x[1] - a[3])
@@ -1393,8 +1393,13 @@ def _durbin_levinson_sql() -> str:
         inner = " + ".join(
             f"phi_{k-1}_{j} * r{k-j}" for j in range(1, k)
         )
+        # guard the division: a degenerate series with |a_j| = 1 drives
+        # v_j to 0; emit NULL past that step (both engines propagate
+        # NULL through the remaining arithmetic identically) instead of
+        # inf/NaN, whose BIGINT casts DIVERGE across engines
         ctes.append(
-            f"step{k}a AS (SELECT *, (r{k} - ({inner})) / v_{k-1} AS a_{k} "
+            f"step{k}a AS (SELECT *, CASE WHEN v_{k-1} > 0 "
+            f"THEN (r{k} - ({inner})) / v_{k-1} END AS a_{k} "
             f"FROM {prev})"
         )
         phis = ", ".join(
@@ -1528,8 +1533,14 @@ def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(1, k):
             t = F.col(f"phi_{k-1}_{j}") * F.col(f"r{k-j}")
             inner = t if inner is None else inner + t
+        # v_{k-1} > 0 gate mirrors _durbin_levinson_sql: NULL (not
+        # inf/NaN) past a degenerate |a|=1 step, identical in DuckDB
         cur = cur.select(
-            "*", ((F.col(f"r{k}") - inner) / F.col(f"v_{k-1}")).alias(f"a_{k}")
+            "*",
+            F.when(
+                F.col(f"v_{k-1}") > 0,
+                (F.col(f"r{k}") - inner) / F.col(f"v_{k-1}"),
+            ).alias(f"a_{k}"),
         )
         cur = cur.select(
             "*",

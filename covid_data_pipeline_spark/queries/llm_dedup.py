@@ -204,7 +204,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank.  Signatures are ~100x smaller than token sets, so the
     banded shuffle is cheap and the token arrays travel only for the
     (rare) candidates.  Recall vs the exact-Jaccard oracle asserted in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py.
+
+    Driver sees (sf0.01): 12668 rows; columns (a_id, b_id,
+    jaccard_est).
+    """
     tune(spark)
     d = load(spark, sf_dir, "documents")
     # tokens pre-hashed to int64 (same trick as the exact twins): the 64
@@ -1235,7 +1239,11 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     index or a size-stratified signature table).  Recall vs the exact
     twin is asserted in tests/test_llm_ops.py; signatures are ~100x
     smaller than shingle sets, so the banded shuffle moves KBs per doc
-    and full sets travel only for candidates."""
+    and full sets travel only for candidates.
+
+    Driver sees (sf0.01): 31 rows; columns (a_id, b_id, lang,
+    containment).
+    """
     tune(spark)
     sh = _containment_shingles(spark, sf_dir)
     s31 = sh.withColumn(
@@ -1497,7 +1505,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
         SELECT source, doc_id, text FROM documents
         UNION ALL
-        SELECT 'mirror' AS source, doc_id + 1000000 AS doc_id, text
+        SELECT 'mirror' AS source, -doc_id - 1 AS doc_id, text
         FROM documents WHERE doc_id % 50 = 0
     ),
     hashed AS (
@@ -1533,7 +1541,9 @@ def dedup_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has ZERO exact-duplicate texts below sf0.1 (measured — the
     dup branches would be vacuous at the golden scale), so the query
     seeds a deterministic 'mirror' feed (every doc_id % 50 == 0 copied
-    verbatim under a shifted id) — exactly the syndicated-mirror
+    verbatim under the NEGATED id, -doc_id - 1: a disjoint key space
+    that can never collide with a genuine doc_id at ANY scale factor,
+    unlike a fixed additive offset) — exactly the syndicated-mirror
     situation the report exists to expose; every counter and both CASE
     branches are then witnessed at every sf.  All-integer counts with
     one micro-quantized rate; plan is the hash groupBy (map-side
@@ -1544,7 +1554,7 @@ def dedup_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     mirror = d.filter(F.col("doc_id") % 50 == 0).select(
         F.lit("mirror").alias("source"),
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         "text",
     )
     corpus = d.select("source", "doc_id", "text").unionByName(mirror)

@@ -157,7 +157,11 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates meet via an EQUI-join on bucket -> exact cosine re-rank
     inside buckets -> per-query top-5.  Recall vs brute force asserted
     in tests/test_llm_ops.py.  At 100 TB: multiple signature tables and
-    multi-probe raise recall; the join stays shuffle-friendly."""
+    multi-probe raise recall; the join stays shuffle-friendly.
+
+    Driver sees (sf0.01): 50 rows; columns (query_id, neighbor_id,
+    cosine, rn).
+    """
     tune(spark)
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _vec("embedding").alias("vec")
@@ -337,7 +341,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by cell size.  At 100 TB the quantizer becomes k-means trained
     offline and nprobe becomes the recall/latency dial; the join shape
     is unchanged.  Recall vs brute force asserted in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py.
+
+    Driver sees (sf0.01): 50 rows; columns (query_id, neighbor_id,
+    cosine, rn).
+    """
     tune(spark)
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec("embedding").alias("vec")
@@ -645,7 +653,11 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order fold and every selection tie-breaks on ids, so the
     output is bit-stable run-to-run (golden-digested); mean recall@5 vs
     the brute-force twin is asserted >= 0.7 in tests/test_llm_ops.py
-    (measured: 0.88 / 0.88 / 0.98 at sf0.001/0.01/0.1)."""
+    (measured: 0.88 / 0.88 / 0.98 at sf0.001/0.01/0.1).
+
+    Driver sees (sf0.01): 50 rows; columns (query_id, neighbor_id,
+    cosine, rn).
+    """
     tune(spark)
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _vec("embedding").alias("vec")
@@ -802,7 +814,10 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     across runs, and on this fixture the output EQUALS the label-blocked
     exact twin (every seeded duplicate group lands in one cluster —
     scaled copies have cosine 1.0 with their source, so they share its
-    nearest centroid; no non-seeded pair anywhere reaches 0.9)."""
+    nearest centroid; no non-seeded pair anywhere reaches 0.9).
+
+    Driver sees (sf0.01): 100 rows; columns (dup_id, canon_id).
+    """
     tune(spark)
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec("embedding").alias("vec")

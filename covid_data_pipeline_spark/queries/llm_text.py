@@ -1083,7 +1083,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not replay rounds 1..k-1.  Tie-breaks are (count desc, left,
     right), so the merge table is bit-deterministic; an independent
     pure-Python BPE replay asserts exact equality in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py.
+
+    Driver sees (sf0.01): 8 rows; columns (rank, left, right, merged,
+    wcount).
+    """
     tune(spark)
     merges, _, _vocab = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
@@ -1104,7 +1108,11 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 0 are emitted per row; all-integer except the ratio, which is
     one IEEE divide rounded to 6.  The same pure-Python replay that
     pins the merge table asserts this curve exactly
-    (tests/test_llm_ops.py)."""
+    (tests/test_llm_ops.py).
+
+    Driver sees (sf0.01): 9 rows; columns (round, merged,
+    corpus_tokens, tokens_saved, ratio_vs_chars).
+    """
     tune(spark)
     merges, curve, _vocab = _bpe_train(spark, sf_dir, track_corpus_tokens=True)
     base = curve[0][1]
@@ -1144,7 +1152,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-against-pretokenized-vocab design production tokenizer services
     use.  Exactness contract: per-doc token counts equal an independent
     pure-Python BPE replay (train + greedy left-to-right apply) in
-    tests/test_llm_ops.py; all-integer output, golden-stable."""
+    tests/test_llm_ops.py; all-integer output, golden-stable.
+
+    Driver sees (sf0.01): 500 rows; columns (doc_id, n_words, n_tokens,
+    n_chars).
+    """
     tune(spark)
     _merges, _curve, vocab = _bpe_train(spark, sf_dir)
     wtok = vocab.select(

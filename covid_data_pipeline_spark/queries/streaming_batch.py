@@ -273,7 +273,11 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream with availableNow into a memory sink, then reduce each
     user's emissions to the final (= max event count) update.  Agreement
     with the plain batch aggregation is asserted in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    Driver sees (sf0.01): 150 rows; columns (user_id, n_events,
+    sum_value).
+    """
     from ..streaming import read_events_stream, run_available_now
 
     tune(spark)
@@ -298,7 +302,11 @@ def stream_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream: per-source last-hash in GroupState (applyInPandasWithState),
     each snapshot classified new/changed/unchanged as it arrives.
     Equivalence with the windowed batch formulation
-    (win_lag_change_detect) is asserted in tests/test_streaming.py."""
+    (win_lag_change_detect) is asserted in tests/test_streaming.py.
+
+    Driver sees (sf0.01): 10000 rows; columns (source_key, event_id,
+    content_hash, status).
+    """
     from ..streaming import read_events_stream, run_available_now
 
     tune(spark)

@@ -418,7 +418,10 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-cluster member counts + within-cluster cost; convergence
     (non-increasing cost) and exactness properties are asserted in
     tests/test_llm_ops.py.  See :func:`kmeans_lloyd` for the
-    distributed shape."""
+    distributed shape.
+
+    Driver sees (sf0.01): 10 rows; columns (cid, n_members, cost).
+    """
     summary, _ = kmeans_lloyd(spark, sf_dir, iters=3, k=10)
     return summary
 
@@ -456,7 +459,10 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only: eigenvector sign and near-degenerate ordering are
     numpy-implementation detail; variance ordering + reconstruction
-    quality are asserted in tests/test_llm_ops.py instead."""
+    quality are asserted in tests/test_llm_ops.py instead.
+
+    Driver sees (sf0.01): 4000 rows; columns (vec_id, pc, value).
+    """
     import numpy as np
 
     tune(spark)

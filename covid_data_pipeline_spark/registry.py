@@ -73,19 +73,14 @@ _loaded = False
 # driver ever samples differently, the local preflight remains the
 # source of truth.
 #
-# Round-5 window (gen_showcase.py): after r4, 53 oracle-backed queries
-# had never been driver-sampled — one more than the 45 fresh slots left
-# after the 5 FLAGSHIP re-witness reservations (the flagship policy,
-# round-3 judge advice, first applies this round: agg_groupby,
-# join_inner, dedup_exact, dedup_near_jaccard, sim_topk_neighbors each
-# get a standing external row so the most-load-bearing operators never
-# go stale).  The 8-id remainder is pre-committed as the round-6
-# window:
-#   ts_resample_ohlc, corpus_shuffle_order, ts_interpolate_linear,
-#   sample_negative_pairs, ts_seasonal_decompose, ts_cusum_changepoint,
-#   corpus_temperature_mix, embed_random_projection
-# plus any oracle-backed queries ADDED in round 5; gen_showcase.py
-# recomputes.
+# Round-6 window (gen_showcase.py): after r5, exactly 34 oracle-backed
+# queries had never been driver-sampled (the 8 pre-committed r5
+# deferrals + the 26 r5 additions).  34 + 5 flagship re-witness slots
+# leaves 11 free slots, spent on the stalest external rows: 10 r1-only
+# witnesses plus agg_approx_percentile, whose ONLY external record was
+# the r1 harness crash (unhashable list column, fixed r3) and which is
+# newly oracle-backed this round (exact-mode GK sketch vs DuckDB
+# quantile_disc) — this row supersedes the crash.
 # (Rows-only ids — sketches, LSH/ANN, side-effect sinks — are never
 # driver-witnessable; their accuracy/recall contracts live in tests/.)
 SHOWCASE = (
@@ -95,57 +90,54 @@ SHOWCASE = (
     "dedup_exact",
     "dedup_near_jaccard",
     "sim_topk_neighbors",
-    # sources / sinks / SQL surface (never sampled)
-    "source_python_stream",
-    "scan_schema_evolution",
-    "scan_csv_permissive",
-    "scan_xml_payload",
-    "sink_jdbc_roundtrip",
-    "sink_positional_delete",
-    "sql_parameterized",
-    "join_shuffle_hash",
-    # mergeable-sketch + bitmap family (never sampled)
-    "agg_countmin_mergeable",
-    "agg_bitmap_distinct",
-    "agg_bitmap_overlap",
-    "agg_approx_topk_mergeable",
-    "reshape_transpose",
-    "agg_histogram_quantile",
-    "agg_mode_exact",
-    "agg_mad_anomaly",
-    "win_moving_median",
-    "win_rolling_bitmap_distinct",
-    "sql_recursive_hierarchy",
-    "json_variant_ops",
-    "str_collate_group",
-    # streaming + stateful (never sampled)
-    "stream_bitmap_partials",
-    "stream_stream_left_join",
-    "dedup_containment",
-    "stream_dedup_simhash",
-    # pipeline / quality / profiling (never sampled)
-    "pipeline_observe_metrics",
-    "quality_expectations",
-    "pipeline_snapshot_diff",
-    "pipeline_partition_checksum",
-    "quality_distribution_drift",
-    "analytics_copurchase_lift",
-    # graph + embedding + text (never sampled)
-    "graph_pagerank",
-    "graph_knn_triangles",
-    "embed_matryoshka_truncate",
-    "sim_maxsim_rerank",
-    "sample_hard_negatives",
-    "text_bm25",
-    "text_entropy",
-    "text_unicode_normalize",
-    "text_phrase_search",
-    "udf_cogroup_merge",
-    # r3-deferred tail (never sampled)
-    "profile_columns",
-    "corpus_pack_sequences",
-    "sample_topk_per_group",
-    "ts_backfill_bfill",
+    # never-witnessed: pre-r5 deferrals + r5 additions (34)
+    "scan_text_roundtrip",
+    "sql_lateral_topk",
+    "join_asof_tolerance",
+    "agg_decay_weighted",
+    "sql_pivot_clause",
+    "agg_weighted_median",
+    "agg_entropy_by_group",
+    "dedup_span_ngram",
+    "dedup_span_removal",
+    "dedup_source_report",
+    "stream_decay_weighted",
+    "graph_jaccard_neighbors",
+    "agg_gini_coefficient",
+    "analytics_rfm_segmentation",
+    "agg_hhi_concentration",
+    "analytics_abc_classification",
+    "text_collocation_pmi",
+    "quality_percentile_buckets",
+    "text_keyphrase_rake",
+    "text_js_divergence",
+    "text_hapax_ratio",
+    "ts_resample_ohlc",
+    "corpus_shuffle_order",
+    "ts_interpolate_linear",
+    "sample_negative_pairs",
+    "ts_seasonal_decompose",
+    "ts_cusum_changepoint",
+    "ts_autocorrelation",
+    "ts_holt_winters",
+    "win_drawdown",
+    "ts_partial_autocorrelation",
+    "win_rolling_regression",
+    "corpus_temperature_mix",
+    "embed_random_projection",
+    # supersede the r1 crash row with a fresh oracle-backed witness
+    "agg_approx_percentile",
+    # stalest external rows (last witnessed r1)
+    "scan_projected",
+    "source_union_registry",
+    "filter_like",
+    "join_left",
+    "join_right",
+    "join_broadcast",
+    "join_cross",
+    "join_skew_salted",
+    "join_bucketed",
+    "agg_count_distinct",
 )
 
 def load_all() -> dict[str, QuerySpec]:

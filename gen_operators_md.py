@@ -108,10 +108,6 @@ ROWS_ONLY_WHY = {
         "HyperLogLog++ estimate — implementation-defined value with no "
         "DuckDB twin. Accuracy vs exact COUNT(DISTINCT) asserted in tests."
     ),
-    "agg_approx_percentile": (
-        "sketch-based percentile — implementation-defined. 1% agreement vs "
-        "exact percentiles asserted in tests."
-    ),
     "agg_sketch_mergeable": (
         "DataSketches HLL binary sketches + union — engine-specific "
         "representation. Union-vs-direct agreement and accuracy asserted in "
@@ -201,11 +197,26 @@ def main() -> None:
     lines += [
         "## Rows-only queries: why no SQL oracle, and what checks them instead",
         "",
-        "| query | justification |",
-        "| --- | --- |",
+        "The 'driver sees' column is what the external driver CAN record for",
+        "these ids (row count + schema at sf0.01) — extracted from each",
+        "docstring's `Driver sees (sf0.01):` line, which the oracle harness",
+        "verifies against the materialized frame on every preflight run.",
+        "",
+        "| query | justification | driver sees (sf0.01) |",
+        "| --- | --- | --- |",
     ]
+    import re as _re
+
     for name in sorted(ROWS_ONLY_WHY):
-        lines.append(f"| `{name}` | {ROWS_ONLY_WHY[name]} |")
+        m = _re.search(
+            r"Driver sees \(sf0\.01\): ([^.]*\))", reg[name].doc or ""
+        )
+        assert m, (
+            f"{name}: rows-only docstring missing the "
+            "'Driver sees (sf0.01): ...' line"
+        )
+        sees = " ".join(m.group(1).split())  # collapse wrapped-line indent
+        lines.append(f"| `{name}` | {ROWS_ONLY_WHY[name]} | {sees} |")
     lines.append("")
     with open("OPERATORS.md", "w") as f:
         f.write("\n".join(lines))

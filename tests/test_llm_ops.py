@@ -151,19 +151,51 @@ def test_ivf_recall_and_determinism(spark):
 
 
 def test_approx_percentile_accuracy(spark):
+    """The 100 TB SKETCH regime of agg_approx_percentile: accuracy=1000
+    (well below group cardinality, so genuinely approximate) must agree
+    with the exact percentiles to 1%.  The registered query itself runs
+    the same operator in exact mode (accuracy >= cardinality) and is
+    hash-checked against DuckDB quantile_disc; this test covers the
+    low-accuracy path the registered query documents."""
+    from pyspark.sql import functions as F
+
     reg = load_all()
     exact = {
         r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
         for r in reg["agg_quantiles"].fn(spark, SF_ORACLE).collect()
     }
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    pcts = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1000)
+    )
     approx = {
         r["l_returnflag"]: (r["p50_approx"], r["p90_approx"], r["p99_approx"])
-        for r in reg["agg_approx_percentile"].fn(spark, SF_ORACLE).collect()
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.element_at(pcts, 1).alias("p50_approx"),
+            F.element_at(pcts, 2).alias("p90_approx"),
+            F.element_at(pcts, 3).alias("p99_approx"),
+        )
+        .collect()
     }
     assert set(exact) == set(approx)
     for flag, (p50, p90, p99) in exact.items():
         for got, want in zip(approx[flag], (p50, p90, p99)):
             assert abs(got - want) / want <= 0.01, (flag, got, want)
+
+
+def test_approx_percentile_exact_mode_bound(spark):
+    """agg_approx_percentile's hash-checkability rests on accuracy
+    (1,000,000) >= max group cardinality; pin that margin so a fixture
+    regen can't silently push a group past the exact-mode threshold.
+    The 10x factor is the sf0.01 -> sf0.1 scale-up: passing here means
+    the bench/driver scale is still inside exact mode."""
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    max_group = li.groupBy("l_returnflag").count().agg({"count": "max"}).collect()[0][0]
+    assert max_group * 10 <= 1000000, (
+        f"group cardinality {max_group} within 10x of the exact-mode "
+        "accuracy bound — raise the accuracy literal in agg_approx_percentile"
+    )
 
 
 def test_cluster_cc_matches_union_find(spark):
