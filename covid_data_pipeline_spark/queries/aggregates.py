@@ -1528,3 +1528,107 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entropy_micro"),
         )
     )
+
+
+@query(
+    "agg_moments_exact",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS s1,
+               CAST(SUM(q * q) AS BIGINT) AS s2,
+               CAST(SUM(q * q * q) AS BIGINT) AS s3,
+               CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+              FROM lineitem)
+        GROUP BY l_returnflag
+    ),
+    mom AS (
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   AS m2,
+               CAST(s3 AS DOUBLE) / n
+                   - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                   + 2 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n) AS m3,
+               CAST(s4 AS DOUBLE) / n
+                   - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                   + 6 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s2 AS DOUBLE) / n)
+                   - 3 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n) AS m4
+        FROM sums
+    )
+    SELECT l_returnflag, n,
+           CAST(floor(1000000.0 * mu + 0.5) AS BIGINT) AS mean_micro,
+           CAST(floor(1000000.0 * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                      + 0.5) AS BIGINT) AS skew_micro,
+           CAST(floor(1000000.0 * (m4 / (m2 * m2) - 3) + 0.5) AS BIGINT)
+               AS kurt_micro
+    FROM mom WHERE m2 > 0
+    """,
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per returnflag from EXACT integer
+    power sums — the mergeable-moments pattern for distribution-shape
+    monitoring at scale: built-in ``skewness``/``kurtosis`` are
+    streaming double reductions whose update order differs per engine
+    (and per partitioning!), so they can never hash-match; summing the
+    integer powers q, q^2, q^3, q^4 as BIGINTs instead is exact,
+    associative, and partitioning-invariant (q <= 50 so s4 <= 6.25e6 *
+    rows — int64-safe far past 100 TB per group when sharded), and the
+    central moments fall out of the closed-form raw->central identities
+    in one identical IEEE chain per engine, micro-quantized.
+
+    This is the partials-table architecture again: per-shard (group,
+    n, s1..s4) rows ADD, so shape metrics for any rollup come from
+    merging five integers — never re-touching data.  Population (not
+    sample-corrected) moments, stated in the column names' contract:
+    skew = m3/m2^1.5, excess kurtosis = m4/m2^2 - 3."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    sums = li.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    mom = sums.select(
+        "l_returnflag",
+        "n",
+        mu.alias("mu"),
+        (r2 - mu * mu).alias("m2"),
+        (r3 - F.lit(3) * mu * r2 + F.lit(2) * mu * mu * mu).alias("m3"),
+        (
+            r4
+            - F.lit(4) * mu * r3
+            + F.lit(6) * mu * mu * r2
+            - F.lit(3) * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    return mom.filter(F.col("m2") > 0).select(
+        "l_returnflag",
+        "n",
+        micro(F.col("mu")).alias("mean_micro"),
+        micro(
+            F.col("m3")
+            / (F.sqrt("m2") * F.sqrt("m2") * F.sqrt("m2"))
+        ).alias("skew_micro"),
+        micro(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3)).alias(
+            "kurt_micro"
+        ),
+    )

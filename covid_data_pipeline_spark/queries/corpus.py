@@ -1663,3 +1663,196 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope.alias("slope_micro"),
         )
     )
+
+
+@query(
+    "ts_twa",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) AS t,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+               LEAD(epoch_us(ts)) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id) AS t_next
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN t_next IS NOT NULL
+                             THEN (t_next - t) * v_c END) AS BIGINT) AS num,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us
+        FROM seq GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           num AS weighted_centi_us, span_us,
+           CAST(floor(1000000.0 * CAST(num AS DOUBLE) / span_us / 100 + 0.5)
+                AS BIGINT) AS twa_micro
+    FROM agg WHERE span_us > 0
+    """,
+)
+def ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each type's metric value — the
+    TimescaleDB ``time_weight('LOCF')`` hyperfunction re-expressed in
+    Spark: irregularly-sampled observations where a plain AVG
+    over-weights bursts; the honest level metric is the LOCF integral
+    SUM(value_i * (t_{i+1} - t_i)) divided by the observed span.
+
+    Exactness: timestamps become INTEGER epoch-microseconds and the
+    2-decimal values integer centi-units, so the weighted numerator and
+    the span are exact BIGINTs (numerator <= ~1.3e17 at sf0.1 — well
+    inside int64), partitioning-invariant with ordinary map-side
+    combine; the single double division happens once per group at the
+    very end, micro-quantized with the identical expression shape on
+    both engines.  The last observation per type carries no following
+    interval and is excluded from the numerator (LOCF convention);
+    groups with zero span are dropped on both sides.
+
+    Scale shape: ONE per-key window (lead) = one shuffle on
+    event_type, then the groupBy reuses the same partitioning (no
+    second exchange).  At 100 TB with unbounded keys, range-partition
+    by (key, time-bucket) and hand the bucket-boundary row to the next
+    bucket — the numerator is a plain sum, so bucket partials add."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    # ordering by integer t == ordering by ts (epoch-us is monotone)
+    w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    seq = e.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_c"),
+    ).withColumn("t_next", F.lead("t").over(w))
+    agg = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("t_next").isNotNull(),
+                (F.col("t_next") - F.col("t")) * F.col("v_c"),
+            )
+        ).alias("num"),
+        (F.max("t") - F.min("t")).alias("span_us"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        "event_type",
+        "n_events",
+        F.col("num").cast("long").alias("weighted_centi_us"),
+        F.col("span_us").cast("long").alias("span_us"),
+        F.floor(
+            F.lit(1000000.0) * F.col("num").cast("double") / F.col("span_us")
+            / 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("twa_micro"),
+    )
+
+
+_CROSTON_A = 0.1  # SES smoothing for both demand size and interval
+
+
+@query(
+    "ts_croston",
+    oracle=f"""
+    WITH pur AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS di,
+               CAST(COUNT(*) AS BIGINT) AS z
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    gaps AS (
+        SELECT user_id, di, z,
+               di - COALESCE(LAG(di) OVER
+                   (PARTITION BY user_id ORDER BY di), -1) AS g
+        FROM pur
+    ),
+    arrs AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_demands,
+               list([CAST(z AS DOUBLE), CAST(g AS DOUBLE)] ORDER BY di)
+                   AS pts
+        FROM gaps GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, n_demands,
+               list_reduce(pts,
+                   (a, x) -> [{_CROSTON_A} * x[1] + {1 - _CROSTON_A} * a[1],
+                              {_CROSTON_A} * x[2] + {1 - _CROSTON_A} * a[2]])
+                   AS s
+        FROM arrs
+    )
+    SELECT user_id, n_demands,
+           CAST(floor(1000000.0 * s[1] + 0.5) AS BIGINT) AS z_hat_micro,
+           CAST(floor(1000000.0 * s[2] + 0.5) AS BIGINT) AS p_hat_micro,
+           CAST(floor(1000000.0 * s[1] / s[2] + 0.5) AS BIGINT)
+               AS forecast_micro
+    FROM folded
+    """,
+)
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method per user over their daily PURCHASE counts — the
+    standard forecast for INTERMITTENT demand (sparse series with many
+    zero days), where plain exponential smoothing collapses toward
+    zero between events: demand size and inter-arrival interval are
+    smoothed separately (SES, alpha=0.1) over the nonzero-demand
+    occurrences only, and the demand-rate forecast is their ratio.
+
+    Determinism: the per-user series folds LEFT in day order through
+    one list_reduce with the first (size, gap) pair as the seed (both
+    engines use the identical chain — the ts_holt_winters idiom);
+    sizes and gaps are exact integers (first gap measured from the day
+    before the window by convention), so every fold input is exact and
+    the three outputs micro-quantize one double chain.
+
+    Scale: one corpus-sized aggregate (user x day), one per-user lag
+    window (naturally partitioned), then model-sized folds — the
+    sparse encoding means state is per-DEMAND, not per-day, which is
+    the point of Croston at 100 TB: a year of zeros costs nothing."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("di"),
+        )
+        .agg(F.count(F.lit(1)).alias("z"))
+    )
+    w = Window.partitionBy("user_id").orderBy("di")
+    gaps = pur.withColumn(
+        "g", F.col("di") - F.coalesce(F.lag("di").over(w), F.lit(-1))
+    )
+    arrs = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_demands"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("di"),
+                    F.array(
+                        F.col("z").cast("double"), F.col("g").cast("double")
+                    ).alias("pt"),
+                )
+            )
+        ).alias("pts"),
+    )
+    pairs = F.transform(F.col("pts"), lambda p: p["pt"])
+    a = F.lit(_CROSTON_A)
+    b = F.lit(1 - _CROSTON_A)
+    s = F.aggregate(
+        F.slice(pairs, 2, F.greatest(F.size(pairs) - 1, F.lit(0))),
+        F.element_at(pairs, 1),
+        lambda acc, x: F.array(
+            a * x[0] + b * acc[0], a * x[1] + b * acc[1]
+        ),
+    )
+    folded = arrs.select("user_id", "n_demands", s.alias("s"))
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    return folded.select(
+        "user_id",
+        "n_demands",
+        micro(F.col("s")[0]).alias("z_hat_micro"),
+        micro(F.col("s")[1]).alias("p_hat_micro"),
+        micro(F.col("s")[0] / F.col("s")[1]).alias("forecast_micro"),
+    )

@@ -1697,3 +1697,178 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_micro"
         ),
     )
+
+
+_ZIPF_K = 30  # rank cutoff for the log-log fit
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE tok <> '' GROUP BY lang, tok
+    ),
+    ranked AS (
+        SELECT lang, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, tok) AS rn
+        FROM counts
+    ),
+    arrs AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               list([ln(CAST(rn AS DOUBLE)), ln(CAST(cnt AS DOUBLE))]
+                    ORDER BY rn) AS pts
+        FROM ranked WHERE rn <= {_ZIPF_K} GROUP BY lang
+    ),
+    folded AS (
+        SELECT lang, n_terms,
+               list_reduce(
+                   list_prepend(
+                       CAST([0, 0, 0, 0, 0] AS DOUBLE[]), pts),
+                   (a, x) -> [a[1] + x[1], a[2] + x[2],
+                              a[3] + x[1] * x[2], a[4] + x[1] * x[1],
+                              a[5] + x[2] * x[2]]) AS s
+        FROM arrs
+    )
+    SELECT lang, n_terms,
+           CAST(floor(1000000.0
+                      * (n_terms * s[3] - s[1] * s[2])
+                      / (n_terms * s[4] - s[1] * s[1]) + 0.5) AS BIGINT)
+               AS slope_micro,
+           CAST(floor(1000000.0
+                      * ((n_terms * s[3] - s[1] * s[2])
+                         * (n_terms * s[3] - s[1] * s[2]))
+                      / ((n_terms * s[4] - s[1] * s[1])
+                         * (n_terms * s[5] - s[2] * s[2])) + 0.5) AS BIGINT)
+               AS r2_micro
+    FROM folded
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope of ln(frequency) against
+    ln(rank) over the top-30 terms, plus the fit's R^2 — the corpus-
+    health diagnostic that catches boilerplate floods and template spam
+    (natural language sits near slope -1; machine-generated repetition
+    flattens or steepens the line long before eyeballing samples does).
+
+    Determinism: ranks come from a PER-LANG window (cnt DESC, token
+    ASC tiebreak — no partition-less sort), the bounded top-K
+    (ln rank, ln freq) pairs fold left in rank order through ONE
+    5-accumulator list_reduce with the identical expression shape on
+    both engines (the ts_holt_winters unrolled-fold idiom), and the
+    closed-form slope/R^2 arithmetic runs once per lang before
+    micro-quantization.
+
+    Scale: the token count is the only corpus-sized stage (one shuffle
+    on (lang, token) with map-side combine); the rank window
+    partitions by lang over vocabulary-sized input, and at 100 TB the
+    top-K per lang comes from topk_per_group's rank-filter shape —
+    everything after moves K rows per language."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tok")
+    ranked = counts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _ZIPF_K
+    )
+    arrs = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("rn"),
+                    F.array(
+                        F.log(F.col("rn").cast("double")),
+                        F.log(F.col("cnt").cast("double")),
+                    ).alias("pt"),
+                )
+            )
+        ).alias("pts"),
+    )
+    zero5 = F.array(*[F.lit(0.0) for _ in range(5)])
+    s = F.aggregate(
+        F.transform(F.col("pts"), lambda p: p["pt"]),
+        zero5,
+        lambda a, x: F.array(
+            a[0] + x[0],
+            a[1] + x[1],
+            a[2] + x[0] * x[1],
+            a[3] + x[0] * x[0],
+            a[4] + x[1] * x[1],
+        ),
+    )
+    folded = arrs.select("lang", "n_terms", s.alias("s"))
+    n = F.col("n_terms").cast("double")
+    num = n * F.col("s")[2] - F.col("s")[0] * F.col("s")[1]
+    denx = n * F.col("s")[3] - F.col("s")[0] * F.col("s")[0]
+    deny = n * F.col("s")[4] - F.col("s")[1] * F.col("s")[1]
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    return folded.select(
+        "lang",
+        "n_terms",
+        micro(num / denx).alias("slope_micro"),
+        micro((num * num) / (denx * deny)).alias("r2_micro"),
+    )
+
+
+@query("text_compression_ratio", oracle=None)  # rows-only: zlib in Python only
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compressibility — the cheap boilerplate/spam
+    signal the big corpus-cleaning recipes actually use (highly
+    repetitive or templated text compresses far better than natural
+    prose, so a too-low ratio flags machine-generated filler and a
+    too-high ratio flags random noise).  Computed by an Arrow-batched
+    pandas UDF (one zlib pass per doc, level pinned to 6 for
+    determinism), never row-at-a-time Python; everything around the
+    UDF is codegen.
+
+    Scale: embarrassingly map-only — no shuffle at all; at 100 TB this
+    runs at source-read speed and the ratio column feeds
+    quality_filter_funnel like any other signal.  Ratio emitted as an
+    exact integer micro-quantization of compressed/raw bytes.
+
+    Driver sees (sf0.01): 500 rows; columns (doc_id, lang, n_bytes,
+    comp_bytes, ratio_micro).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tune(spark)
+
+    @pandas_udf("long")
+    def comp_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int64")
+
+    d = load(spark, sf_dir, "documents")
+    raw_bytes = F.octet_length("text").cast("long")
+    out = d.select(
+        "doc_id",
+        "lang",
+        raw_bytes.alias("n_bytes"),
+        comp_len(F.col("text")).alias("comp_bytes"),
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_bytes",
+        "comp_bytes",
+        F.floor(
+            F.lit(1000000.0) * F.col("comp_bytes") / F.col("n_bytes")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ratio_micro"),
+    )

@@ -622,3 +622,61 @@ def str_collate_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_b13"),
         )
     )
+
+
+@query(
+    "cast_try_permissive",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id % 5 AS bucket,
+               CASE event_id % 5
+                   WHEN 0 THEN 'abc'
+                   WHEN 1 THEN ''
+                   WHEN 2 THEN CAST(user_id AS VARCHAR)
+                   WHEN 3 THEN ' ' || CAST(event_id AS VARCHAR) || ' '
+                   ELSE '99999999999999999999'
+               END AS s
+        FROM events
+    ),
+    parsed AS (SELECT bucket, TRY_CAST(s AS BIGINT) AS v FROM raw)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(v) AS BIGINT) AS n_parsed,
+           CAST(SUM(v) AS BIGINT) AS sum_parsed
+    FROM parsed GROUP BY bucket
+    """,
+)
+def cast_try_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive numeric ingestion via ``try_cast`` — the
+    bad-data-tolerant parse every raw feed needs (the row-level
+    sibling of scan_csv_permissive's file-level mode): five
+    deterministic malformation buckets (alphabetic junk, empty string,
+    clean digits, whitespace-padded digits, int64 overflow) flow
+    through TRY_CAST on both engines, and the per-bucket
+    parsed-vs-total counts prove exactly which classes parse — both
+    engines trim whitespace, reject junk/empty, and NULL (never wrap)
+    the overflow.
+
+    Map-only until the skinny 5-row rollup; at 100 TB this replaces
+    the fail-the-job ANSI cast on quarantine lanes — rows that parse
+    proceed, rows that don't are counted where monitoring can see
+    them."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    bucket = F.col("event_id") % 5
+    s = (
+        F.when(bucket == 0, F.lit("abc"))
+        .when(bucket == 1, F.lit(""))
+        .when(bucket == 2, F.col("user_id").cast("string"))
+        .when(
+            bucket == 3,
+            F.concat(F.lit(" "), F.col("event_id").cast("string"), F.lit(" ")),
+        )
+        .otherwise(F.lit("99999999999999999999"))
+    )
+    parsed = e.select(bucket.alias("bucket"), s.try_cast("long").alias("v"))
+    return parsed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("n_parsed"),
+        F.sum("v").cast("long").alias("sum_parsed"),
+    )

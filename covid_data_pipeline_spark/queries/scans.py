@@ -973,3 +973,174 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).cast("long").alias("total_chars"),
         F.sum(F.size(F.split("value", " "))).cast("long").alias("total_tokens"),
     )
+
+
+@query("profile_parquet_footers", oracle=None)  # rows-only: filesystem layout
+def profile_parquet_footers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed parquet-FOOTER audit — the lake-health scan that
+    catches small-file sprawl and mis-sized row groups without reading
+    a byte of data: events are written out partitioned by type
+    (hash-repartitioned so the layout is shuffle-geometry-invariant),
+    then ONLY the footers of the produced files are opened, one task
+    per file batch, via an Arrow-batched mapInPandas over the file
+    list; the report rolls up files / rows / row-groups per partition
+    directory.
+
+    At 100 TB this is the maintenance query that decides WHAT
+    sink_compact_small_files should rewrite: footer reads are ~KB per
+    file regardless of file size, the file list comes from the table
+    manifest/catalog (driver-side glob here — the bounded part), and
+    the scan parallelizes across executors like any other source.  The
+    row counts double as a zero-cost table checksum per partition.
+
+    Driver sees (sf0.01): 5 rows; columns (event_type, n_files,
+    n_rows, n_row_groups).
+    """
+    import glob as _glob
+
+    import pandas as pd
+
+    tune(spark)
+    out = os.path.join(SCRATCH, "footer_profile")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(8, "user_id").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(out)
+    paths = sorted(_glob.glob(os.path.join(out, "event_type=*", "*.parquet")))
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(8)
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                md = pq.ParquetFile(p).metadata
+                etype = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+                rows.append((etype, int(md.num_rows), int(md.num_row_groups)))
+            yield pd.DataFrame(
+                rows, columns=["event_type", "f_rows", "f_groups"]
+            )
+
+    footers = pdf.mapInPandas(
+        read_footers, "event_type string, f_rows long, f_groups long"
+    )
+    return footers.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("f_rows").alias("n_rows"),
+        F.sum("f_groups").alias("n_row_groups"),
+    )
+
+
+@query(
+    "scan_fixed_width",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_centi
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source — the mainframe/COBOL copybook layout
+    Spark has no native reader for, expressed as schema-on-read over
+    ``spark.read.text``: events round-trip through a fixed-width file
+    (event_id 12 cols right-aligned, user_id 8, event_type 12
+    left-padded-right, value 12 with 2 decimals) and are re-parsed by
+    COLUMN POSITION (substring + trim + cast), then aggregated; the
+    oracle computes the same rollup from the original table, so any
+    parse drift — truncation, sign loss, decimal slip — breaks the
+    hash.
+
+    All parsing is codegen built-ins (substring/trim/cast), no UDF;
+    value survives exactly because 2-decimal doubles print and re-parse
+    losslessly at width 12.  At 100 TB: the text source splits by line
+    like any other, the parse is map-only, and the fixed offsets come
+    from a copybook-derived spec table rather than literals."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "fixed_width")
+    ev = load(spark, sf_dir, "events")
+    line = F.concat(
+        F.lpad(F.col("event_id").cast("string"), 12, " "),
+        F.lpad(F.col("user_id").cast("string"), 8, " "),
+        F.rpad(F.col("event_type"), 12, " "),
+        F.lpad(F.format_number(F.col("value"), 2), 12, " "),
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    v = F.col("value")
+    parsed = raw.select(
+        F.trim(F.substring(v, 1, 12)).cast("long").alias("event_id"),
+        F.trim(F.substring(v, 13, 8)).cast("long").alias("user_id"),
+        F.trim(F.substring(v, 21, 12)).alias("event_type"),
+        F.regexp_replace(F.trim(F.substring(v, 33, 12)), ",", "")
+        .cast("double")
+        .alias("val"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("value_centi"),
+    )
+
+
+@query(
+    "source_calendar_spine",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM b
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(year(d) AS BIGINT) AS yr,
+           CAST(quarter(d) AS BIGINT) AS qtr,
+           CAST(month(d) AS BIGINT) AS mo,
+           CAST(weekofyear(d) AS BIGINT) AS iso_week,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           CAST(CASE WHEN d = last_day(d) THEN 1 ELSE 0 END AS INT)
+               AS is_month_end
+    FROM spine
+    """,
+)
+def source_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar-dimension spine — the date table every
+    warehouse join needs (gap-free even where the fact table has no
+    rows), spanning the fact data's own min..max order date so the
+    bounds stay data-driven: one `sequence()` + explode generates the
+    days, then pure codegen date arithmetic derives year / quarter /
+    month / ISO week / ISO day-of-week / month-end flag.
+
+    Cross-engine traps handled: Spark's `dayofweek` is Sunday-based
+    while DuckDB's `isodow` is Monday-based — Spark's `weekday()+1`
+    IS isodow; both engines' `weekofyear` are ISO weeks.  The spine is
+    calendar-bounded (~2,400 rows at any scale factor — it grows with
+    TIME, not data volume), so at 100 TB it broadcasts to every
+    calendar join for free; generation is a single task by design."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    return spine.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.year("d").cast("long").alias("yr"),
+        F.quarter("d").cast("long").alias("qtr"),
+        F.month("d").cast("long").alias("mo"),
+        F.weekofyear("d").cast("long").alias("iso_week"),
+        (F.weekday("d") + F.lit(1)).cast("long").alias("iso_dow"),
+        (F.col("d") == F.last_day("d")).cast("int").alias("is_month_end"),
+    )

@@ -1355,3 +1355,71 @@ def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_c").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "analytics_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey, p_brand, p_size,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM part
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_size, p.price_c
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE (q.price_c < p.price_c AND q.p_size >= p.p_size)
+           OR (q.price_c <= p.price_c AND q.p_size > p.p_size)
+    )
+    """,
+)
+def analytics_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of the part catalog — minimize price,
+    maximize size: the parts no other part beats on both axes (the
+    classic "best hotels" operator relational engines lack).  A part is
+    dominated by any strictly-cheaper part of at least its size, or any
+    strictly-larger part at no higher price; ties on both axes
+    co-survive.
+
+    Scale design — NO all-pairs: p_size is a closed integer domain
+    (1..50, pinned in tests), so dominance collapses to a bounded
+    sweep: per-size MIN price (one map-side-combinable shuffle), a
+    suffix-min over the <=50-row size histogram (bounded partition-less
+    window, by construction) yielding, per size s, the cheapest price
+    at size >= s and at size > s, then ONE broadcast join back and a
+    map-only filter.  The corpus never self-joins — at 100 TB the only
+    data-sized stages are the histogram aggregate and the broadcast
+    filter; the same pattern grids both axes when neither domain is
+    closed.  The DuckDB oracle is the INDEPENDENT quadratic NOT EXISTS
+    formulation, so the bounded-sweep rewrite is verified against the
+    definition itself, not a mirror of its own arithmetic.  Prices
+    compare as exact centi-integers."""
+    tune(spark)
+    pts = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    hist = pts.groupBy("p_size").agg(F.min("price_c").alias("minp"))
+    w_ge = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_gt = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cut = hist.select(
+        "p_size",
+        F.min("minp").over(w_ge).alias("best_ge"),
+        F.min("minp").over(w_gt).alias("best_gt"),
+    )
+    j = pts.join(F.broadcast(cut), "p_size")
+    dominated = (F.col("best_ge") < F.col("price_c")) | (
+        F.col("best_gt").isNotNull() & (F.col("best_gt") <= F.col("price_c"))
+    )
+    return j.filter(~dominated).select(
+        "p_partkey", "p_brand", "p_size", "price_c"
+    )

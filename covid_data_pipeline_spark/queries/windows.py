@@ -863,3 +863,165 @@ def win_rolling_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         daily.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "win_hampel_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_day
+        FROM events GROUP BY 1, 2
+    ),
+    frame AS (
+        SELECT a.event_type, a.d, b.n_day AS member
+        FROM daily a
+        JOIN daily b
+          ON b.event_type = a.event_type
+         AND b.d BETWEEN a.d - 3 AND a.d + 3
+    ),
+    med AS (
+        SELECT event_type, d,
+               median(CAST(member AS DOUBLE)) AS med7
+        FROM frame GROUP BY event_type, d
+    ),
+    mad AS (
+        SELECT f.event_type, f.d,
+               median(abs(CAST(f.member AS DOUBLE) - m.med7)) AS mad7
+        FROM frame f JOIN med m
+          ON m.event_type = f.event_type AND m.d = f.d
+        GROUP BY f.event_type, f.d
+    )
+    SELECT daily.event_type, strftime(daily.d, '%Y-%m-%d') AS day,
+           daily.n_day, m.med7, a.mad7,
+           CAST(CASE WHEN abs(CAST(daily.n_day AS DOUBLE) - m.med7)
+                          > 3 * a.mad7
+                     THEN 1 ELSE 0 END AS INT) AS outlier
+    FROM daily
+    JOIN med m ON m.event_type = daily.event_type AND m.d = daily.d
+    JOIN mad a ON a.event_type = daily.event_type AND a.d = daily.d
+    """,
+)
+def win_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over each type's daily event counts: a +/-3-day
+    rolling MEDIAN baseline with a rolling MAD spread, flagging days
+    where |count - median| > 3*MAD — the robust outlier detector
+    monitors prefer over z-scores (win_anomaly_zscore's sibling)
+    because one spike can't drag its own baseline.
+
+    The MAD is frame-relative (each day's deviations are measured
+    against THAT frame's median), which no window function can nest —
+    so the frame is materialized as a bounded equi-join on
+    (event_type, day within +/-3): fan-out <= 7 rows per day,
+    calendar-bounded input (the daily rollup), two skinny group-bys.
+    That shape survives 100 TB unchanged: the corpus-sized stage is
+    the one daily count; everything after moves ~7x one-row-per-day.
+
+    Exactness: counts are integers, so both medians land on .5
+    granularity and the 3*MAD comparison is decided far from any
+    float boundary; Spark percentile() and DuckDB median() both
+    linear-interpolate.  Flag emitted as INT (nullable-boolean
+    doctrine)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_day"))
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("bd"),
+        F.col("n_day").alias("member"),
+    )
+    frame = daily.select("event_type", "d").join(
+        b,
+        (F.col("bt") == F.col("event_type"))
+        & (F.col("bd") >= F.date_sub("d", 3))
+        & (F.col("bd") <= F.date_add("d", 3)),
+    )
+    med = frame.groupBy("event_type", "d").agg(
+        F.percentile(F.col("member").cast("double"), F.lit(0.5)).alias("med7")
+    )
+    mad = (
+        frame.join(med, ["event_type", "d"])
+        .groupBy("event_type", "d")
+        .agg(
+            F.percentile(
+                F.abs(F.col("member").cast("double") - F.col("med7")),
+                F.lit(0.5),
+            ).alias("mad7")
+        )
+    )
+    return (
+        daily.join(med, ["event_type", "d"])
+        .join(mad, ["event_type", "d"])
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_day",
+            "med7",
+            "mad7",
+            (
+                F.abs(F.col("n_day").cast("double") - F.col("med7"))
+                > F.lit(3) * F.col("mad7")
+            )
+            .cast("int")
+            .alias("outlier"),
+        )
+    )
+
+
+@query(
+    "win_week_over_week",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT cur.event_type, strftime(cur.d, '%Y-%m-%d') AS day,
+           cur.n, prev.n AS n_prev,
+           cur.n - prev.n AS delta,
+           CAST(floor(1000000.0 * (cur.n - prev.n) / prev.n + 0.5) AS BIGINT)
+               AS wow_micro
+    FROM daily cur
+    JOIN daily prev
+      ON prev.event_type = cur.event_type AND prev.d = cur.d - 7
+    """,
+)
+def win_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change of daily counts per type via a CALENDAR
+    self-join (same weekday, exactly 7 days apart) — deliberately NOT
+    `lag(7)`: lag counts ROWS, so one missing day silently compares
+    Tuesday to Wednesday; the calendar join compares dates or emits
+    nothing, which is the correct semantics for sparse series (the
+    reason real dashboards join a date spine).
+
+    All-integer counts with one trailing micro-quantized division.
+    Scale: the join runs on the DAILY rollup (calendar-bounded per
+    key) as an equi-join on (type, date) — co-partitioned, no
+    window, no global sort; at 100 TB the corpus-sized stage is the
+    one daily aggregate."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    prev = daily.select(
+        "event_type",
+        F.date_add("d", 7).alias("d"),
+        F.col("n").alias("n_prev"),
+    )
+    j = daily.join(prev, ["event_type", "d"])
+    return j.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        "n_prev",
+        (F.col("n") - F.col("n_prev")).alias("delta"),
+        F.floor(
+            F.lit(1000000.0) * (F.col("n") - F.col("n_prev")) / F.col("n_prev")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wow_micro"),
+    )

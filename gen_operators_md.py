@@ -154,6 +154,17 @@ ROWS_ONLY_WHY = {
         "eigenvector sign/order are numpy implementation detail. Variance "
         "ordering, centering and reconstruction quality asserted in tests."
     ),
+    "profile_parquet_footers": (
+        "audits the PHYSICAL file/row-group layout of a Spark write in a "
+        "fresh scratch dir; DuckDB has no view of that filesystem state. "
+        "Row counts cross-checked against the logical groupBy and layout "
+        "asserted in tests/test_corpus.py."
+    ),
+    "text_compression_ratio": (
+        "zlib runs only in the Python workers — no DuckDB twin. Exact "
+        "equality with a driver-side pure-Python zlib replay asserted in "
+        "tests/test_llm_ops.py."
+    ),
 }
 
 

@@ -163,3 +163,27 @@ def test_shuffle_order_epochs_are_distinct_permutation_heads(spark):
     e2 = [d for _, d in sorted(by_epoch[2])]
     assert len(e1) == len(set(e1)) and len(e2) == len(set(e2))
     assert e1 != e2, "epoch orders identical — the epoch seed is inert"
+
+
+def test_parquet_footer_profile_matches_logical_counts(spark):
+    """profile_parquet_footers' physical row counts must equal the
+    logical per-type counts, with a sane layout (>=1 file and >=1 row
+    group per file on average)."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    got = {
+        r["event_type"]: (r["n_files"], r["n_rows"], r["n_row_groups"])
+        for r in reg["profile_parquet_footers"].fn(spark, SF_ORACLE).collect()
+    }
+    want = {
+        r["event_type"]: r["count"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert set(got) == set(want)
+    for et, (nf, nr, ng) in got.items():
+        assert nr == want[et], (et, nr, want[et])
+        assert nf >= 1 and ng >= nf  # at least one row group per file

@@ -752,3 +752,26 @@ def test_span_dedup_not_degenerate(spark):
     assert total > 0 and 0 < removed < 0.3 * total, (
         f"span dedup degenerate or vacuous: {removed}/{total} tokens marked"
     )
+
+
+def test_compression_ratio_pure_python_replay(spark):
+    """text_compression_ratio == driver-side zlib on the same docs:
+    the UDF path adds nothing beyond zlib.compress(text, 6)."""
+    import zlib
+
+    reg = load_all()
+    rows = reg["text_compression_ratio"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    got = {r["doc_id"]: r for r in rows}
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    sample_ids = sorted(got)[:25]
+    for s in d.filter(d.doc_id.isin(sample_ids)).collect():
+        raw = s["text"].encode("utf-8")
+        want = len(zlib.compress(raw, 6))
+        r = got[s["doc_id"]]
+        assert r["comp_bytes"] == want
+        assert r["n_bytes"] == len(raw)
+        # repetitive fixture text must actually compress once past
+        # zlib's fixed header overhead (short docs can exceed 1.0)
+        if r["n_bytes"] >= 200:
+            assert r["ratio_micro"] < 1_000_000, dict(r.asDict())

@@ -760,11 +760,13 @@ def test_copurchase_broadcasts_dims_and_takeordered(spark):
 # limit(K) seed set).  These pins measure the ACTUAL sf0.1 cardinality the
 # way the near-dup candidate count is pinned, so a fixture regen can never
 # silently turn a bounded window into a corpus-sized single-task sort.
-# grep inventory (7 sites): windows.py:193 win_moving_avg,
+# grep inventory: windows.py:193 win_moving_avg,
 # corpus.py:857 ts_seasonal_decompose, pipeline.py:1187
 # quality_distribution_drift, tpch_extra.py:1143 analytics_rfm_segmentation
 # (x3 grains), llm_similarity.py:687/836 PQ+SemDeDup seeds,
-# streaming_batch.py:146 stream_watermark_late (test-scale oracle twin).
+# streaming_batch.py:146 stream_watermark_late (test-scale oracle twin),
+# tpch_extra.py analytics_skyline_pareto (suffix-min over the p_size
+# histogram — closed 1..50 domain).
 
 SF_BENCH = "/root/testdata/sf0.1"
 
@@ -774,7 +776,8 @@ def _card(spark, fn):
 
     ev = spark.read.parquet(f"{SF_BENCH}/events.parquet")
     o = spark.read.parquet(f"{SF_BENCH}/orders.parquet")
-    return fn(F, ev, o)
+    p = spark.read.parquet(f"{SF_BENCH}/part.parquet")
+    return fn(F, ev, o, p)
 
 
 import pytest  # noqa: E402
@@ -788,28 +791,28 @@ import pytest  # noqa: E402
         (
             "calendar_days(win_moving_avg,ts_seasonal_decompose)",
             500,
-            lambda F, ev, o: ev.select(F.to_date("ts")).distinct().count(),
+            lambda F, ev, o, p: ev.select(F.to_date("ts")).distinct().count(),
         ),
         # quality_distribution_drift: KS window at value grain — 2-decimal
         # prices in [0, 500), a closed <=50k domain (measured 17,792)
         (
             "value_grain(quality_distribution_drift)",
             50_000,
-            lambda F, ev, o: ev.select("value").distinct().count(),
+            lambda F, ev, o, p: ev.select("value").distinct().count(),
         ),
         # rfm recency cutoffs: one row per distinct days-ago <= distinct
         # order dates (calendar-bounded; measured 2,405)
         (
             "recency_grain(analytics_rfm_segmentation)",
             10_000,
-            lambda F, ev, o: o.select("o_orderdate").distinct().count(),
+            lambda F, ev, o, p: o.select("o_orderdate").distinct().count(),
         ),
         # rfm frequency cutoffs: distinct per-customer order counts
         # (measured 23)
         (
             "frequency_grain(analytics_rfm_segmentation)",
             1_000,
-            lambda F, ev, o: o.groupBy("o_custkey")
+            lambda F, ev, o, p: o.groupBy("o_custkey")
             .count()
             .select("count")
             .distinct()
@@ -820,7 +823,7 @@ import pytest  # noqa: E402
         (
             "monetary_grain(analytics_rfm_segmentation)",
             50_000,
-            lambda F, ev, o: o.groupBy("o_custkey")
+            lambda F, ev, o, p: o.groupBy("o_custkey")
             .agg(
                 F.floor(
                     F.sum(
@@ -835,6 +838,13 @@ import pytest  # noqa: E402
             .distinct()
             .count(),
         ),
+        # skyline suffix-min sweep: one row per distinct part size — a
+        # closed 1..50 integer domain (measured 50)
+        (
+            "size_grain(analytics_skyline_pareto)",
+            1_000,
+            lambda F, ev, o, p: p.select("p_size").distinct().count(),
+        ),
         # stream_watermark_late: the global arrival-order window is the
         # documented TEST-SCALE oracle twin only (the streaming engine
         # tracks its watermark without a global sort) — pin the fixture
@@ -842,7 +852,7 @@ import pytest  # noqa: E402
         (
             "events_total(stream_watermark_late oracle twin)",
             2_000_000,
-            lambda F, ev, o: ev.count(),
+            lambda F, ev, o, p: ev.count(),
         ),
     ],
 )
@@ -862,3 +872,90 @@ def test_seed_window_limits_are_constants():
 
     assert ls._PQ_K <= 4096
     assert ls._SEM_K <= 4096
+
+
+def test_ts_twa_single_shuffle_no_python(spark):
+    """The lead window and the groupBy share the event_type
+    partitioning — one exchange moves corpus data, and the whole plan
+    stays JVM-side."""
+    plan = plan_of(q("ts_twa", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_moments_exact_partial_agg_no_python(spark):
+    """The integer power sums must partially aggregate map-side (the
+    mergeable-moments contract) and never leave codegen."""
+    plan = plan_of(q("agg_moments_exact", spark), mode="simple")
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_zipf_fit_partitioned_rank_no_python(spark):
+    """The vocabulary rank must window PER LANG (no partition-less
+    sort), and Spark's WindowGroupLimit must push the rn <= K filter
+    into the shuffle (top-K, not full-vocab rank-then-filter)."""
+    plan = plan_of(q("text_zipf_fit", spark), mode="extended")
+    assert "EvalPython" not in plan
+    assert "windowspecdefinition(lang" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_hampel_no_cartesian(spark):
+    """The +/-3-day frame join must be a bounded range join over the
+    daily rollup, never a cartesian over raw events."""
+    plan = plan_of(q("win_hampel_outliers", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_skyline_broadcasts_cutoffs_no_pairs(spark):
+    """Dominance must resolve through the broadcast size-histogram
+    sweep — no self-join of the catalog, no cartesian."""
+    plan = plan_of(q("analytics_skyline_pareto", spark), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compression_ratio_map_only(spark):
+    """The zlib signal is embarrassingly parallel: exactly one Arrow
+    UDF eval and ZERO shuffles."""
+    plan = plan_of(q("text_compression_ratio", spark), mode="simple")
+    assert "ArrowEvalPython" in plan
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_croston_no_python(spark):
+    plan = plan_of(q("ts_croston", spark), mode="simple")
+    assert "EvalPython" not in plan
+
+
+def test_fixed_width_parse_no_python(spark):
+    plan = plan_of(q("scan_fixed_width", spark), mode="simple")
+    assert "EvalPython" not in plan
+
+
+def test_calendar_spine_is_generated_not_scanned(spark):
+    """The spine derives only min/max from orders (aggregate pushdown
+    territory) and generates rows — no join, no window, no Python."""
+    plan = plan_of(q("source_calendar_spine", spark), mode="simple")
+    assert "Generate" in plan  # the explode(sequence(...))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_week_over_week_is_copartitioned_join(spark):
+    """WoW joins the daily rollup to itself on (type, date) — an
+    equi-join, never a window over raw events or a cartesian."""
+    plan = plan_of(q("win_week_over_week", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_try_cast_map_only_until_rollup(spark):
+    plan = plan_of(q("cast_try_permissive", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
