@@ -293,3 +293,122 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return d.mapInPandas(extract, schema=_AUDIO_SCHEMA)
+
+
+@query(
+    "multimodal_blockhash_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT -2 * doc_id - 1 AS doc_id, text
+        FROM documents WHERE doc_id % 40 = 0
+        UNION ALL
+        SELECT -2 * doc_id - 2 AS doc_id,
+               substr(text, 1, len(text) - 1) || 'x' AS text
+        FROM documents WHERE doc_id % 40 = 7
+    ),
+    d AS (
+        SELECT doc_id, text, len(text) AS L, len(text) // 4 AS s
+        FROM corpus
+    ),
+    q AS (
+        SELECT doc_id, b.band,
+               md5(substr(text, 1 + (b.band - 1) * s,
+                          CASE WHEN b.band = 4 THEN L - 3 * s ELSE s END))
+                   AS qh
+        FROM d, (SELECT unnest([1, 2, 3, 4]) AS band) b
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_bands
+        FROM q a
+        JOIN q b ON b.band = a.band AND b.qh = a.qh
+                AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, shared_bands,
+           CASE WHEN shared_bands = 4 THEN 'full' ELSE 'partial' END
+               AS dup_kind
+    FROM pairs
+    """,
+)
+def multimodal_blockhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable BLOCK-HASH dedup over binary payloads — the
+    asset-store move (chunk the blob, hash each chunk, join on chunk
+    hash) that finds both full duplicates and shared-prefix partials
+    without ever comparing payloads pairwise: each payload splits into
+    4 position-defined blocks, blocks join on (band, md5), and the
+    per-pair shared-block count classifies full vs partial duplication.
+
+    Fixture honesty (the dedup_source_report doctrine): the raw corpus
+    has near-zero block collisions below sf0.1 (measured — 0 at
+    sf0.001/sf0.01), so the query seeds TWO deterministic feeds in
+    disjoint negative id spaces (-2k-1: verbatim mirror of every
+    doc_id %% 40 == 0; -2k-2: tail-mutant of every doc_id %% 40 == 7,
+    last char replaced so lengths — and hence block boundaries — are
+    preserved while only block 4 changes).  Both the shared=4 and
+    shared<4 branches are then witnessed at every scale factor.
+
+    The stubbed-codec rule doesn't apply here: block hashing operates
+    on raw bytes BY DESIGN (the production path for image/video asset
+    dedup is exactly this, no decode), so the whole operator is
+    codegen and oracle-checkable.  At 100 TB: one explode (x4), one
+    shuffle on the block hash — group sizes bounded by true content
+    duplication, never corpus-quadratic; the same plan with a rolling
+    Rabin boundary gives content-defined chunks."""
+    tune(spark)
+    d0 = load(spark, sf_dir, "documents")
+    mirror = d0.filter(F.col("doc_id") % 40 == 0).select(
+        (-2 * F.col("doc_id") - 1).alias("doc_id"), "text"
+    )
+    L0 = F.length("text")
+    mutant = d0.filter(F.col("doc_id") % 40 == 7).select(
+        (-2 * F.col("doc_id") - 2).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), F.lit(1), L0 - 1), F.lit("x")
+        ).alias("text"),
+    )
+    corpus = d0.select("doc_id", "text").unionByName(mirror).unionByName(mutant)
+    L = F.length("text")
+    s = F.floor(L / 4).cast("int")
+    d = corpus.select("doc_id", "text", L.alias("L"), s.alias("s"))
+    q = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("band"),
+        "text",
+        "L",
+        "s",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.substring(
+                F.col("text"),
+                F.lit(1) + (F.col("band") - 1) * F.col("s"),
+                F.when(F.col("band") == 4, F.col("L") - 3 * F.col("s"))
+                .otherwise(F.col("s"))
+                .cast("int"),
+            )
+        ).alias("qh"),
+    )
+    right = q.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band").alias("band"),
+        F.col("qh").alias("qh"),
+    )
+    pairs = (
+        q.select(F.col("doc_id").alias("a_id"), "band", "qh")
+        .join(right, ["band", "qh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "shared_bands",
+        F.when(F.col("shared_bands") == 4, F.lit("full"))
+        .otherwise(F.lit("partial"))
+        .alias("dup_kind"),
+    )

@@ -684,3 +684,39 @@ def stream_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = decay_agg(read_events_stream(spark, sf_dir), anchor_us)
     return run_available_now(agg, output_mode="complete")
+
+
+@query("stream_spacesaving_topk", oracle=None)  # rows-only: custom state op
+def stream_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming heavy hitters: a Space-Saving sketch (capacity 8)
+    per event_type carried in GroupState across micro-batches — the
+    bounded-state "top users right now" an unbounded stream demands
+    (a streaming groupBy(user).count() grows state with USERS; this
+    holds 8 counters per type forever).  The availableNow drain emits
+    the sketch each batch in update mode; the final per-type emission
+    (max events-seen) is the answer.  Space-Saving guarantees —
+    estimates never undercount, any user above n/8 frequency is
+    present — are asserted against the exact batch counts in
+    tests/test_streaming.py.
+
+    Driver sees (sf0.01): 40 rows; columns (event_type, user_id,
+    est_count, n_seen).
+    """
+    from ..streaming import read_events_stream, run_available_now
+
+    tune(spark)
+    # few state groups (5 types) — narrow sharding, same rationale as
+    # stream_stateful_totals
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    sunk = run_available_now(
+        TR.stateful_spacesaving_topk(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    # two consumers of the memory sink (the max probe + the join back):
+    # eager-localCheckpoint the bounded emissions and release the plan,
+    # the tws_user_totals idiom
+    sunk = sunk.localCheckpoint(eager=True)
+    last = sunk.groupBy("event_type").agg(F.max("n_seen").alias("n_seen"))
+    return sunk.join(F.broadcast(last), ["event_type", "n_seen"]).select(
+        "event_type", "user_id", "est_count", "n_seen"
+    )

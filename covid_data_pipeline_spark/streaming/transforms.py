@@ -351,3 +351,60 @@ def stateful_simhash_band_dedup(banded: DataFrame, ham_max: int = 3) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_spacesaving_topk(df: DataFrame, capacity: int = 8) -> DataFrame:
+    """Space-Saving heavy hitters per event_type in explicit GroupState:
+    at most ``capacity`` (user, count) counters per key survive any
+    stream length — the bounded-memory answer to "top users so far" on
+    an unbounded stream, with the classic guarantees (every true count
+    <= its estimate; any user with true frequency > n/capacity is
+    guaranteed present).
+
+    Events are processed in (ts, event_id) order inside each batch (the
+    stateful_change_detect idiom) and evictions tie-break on (count,
+    user_id), so the final state is deterministic for a deterministic
+    batch sequence.  State is two fixed-length arrays per key —
+    O(capacity), never O(users)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_topk(key, pdfs, state: GroupState):
+        if state.exists:
+            users, counts, n_seen = state.get
+            table = dict(zip(users, counts))
+        else:
+            table, n_seen = {}, 0
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for u in pdf["user_id"].tolist():
+            n_seen += 1
+            if u in table:
+                table[u] += 1
+            elif len(table) < capacity:
+                table[u] = 1
+            else:
+                # evict the deterministic minimum: (count, user_id)
+                victim = min(table, key=lambda k: (table[k], k))
+                table[u] = table.pop(victim) + 1
+        items = sorted(table.items())
+        state.update(
+            ([int(u) for u, _ in items], [int(c) for _, c in items], n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(items),
+                "user_id": [u for u, _ in items],
+                "est_count": [c for _, c in items],
+                "n_seen": [n_seen] * len(items),
+            }
+        )
+
+    return df.groupBy("event_type").applyInPandasWithState(
+        update_topk,
+        outputStructType=(
+            "event_type string, user_id long, est_count long, n_seen long"
+        ),
+        stateStructType="users array<long>, counts array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -160,6 +160,12 @@ ROWS_ONLY_WHY = {
         "Row counts cross-checked against the logical groupBy and layout "
         "asserted in tests/test_corpus.py."
     ),
+    "stream_spacesaving_topk": (
+        "custom GroupState operator on a TRUE incremental stream; the "
+        "sketch state evolves per micro-batch. Exact Space-Saving "
+        "invariants (sum(est) == n_seen, no undercount, <= capacity "
+        "counters) asserted vs batch truth in tests/test_streaming.py."
+    ),
     "text_compression_ratio": (
         "zlib runs only in the Python workers — no DuckDB twin. Exact "
         "equality with a driver-side pure-Python zlib replay asserted in "

@@ -959,3 +959,12 @@ def test_try_cast_map_only_until_rollup(spark):
     plan = plan_of(q("cast_try_permissive", spark), mode="simple")
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_blockhash_dedup_no_cartesian(spark):
+    """Pair generation must route through the (band, hash) equi-join —
+    never a payload cross product."""
+    plan = plan_of(q("multimodal_blockhash_dedup", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

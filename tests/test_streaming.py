@@ -633,3 +633,37 @@ def test_decay_reanchoring_identity(spark):
         assert abs(shifted[uid] - v * 0.25) <= n * 1e-6, (
             uid, shifted[uid], v * 0.25, n
         )
+
+
+def test_spacesaving_topk_invariants(spark):
+    """Space-Saving exactness properties vs the batch truth:
+    (1) the counters absorb EVERY event — sum(est) == n_seen == the
+    type's true event count (each arrival increments exactly one
+    counter, eviction nets +1); (2) estimates never undercount a
+    present user's true frequency; (3) at most `capacity` counters
+    per type survive."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    rows = reg["stream_spacesaving_topk"].fn(spark, SF_SMOKE).collect()
+    truth = {
+        (r["event_type"], r["user_id"]): r["count"]
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("event_type", "user_id")
+        .count()
+        .collect()
+    }
+    per_type_n = {}
+    for (et, _), c in truth.items():
+        per_type_n[et] = per_type_n.get(et, 0) + c
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(per_type_n)
+    for et, rs in by_type.items():
+        assert len(rs) <= 8
+        assert rs[0]["n_seen"] == per_type_n[et]
+        assert sum(r["est_count"] for r in rs) == per_type_n[et]
+        for r in rs:
+            true_c = truth.get((et, r["user_id"]), 0)
+            assert r["est_count"] >= true_c, (et, r["user_id"])
