@@ -1856,3 +1856,238 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(F.col("s")[1]).alias("p_hat_micro"),
         micro(F.col("s")[0] / F.col("s")[1]).alias("forecast_micro"),
     )
+
+
+_LTTB_B = 10  # output points per series (first + 8 bucket picks + last)
+
+
+def _lttb_sql() -> str:
+    """Generate the LTTB selection CTE chain (8 unrolled bucket steps,
+    the _durbin_levinson_sql idiom).  Points and accumulators are
+    BIGINT 3-lists ([bucket,t,v] / [area,t,v]) so DuckDB's list_reduce
+    type-checks; all arithmetic is integer (areas cross-multiplied by
+    the next bucket's cardinality), so engine agreement is exact."""
+    steps = []
+    prev_t, prev_v = "fp_t", "fp_v"
+    src = "prep"
+    for k in range(8):
+        if k < 7:
+            ct, cv, cc = f"cents[{k + 2}][1]", f"cents[{k + 2}][2]", f"cents[{k + 2}][3]"
+        else:
+            ct, cv, cc = "lp_t", "lp_v", "1"
+        a = (f"abs(({prev_t} * {cc} - {ct}) * (p[3] - {prev_v}) "
+             f"- ({prev_t} - p[2]) * ({cv} - {prev_v} * {cc}))")
+        steps.append(
+            f"step{k} AS (SELECT *, list_reduce(list_prepend("
+            f"CAST([-1, 0, 0] AS BIGINT[]), "
+            f"list_filter(pts, p -> p[1] = {k})), "
+            f"(a, p) -> CASE WHEN {a} > a[1] "
+            f"THEN [{a}, p[2], p[3]] ELSE a END) AS raw{k} FROM {src})"
+        )
+        prev_t, prev_v = f"raw{k}[2]", f"raw{k}[3]"
+        src = f"step{k}"
+    return ",\n    ".join(steps)
+
+
+_LTTB_UNNEST = ", ".join(
+    "{'sel_idx': CAST(%d AS BIGINT), 't': raw%d[2], 'v': raw%d[3]}"
+    % (k + 1, k, k)
+    for k in range(8)
+)
+
+
+@query(
+    "ts_lttb_downsample",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(t) AS t_lo, MAX(t) AS t_hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY event_type
+    ),
+    mid AS (
+        SELECT d.event_type, d.t, d.v,
+               CAST((ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                        ORDER BY d.t) - 1) * 8
+                    // (b.n - 2) AS BIGINT) AS b
+        FROM daily d JOIN bounds b USING (event_type)
+        WHERE d.t > b.t_lo AND d.t < b.t_hi
+    ),
+    pt_arr AS (
+        SELECT event_type, list([b, t, v] ORDER BY t) AS pts
+        FROM mid GROUP BY event_type
+    ),
+    cent_rows AS (
+        SELECT event_type, b, CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(v) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS c
+        FROM mid GROUP BY event_type, b
+    ),
+    cent_arr AS (
+        SELECT event_type, list([st, sv, c] ORDER BY b) AS cents
+        FROM cent_rows GROUP BY event_type
+    ),
+    prep AS (
+        SELECT pa.event_type, pa.pts, ca.cents,
+               fpd.t AS fp_t, fpd.v AS fp_v,
+               lpd.t AS lp_t, lpd.v AS lp_v
+        FROM pt_arr pa
+        JOIN cent_arr ca USING (event_type)
+        JOIN bounds bo USING (event_type)
+        JOIN daily fpd ON fpd.event_type = pa.event_type
+                      AND fpd.t = bo.t_lo
+        JOIN daily lpd ON lpd.event_type = pa.event_type
+                      AND lpd.t = bo.t_hi
+    ),
+    {_lttb_sql()}
+    SELECT event_type, u['sel_idx'] AS sel_idx,
+           u['t'] AS day_idx, u['v'] AS day_value
+    FROM (
+        SELECT event_type,
+               unnest([
+                   {{'sel_idx': CAST(0 AS BIGINT), 't': fp_t, 'v': fp_v}},
+                   {_LTTB_UNNEST},
+                   {{'sel_idx': CAST(9 AS BIGINT), 't': lp_t, 'v': lp_v}}
+               ]) AS u
+        FROM step7
+    )
+    """,
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of each type's daily
+    series to 10 points — the standard dashboard decimation (Steinarsson
+    2013): first and last points always survive; each of 8 interior
+    buckets keeps the point forming the largest triangle with the
+    PREVIOUSLY SELECTED point and the NEXT bucket's centroid, so peaks
+    and reversals survive where naive every-Nth sampling erases them.
+
+    The selection is sequential across buckets (each pick depends on
+    the previous), so it is STATICALLY UNROLLED into 8 steps (the
+    Durbin-Levinson idiom) of one argmax-fold each; triangle areas are
+    cross-multiplied by the next bucket's cardinality so every
+    comparison is EXACT INTEGER arithmetic (t = day index, v = count —
+    no IEEE anywhere), ties keep the earliest point (strict-> fold),
+    and both engines run the identical selection chain over BIGINT
+    3-lists.
+
+    Scale: the one corpus-sized stage is the daily rollup; bucketing,
+    centroids, and the 8 folds run on one ~30-element array per type
+    (calendar-bounded, pinned).  At 100 TB with long series, bucket
+    grain becomes (key, time-bucket) partitions and the same unrolled
+    selection runs per segment with boundary handoff."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("t").alias("t_lo"),
+        F.max("t").alias("t_hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mid = (
+        daily.join(bounds, "event_type")
+        .filter((F.col("t") > F.col("t_lo")) & (F.col("t") < F.col("t_hi")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("t")
+            ),
+        )
+        .withColumn(
+            "b", F.floor((F.col("rk") - 1) * 8 / (F.col("n") - 2)).cast("long")
+        )
+    )
+    cents = (
+        mid.groupBy("event_type", "b")
+        .agg(
+            F.sum("t").alias("st"),
+            F.sum("v").alias("sv"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("b", F.array("st", "sv", "c").alias("a")))
+            ).alias("cents_s")
+        )
+        .select(
+            "event_type",
+            F.transform(F.col("cents_s"), lambda s: s["a"]).alias("cents"),
+        )
+    )
+    pts = mid.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", F.array("b", "t", "v").alias("a")))
+        ).alias("pts_s")
+    ).select(
+        "event_type", F.transform(F.col("pts_s"), lambda s: s["a"]).alias("pts")
+    )
+    fp = daily.join(
+        bounds.select("event_type", F.col("t_lo").alias("t")), ["event_type", "t"]
+    ).select("event_type", F.col("t").alias("fp_t"), F.col("v").alias("fp_v"))
+    lp = daily.join(
+        bounds.select("event_type", F.col("t_hi").alias("t")), ["event_type", "t"]
+    ).select("event_type", F.col("t").alias("lp_t"), F.col("v").alias("lp_v"))
+    cur = pts.join(cents, "event_type").join(fp, "event_type").join(
+        lp, "event_type"
+    )
+    # statically unrolled bucket picks, mirroring _lttb_sql
+    neg1 = F.array(F.lit(-1).cast("long"), F.lit(0).cast("long"), F.lit(0).cast("long"))
+    prev_t, prev_v = F.col("fp_t"), F.col("fp_v")
+    for k in range(8):
+        if k < 7:
+            cent = F.element_at(F.col("cents"), k + 2)
+            ct, cv, cc = cent[0], cent[1], cent[2]
+        else:
+            ct, cv, cc = F.col("lp_t"), F.col("lp_v"), F.lit(1).cast("long")
+        bucket_pts = F.filter(F.col("pts"), lambda p: p[0] == F.lit(k))
+
+        def area(p, _pt=prev_t, _pv=prev_v, _ct=ct, _cv=cv, _cc=cc):
+            return F.abs(
+                (_pt * _cc - _ct) * (p[2] - _pv) - (_pt - p[1]) * (_cv - _pv * _cc)
+            )
+
+        pick = F.aggregate(
+            bucket_pts,
+            neg1,
+            lambda a, p: F.when(
+                area(p) > a[0], F.array(area(p), p[1], p[2])
+            ).otherwise(a),
+        )
+        cur = cur.withColumn(f"raw{k}", pick)
+        prev_t, prev_v = F.col(f"raw{k}")[1], F.col(f"raw{k}")[2]
+    sels = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("sel_idx"),
+            F.col("fp_t").alias("t"),
+            F.col("fp_v").alias("v"),
+        ),
+        *[
+            F.struct(
+                F.lit(k + 1).cast("long").alias("sel_idx"),
+                F.col(f"raw{k}")[1].alias("t"),
+                F.col(f"raw{k}")[2].alias("v"),
+            )
+            for k in range(8)
+        ],
+        F.struct(
+            F.lit(9).cast("long").alias("sel_idx"),
+            F.col("lp_t").alias("t"),
+            F.col("lp_v").alias("v"),
+        ),
+    )
+    return cur.select("event_type", F.explode(sels).alias("u")).select(
+        "event_type",
+        F.col("u.sel_idx").alias("sel_idx"),
+        F.col("u.t").alias("day_idx"),
+        F.col("u.v").alias("day_value"),
+    )

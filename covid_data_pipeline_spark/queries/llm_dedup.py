@@ -1578,3 +1578,94 @@ def dedup_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_rate_micro"),
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT -2 * doc_id - 1, lang, text
+        FROM documents WHERE doc_id % 40 = 0
+        UNION ALL
+        SELECT -2 * doc_id - 2, lang,
+               upper(text) || '  '
+        FROM documents WHERE doc_id % 40 = 20
+    ),
+    hashed AS (
+        SELECT doc_id, lang,
+               md5(text) AS raw_h,
+               md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+                   AS norm_h
+        FROM corpus
+    ),
+    raw_g AS (SELECT raw_h, COUNT(*) AS rc FROM hashed GROUP BY raw_h),
+    norm_g AS (SELECT norm_h, COUNT(*) AS nc FROM hashed GROUP BY norm_h)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_raw_dup,
+           CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_norm_dup,
+           CAST(SUM(CASE WHEN nc > 1 AND rc = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_norm_only
+    FROM hashed
+    JOIN raw_g USING (raw_h)
+    JOIN norm_g USING (norm_h)
+    GROUP BY lang
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup — the practical C4/CCNet recipe
+    step plain hashing misses: duplicates that differ ONLY in case or
+    whitespace (syndicated re-rendering, copy-paste artifacts) are
+    invisible to a raw content hash but collapse under
+    lower+trim+space-fold normalization; the per-lang report contrasts
+    raw-dup, normalized-dup, and the NORMALIZATION-ONLY gap between
+    them — the gap being exactly what switching the pipeline to
+    normalized keys would additionally remove.
+
+    Fixture honesty: two seeded feeds in disjoint negative id spaces
+    (the multimodal_blockhash doctrine) — a verbatim mirror (raw dups)
+    and an uppercased double-spaced mutant (normalized-only dups) —
+    witness every counter at every scale factor.  Cross-engine: Spark
+    regexp_replace is replace-all by default, DuckDB needs the 'g'
+    flag (documented trap).  Two hash group-bys + two joins back on
+    the hash — the dedup_exact shuffle shape twice; at 100 TB both
+    keys are uniform by construction."""
+    tune(spark)
+    d0 = load(spark, sf_dir, "documents")
+    base = d0.select("doc_id", "lang", "text")
+    mirror = d0.filter(F.col("doc_id") % 40 == 0).select(
+        (-2 * F.col("doc_id") - 1).alias("doc_id"), "lang", "text"
+    )
+    mutant = d0.filter(F.col("doc_id") % 40 == 20).select(
+        (-2 * F.col("doc_id") - 2).alias("doc_id"),
+        "lang",
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = base.unionByName(mirror).unionByName(mutant)
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    hashed = corpus.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("raw_h"),
+        F.md5(norm).alias("norm_h"),
+    )
+    raw_g = hashed.groupBy("raw_h").agg(F.count(F.lit(1)).alias("rc"))
+    norm_g = hashed.groupBy("norm_h").agg(F.count(F.lit(1)).alias("nc"))
+    j = hashed.join(raw_g, "raw_h").join(norm_g, "norm_h")
+    one = F.lit(1)
+    return j.groupBy("lang").agg(
+        F.count(one).alias("n_docs"),
+        F.sum(F.when(F.col("rc") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_raw_dup"),
+        F.sum(F.when(F.col("nc") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_norm_dup"),
+        F.sum(F.when((F.col("nc") > 1) & (F.col("rc") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_norm_only"),
+    )

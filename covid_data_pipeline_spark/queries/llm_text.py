@@ -1872,3 +1872,69 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ratio_micro"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains({_SQL_STOPWORDS}, x))) AS DOUBLE)
+                    / len(string_split(text, ' ')) >= 0.05
+                    THEN 'en' ELSE 'unknown' END AS detected
+        FROM documents
+    ),
+    cells AS (
+        SELECT lang AS labeled_lang, detected,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM t GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_lang
+        FROM cells GROUP BY labeled_lang
+    )
+    SELECT c.labeled_lang, c.detected, c.n,
+           CAST(floor(1000000.0 * c.n / t.n_lang + 0.5) AS BIGINT)
+               AS share_micro
+    FROM cells c JOIN tot t USING (labeled_lang)
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the evaluation rollup for
+    text_langid's detector against the labeled lang column: per
+    (labeled, detected) cell counts plus each label's detection-share,
+    which is exactly the artifact you read before trusting a classifier
+    as a corpus filter (here it shows the en-stopword heuristic firing
+    on 'en' and staying quiet elsewhere — and HOW quiet, per label).
+
+    One corpus-sized map stage (the same stopword-ratio arithmetic as
+    text_langid, so the two queries can never drift), one skinny
+    <=10-cell rollup, one broadcast share join.  All-integer until the
+    single micro-quantized share division."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    en_score = hits.cast("double") / F.size(toks)
+    t = d.select(
+        F.col("lang").alias("labeled_lang"),
+        F.when(en_score >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("detected"),
+    )
+    cells = t.groupBy("labeled_lang", "detected").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("labeled_lang").agg(F.sum("n").alias("n_lang"))
+    return cells.join(F.broadcast(tot), "labeled_lang").select(
+        "labeled_lang",
+        "detected",
+        "n",
+        F.floor(
+            F.lit(1000000.0) * F.col("n") / F.col("n_lang") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("share_micro"),
+    )

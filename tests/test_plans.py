@@ -968,3 +968,24 @@ def test_blockhash_dedup_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_lttb_folds_are_array_ops_no_python(spark):
+    """The 8 unrolled bucket argmaxes run as array expressions over one
+    ~30-element array per type — no Python, no partition-less window,
+    no cartesian."""
+    plan = plan_of(q("ts_lttb_downsample", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_langid_confusion_single_scan_broadcast_share(spark):
+    plan = plan_of(q("text_langid_confusion", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_normalized_dedup_no_cartesian(spark):
+    plan = plan_of(q("dedup_exact_normalized", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
