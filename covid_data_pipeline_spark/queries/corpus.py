@@ -2091,3 +2091,72 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.t").alias("day_idx"),
         F.col("u.v").alias("day_value"),
     )
+
+
+_KMV_K = 16  # bottom-k sketch size
+
+
+@query(
+    "sample_bottomk_sketch",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type, user_id,
+               (user_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} AS h
+        FROM du
+    ),
+    ranked AS (
+        SELECT event_type, user_id, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rk
+        FROM hashed
+    ),
+    bottom AS (SELECT * FROM ranked WHERE rk <= {_KMV_K}),
+    kth AS (
+        SELECT event_type, CAST(MAX(h) AS BIGINT) AS hk
+        FROM bottom GROUP BY event_type
+    )
+    SELECT b.event_type, CAST(b.rk AS BIGINT) AS rk, b.user_id,
+           CAST(({(_KMV_K - 1)} * {_SAMPLE_MOD}::BIGINT) // k.hk AS BIGINT)
+               AS kmv_est
+    FROM bottom b JOIN kth k USING (event_type)
+    """,
+)
+def sample_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k sketch per event_type: the k users with the
+    smallest deterministic Knuth-hash values — simultaneously a
+    MERGEABLE uniform sample (union two shards' bottom-k, re-take
+    bottom-k: exactly the whole's bottom-k) and a distinct-count
+    estimator ((k-1) * M / h_k), the hash-order dual of reservoir
+    sampling that needs no randomness and no coordination.
+
+    This is the 100 TB sampling architecture: every shard ships k
+    (hash, id) pairs, merges are k-sized, and the same sketch answers
+    "give me a stable uniform sample" and "roughly how many distinct"
+    — deterministic, so BOTH outputs (including the estimate, computed
+    with exact integer division on both engines) hash-check against
+    the oracle rather than needing an accuracy band.  Ties on hash
+    break by user_id; the rank window partitions per type over the
+    deduplicated (type, user) set."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type",
+        "user_id",
+        ((F.col("user_id") * _SAMPLE_MULT) % _SAMPLE_MOD).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    bottom = hashed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    kth = bottom.groupBy("event_type").agg(F.max("h").cast("long").alias("hk"))
+    est = F.expr(f"{(_KMV_K - 1) * _SAMPLE_MOD} div hk")
+    return bottom.join(F.broadcast(kth), "event_type").select(
+        "event_type",
+        F.col("rk").cast("long").alias("rk"),
+        "user_id",
+        est.cast("long").alias("kmv_est"),
+    )

@@ -187,3 +187,47 @@ def test_parquet_footer_profile_matches_logical_counts(spark):
     for et, (nf, nr, ng) in got.items():
         assert nr == want[et], (et, nr, want[et])
         assert nf >= 1 and ng >= nf  # at least one row group per file
+
+
+def test_bottomk_sketch_is_mergeable(spark):
+    """THE KMV property: bottom-k of the union of two shards' bottom-k
+    sketches equals the whole corpus's bottom-k — merges ship k rows,
+    never data.  Rebuild the sketch from parity-split shards and
+    assert exact equality with the registered query's sample set."""
+    from pyspark.sql import Window, functions as F
+
+    from covid_data_pipeline_spark.queries.corpus import (
+        _KMV_K, _SAMPLE_MOD, _SAMPLE_MULT,
+    )
+    from covid_data_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    want = {
+        (r["event_type"], r["rk"], r["user_id"])
+        for r in reg["sample_bottomk_sketch"].fn(spark, SF_ORACLE).collect()
+    }
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+
+    def bottom(df):
+        return (
+            df.select("event_type", "user_id")
+            .distinct()
+            .withColumn("h", (F.col("user_id") * _SAMPLE_MULT) % _SAMPLE_MOD)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _KMV_K)
+        )
+
+    s0 = bottom(e.filter(F.col("event_id") % 2 == 0))
+    s1 = bottom(e.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        s0.unionByName(s1)
+        .select("event_type", "user_id", "h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+    )
+    got = {
+        (r["event_type"], r["rk"], r["user_id"]) for r in merged.collect()
+    }
+    assert got == want

@@ -989,3 +989,11 @@ def test_normalized_dedup_no_cartesian(spark):
     plan = plan_of(q("dedup_exact_normalized", spark), mode="simple")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bottomk_sketch_rank_is_partitioned(spark):
+    """The KMV rank windows per type over the deduplicated (type,
+    user) set; the kth-hash joins back broadcast."""
+    plan = plan_of(q("sample_bottomk_sketch", spark), mode="extended")
+    assert "windowspecdefinition(event_type" in plan
+    assert "EvalPython" not in plan
