@@ -720,3 +720,55 @@ def stream_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sunk.join(F.broadcast(last), ["event_type", "n_seen"]).select(
         "event_type", "user_id", "est_count", "n_seen"
     )
+
+
+@query(
+    "stream_dedup_ttl",
+    oracle="""
+    SELECT event_id, user_id, content_hash FROM (
+        SELECT event_id, user_id, sha256(props) AS content_hash,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sha256(props)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)  # oracle-checked: in-order arrival => first arrival == earliest event
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming ``dropDuplicatesWithinWatermark`` — the
+    BOUNDED-STATE dedup (Spark 3.5+) that every unbounded-stream
+    docstring in this repo points at: first arrival of each
+    (user, content-hash) emits, repeats are dropped while the key is
+    in state, and state is EVICTED once the watermark passes its
+    event time + the 10-minute delay — so memory is bounded by keys
+    active per window, not keys ever seen (the difference between
+    this and plain dropDuplicates at 100 TB).
+
+    Why this true streaming run is hash-checkable (the
+    stream_stream_join precedent): the fixture stream arrives in
+    event-time order through a deterministic availableNow drain, so
+    (a) first ARRIVAL of a key is also its earliest (ts, event_id)
+    occurrence — matching the batch ROW_NUMBER oracle exactly — and
+    (b) a key's repeats all arrive before the watermark can evict its
+    state mid-duplicate-run, so no expired-key re-emission occurs
+    (verified: emission set == full-dedup set at all three scale
+    factors).  On an out-of-order production stream the emission set
+    would legitimately include post-eviction re-arrivals — that is
+    the API's documented trade of memory for exactness."""
+    from ..streaming import read_events_stream, run_available_now
+
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = read_events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        F.sha2("props", 256).alias("content_hash"),
+        "ts",
+    )
+    out = keyed.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "content_hash"]
+    )
+    return run_available_now(
+        out.select("event_id", "user_id", "content_hash"),
+        output_mode="append",
+    )
