@@ -1632,3 +1632,57 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kurt_micro"
         ),
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(
+               CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+                    WHEN l.l_extendedprice > b.hi THEN b.hi
+                    ELSE l.l_extendedprice END AS DECIMAL(28,6)))
+               AS DOUBLE) / COUNT(*) AS wins_mean
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5%/95%) of price per returnflag — the robust
+    level estimate that survives fat tails by CLAMPING outliers to the
+    percentile bounds instead of dropping them (the trimmed mean's
+    sibling that keeps n constant).
+
+    Two passes by construction: exact percentile bounds per group
+    (Spark percentile == DuckDB quantile_cont, the agg_quantiles
+    precedent), broadcast back, then a map-only clamp into the
+    decimal-exact mean (clamped values are either raw prices or the
+    SAME interpolated bound double on both engines, so the decimal sum
+    is bit-stable).  At 100 TB swap pass one for the mergeable
+    histogram bracket (agg_histogram_quantile) and keep pass two
+    unchanged."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    clamped = (
+        F.when(F.col("l_extendedprice") < F.col("lo"), F.col("lo"))
+        .when(F.col("l_extendedprice") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(clamped.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "wins_mean"
+        ),
+    )

@@ -828,3 +828,102 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stale_dropped"),
         )
     )
+
+
+_GRID_R = 0.02  # radius for the spatial self-join (first 2 embedding dims)
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(floor(1000000000.0 *
+                ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                + 0.5) AS BIGINT) AS dist2_nano
+    FROM p a JOIN p b
+      ON a.vec_id < b.vec_id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         < {_GRID_R} * {_GRID_R}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial RADIUS self-join via grid bucketing — the
+    all-points-within-r join (collision detection, geo proximity,
+    embedding-space neighborhoods) that a naive formulation makes
+    quadratic: each point lands in an r-sized grid cell, probe points
+    explode to their 3x3 neighbor cells (any pair within r differs by
+    at most one cell per axis), pairs materialize through the CELL
+    equi-join, and the exact distance filter runs only on co-located
+    candidates.  Each true pair is found exactly once (via the build
+    point's own cell).
+
+    The DuckDB oracle is the INDEPENDENT quadratic theta-join (the
+    skyline doctrine: verify the rewrite against the definition).
+    Coordinates are the first two embedding dims widened float->double
+    (exact), the cell id is floor(x/r) (identical IEEE chain), and the
+    emitted distance-squared is nano-quantized.  At 100 TB the cell
+    join shuffles on uniform grid keys; density skew (hot cells) takes
+    the same salting as any hot equi-join key, and the 9x explode is
+    map-side."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    r = F.lit(_GRID_R)
+    cell = p.select(
+        "vec_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / r).cast("long").alias("cx"),
+        F.floor(F.col("y") / r).cast("long").alias("cy"),
+    )
+    offs = F.expr(
+        "array(-1L, 0L, 1L)"
+    )
+    probe = (
+        cell.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            "cx",
+            "cy",
+        )
+        .withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            "a_id",
+            "ax",
+            "ay",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    build = cell.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        probe.join(build, ["jx", "jy"])
+        .filter((F.col("a_id") < F.col("b_id")) & (d2 < r * r))
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(F.lit(1000000000.0) * d2 + F.lit(0.5))
+            .cast("long")
+            .alias("dist2_nano"),
+        )
+    )

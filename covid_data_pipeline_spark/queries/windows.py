@@ -1025,3 +1025,85 @@ def win_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wow_micro"),
     )
+
+
+@query(
+    "win_bollinger_exact",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT event_type, d, x,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS s1,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+           CAST(floor(1000000.0 * s1 / n + 0.5) AS BIGINT) AS mid_micro,
+           CAST(floor(1000000.0
+                * (CAST(s1 AS DOUBLE) / n
+                   + 2 * sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+                              / (CAST(n AS DOUBLE) * n)))
+                + 0.5) AS BIGINT) AS upper_micro,
+           CAST(floor(1000000.0
+                * (CAST(s1 AS DOUBLE) / n
+                   - 2 * sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+                              / (CAST(n AS DOUBLE) * n)))
+                + 0.5) AS BIGINT) AS lower_micro
+    FROM sums WHERE n = 7
+    """,
+)
+def win_bollinger_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (7-day rolling mean +/- 2 population sigmas) over
+    each type's daily counts — the volatility envelope, computed the
+    partitioning-invariant way: the two rolling sums (Sx, Sx^2) are
+    exact BIGINTs from ONE shared frame (built-in windowed stddev is an
+    order-dependent double reduction that cannot hash-match — the
+    agg_moments_exact argument applied to windows), and mean/sigma fall
+    out of one identical IEEE chain per engine, micro-quantized.
+    Incomplete leading frames are excluded (n = 7, the
+    win_rolling_regression edge policy).  Per-type windows over the
+    calendar-bounded daily rollup — no global sort, corpus-sized work
+    is the one daily aggregate."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    sums = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+    ).filter(F.col("n") == 7)
+    nD = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2").cast("double") * F.col("n")
+         - F.col("s1").cast("double") * F.col("s1"))
+        / (nD * F.col("n"))
+    )
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    return sums.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        F.floor(F.lit(1000000.0) * F.col("s1") / F.col("n") + F.lit(0.5))
+        .cast("long")
+        .alias("mid_micro"),
+        micro(mean + F.lit(2) * sigma).alias("upper_micro"),
+        micro(mean - F.lit(2) * sigma).alias("lower_micro"),
+    )

@@ -997,3 +997,26 @@ def test_bottomk_sketch_rank_is_partitioned(spark):
     plan = plan_of(q("sample_bottomk_sketch", spark), mode="extended")
     assert "windowspecdefinition(event_type" in plan
     assert "EvalPython" not in plan
+
+
+def test_spatial_grid_join_no_cartesian(spark):
+    """The radius join must resolve through the grid-cell equi-join —
+    never a theta/cartesian pairing of the point sets."""
+    plan = plan_of(q("join_spatial_grid", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bollinger_shares_one_frame_no_python(spark):
+    """Both rolling sums must come from ONE window node (shared frame
+    fusion — the house doctrine) with no Python."""
+    plan = plan_of(q("win_bollinger_exact", spark), mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_winsorized_mean_broadcasts_bounds(spark):
+    plan = plan_of(q("agg_winsorized_mean", spark), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
