@@ -230,6 +230,29 @@ SHOWN = (
         "2·|customers| rows, not |orders|; customer side broadcasts.",
         False,
     ),
+    (
+        "analytics_skyline_pareto",
+        "Dominance via the broadcast size-histogram sweep "
+        "(BroadcastHashJoin back to the catalog, map-only filter) — the "
+        "catalog never self-joins; the quadratic NOT EXISTS lives only "
+        "in the DuckDB oracle.",
+        False,
+    ),
+    (
+        "join_spatial_grid",
+        "Radius self-join through the grid-cell equi-join (9x map-side "
+        "neighbor explode, exact distance filter on co-located "
+        "candidates only) — no cartesian, no theta-join.",
+        False,
+    ),
+    (
+        "ts_lttb_downsample",
+        "8 statically-unrolled bucket argmaxes as array folds over one "
+        "calendar-bounded array per key — the sequential LTTB "
+        "dependency never becomes a window or a driver loop; all "
+        "selection arithmetic is exact integer.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead
