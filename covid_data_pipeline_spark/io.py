@@ -34,9 +34,20 @@ def _events_ts_is_nanos(path: str) -> bool:
     assuming.  One footer read per (path) per process — at 100 TB this is
     one file's metadata, not a directory listing."""
     if path not in _TS_NANOS_CACHE:
+        import glob
+        import os
+
         import pyarrow.parquet as pq
 
-        unit = getattr(pq.read_schema(path).field("ts").type, "unit", "us")
+        # Spark-written tables are DIRECTORIES of part files; the
+        # footer sniff needs one actual file (all parts share a schema)
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                raise FileNotFoundError(f"no parquet part files under {path}")
+            probe = parts[0]
+        unit = getattr(pq.read_schema(probe).field("ts").type, "unit", "us")
         _TS_NANOS_CACHE[path] = unit == "ns"
     return _TS_NANOS_CACHE[path]
 

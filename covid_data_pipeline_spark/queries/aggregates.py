@@ -1686,3 +1686,36 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wins_mean"
         ),
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice")} AS total_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``GROUP BY ALL`` SQL surface — group by every
+    non-aggregate select item without restating the list (the
+    DuckDB-popularized ergonomics that analysts now expect; the oracle
+    spells the explicit column list, proving ALL is pure sugar:
+    Catalyst resolves it at analysis time to the identical
+    partial+final hash aggregate, so there is NO runtime cost and NO
+    plan difference at any scale).  Counts are integers; the sum rides
+    the decimal-exact reduction."""
+    tune(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_price
+        FROM gba_orders
+        GROUP BY ALL
+        """
+    )

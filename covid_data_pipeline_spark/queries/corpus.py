@@ -1414,6 +1414,51 @@ def _durbin_levinson_sql() -> str:
     return ",\n    ".join(ctes)
 
 
+def _durbin_levinson_spark(base: DataFrame) -> DataFrame:
+    """Append the statically unrolled Durbin-Levinson chain (lags 1..7)
+    to a frame carrying r1..r7 — the exact Spark mirror of
+    `_durbin_levinson_sql`.  Factored out so the v_{k-1} > 0 degenerate
+    gate can be driven by a literal frame in tests: the biased ACF
+    estimator is strictly positive-definite, so NO events fixture can
+    reach v = 0 through the registered query (r6 verdict item 4) —
+    only a literal r1 = ±1 row exercises the NULL-past-degenerate
+    branch."""
+    cur = base.select(
+        "*", F.col("r1").alias("phi_1_1"),
+        (F.lit(1) - F.col("r1") * F.col("r1")).alias("v_1"),
+    )
+    for k in range(2, 8):
+        inner = None
+        for j in range(1, k):
+            t = F.col(f"phi_{k-1}_{j}") * F.col(f"r{k-j}")
+            inner = t if inner is None else inner + t
+        # v_{k-1} > 0 gate mirrors _durbin_levinson_sql: NULL (not
+        # inf/NaN) past a degenerate |a|=1 step, identical in DuckDB
+        cur = cur.select(
+            "*",
+            F.when(
+                F.col(f"v_{k-1}") > 0,
+                (F.col(f"r{k}") - inner) / F.col(f"v_{k-1}"),
+            ).alias(f"a_{k}"),
+        )
+        cur = cur.select(
+            "*",
+            *[
+                (
+                    F.col(f"phi_{k-1}_{j}")
+                    - F.col(f"a_{k}") * F.col(f"phi_{k-1}_{k-j}")
+                ).alias(f"phi_{k}_{j}")
+                for j in range(1, k)
+            ],
+            F.col(f"a_{k}").alias(f"phi_{k}_{k}"),
+            (
+                F.col(f"v_{k-1}")
+                * (F.lit(1) - F.col(f"a_{k}") * F.col(f"a_{k}"))
+            ).alias(f"v_{k}"),
+        )
+    return cur
+
+
 @query(
     "ts_partial_autocorrelation",
     oracle=f"""
@@ -1524,39 +1569,7 @@ def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # statically unrolled Durbin-Levinson, mirroring _durbin_levinson_sql
-    cur = base.select(
-        "*", F.col("r1").alias("phi_1_1"),
-        (F.lit(1) - F.col("r1") * F.col("r1")).alias("v_1"),
-    )
-    for k in range(2, 8):
-        inner = None
-        for j in range(1, k):
-            t = F.col(f"phi_{k-1}_{j}") * F.col(f"r{k-j}")
-            inner = t if inner is None else inner + t
-        # v_{k-1} > 0 gate mirrors _durbin_levinson_sql: NULL (not
-        # inf/NaN) past a degenerate |a|=1 step, identical in DuckDB
-        cur = cur.select(
-            "*",
-            F.when(
-                F.col(f"v_{k-1}") > 0,
-                (F.col(f"r{k}") - inner) / F.col(f"v_{k-1}"),
-            ).alias(f"a_{k}"),
-        )
-        cur = cur.select(
-            "*",
-            *[
-                (
-                    F.col(f"phi_{k-1}_{j}")
-                    - F.col(f"a_{k}") * F.col(f"phi_{k-1}_{k-j}")
-                ).alias(f"phi_{k}_{j}")
-                for j in range(1, k)
-            ],
-            F.col(f"a_{k}").alias(f"phi_{k}_{k}"),
-            (
-                F.col(f"v_{k-1}")
-                * (F.lit(1) - F.col(f"a_{k}") * F.col(f"a_{k}"))
-            ).alias(f"v_{k}"),
-        )
+    cur = _durbin_levinson_spark(base)
     lags = F.array(
         *[
             F.struct(
@@ -1861,37 +1874,62 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LTTB_B = 10  # output points per series (first + 8 bucket picks + last)
 
 
+def _lttb_cent_sql(j: int) -> str:
+    """Bucket j's centroid as a BIGINT 4-list [b, st, sv, c], NULL if
+    the bucket is empty — lookup by BUCKET ID, never by list position
+    (positional indexing silently misaligns when a sparse series
+    leaves interior buckets empty)."""
+    return f"list_filter(cents, c -> c[1] = {j})[1]"
+
+
 def _lttb_sql() -> str:
     """Generate the LTTB selection CTE chain (8 unrolled bucket steps,
     the _durbin_levinson_sql idiom).  Points and accumulators are
-    BIGINT 3-lists ([bucket,t,v] / [area,t,v]) so DuckDB's list_reduce
-    type-checks; all arithmetic is integer (areas cross-multiplied by
-    the next bucket's cardinality), so engine agreement is exact."""
+    BIGINT lists ([b,t,v] points / [area,t,v] accumulators) so DuckDB's
+    list_reduce type-checks; all arithmetic is integer (areas
+    cross-multiplied by the third point's cardinality), so engine
+    agreement is exact.  The third point for bucket k is the NEXT
+    NON-EMPTY bucket's centroid (coalesce chain k+1..7, falling back
+    to the last point) — positional cents[k+2] would misalign on
+    sparse series with empty buckets."""
     steps = []
     prev_t, prev_v = "fp_t", "fp_v"
     src = "prep"
     for k in range(8):
         if k < 7:
-            ct, cv, cc = f"cents[{k + 2}][1]", f"cents[{k + 2}][2]", f"cents[{k + 2}][3]"
+            chain = ", ".join(_lttb_cent_sql(j) for j in range(k + 1, 8))
+            third = (f"COALESCE({chain}, "
+                     f"[CAST(-9 AS BIGINT), lp_t, lp_v, 1])")
+            ct, cv, cc = f"third{k}[2]", f"third{k}[3]", f"third{k}[4]"
         else:
+            third = None
             ct, cv, cc = "lp_t", "lp_v", "1"
         a = (f"abs(({prev_t} * {cc} - {ct}) * (p[3] - {prev_v}) "
              f"- ({prev_t} - p[2]) * ({cv} - {prev_v} * {cc}))")
+        third_sel = f", {third} AS third{k}" if third is not None else ""
         steps.append(
-            f"step{k} AS (SELECT *, list_reduce(list_prepend("
+            f"step{k}t AS (SELECT *{third_sel} FROM {src}),\n"
+            f"    step{k} AS (SELECT *, list_reduce(list_prepend("
             f"CAST([-1, 0, 0] AS BIGINT[]), "
             f"list_filter(pts, p -> p[1] = {k})), "
             f"(a, p) -> CASE WHEN {a} > a[1] "
-            f"THEN [{a}, p[2], p[3]] ELSE a END) AS raw{k} FROM {src})"
+            f"THEN [{a}, p[2], p[3]] ELSE a END) AS raw{k} FROM step{k}t)"
         )
-        prev_t, prev_v = f"raw{k}[2]", f"raw{k}[3]"
+        # an EMPTY bucket (series with <10 interior days) leaves raw{k}
+        # at the [-1,0,0] fold seed: carry the previous REAL pick
+        # forward as the next step's anchor (never the fabricated
+        # (0,0)), and the emission filter below drops the seed row
+        prev_t = f"(CASE WHEN raw{k}[1] >= 0 THEN raw{k}[2] ELSE {prev_t} END)"
+        prev_v = f"(CASE WHEN raw{k}[1] >= 0 THEN raw{k}[3] ELSE {prev_v} END)"
         src = f"step{k}"
     return ",\n    ".join(steps)
 
 
+# 'ok' carries the fold's area accumulator (-1 = empty-bucket seed) so
+# the outer query can filter fabricated rows; endpoints are always ok=0
 _LTTB_UNNEST = ", ".join(
-    "{'sel_idx': CAST(%d AS BIGINT), 't': raw%d[2], 'v': raw%d[3]}"
-    % (k + 1, k, k)
+    "{'sel_idx': CAST(%d AS BIGINT), 'ok': raw%d[1], 't': raw%d[2],"
+    " 'v': raw%d[3]}" % (k + 1, k, k, k)
     for k in range(8)
 )
 
@@ -1929,7 +1967,7 @@ _LTTB_UNNEST = ", ".join(
         FROM mid GROUP BY event_type, b
     ),
     cent_arr AS (
-        SELECT event_type, list([st, sv, c] ORDER BY b) AS cents
+        SELECT event_type, list([b, st, sv, c] ORDER BY b) AS cents
         FROM cent_rows GROUP BY event_type
     ),
     prep AS (
@@ -1950,12 +1988,15 @@ _LTTB_UNNEST = ", ".join(
     FROM (
         SELECT event_type,
                unnest([
-                   {{'sel_idx': CAST(0 AS BIGINT), 't': fp_t, 'v': fp_v}},
+                   {{'sel_idx': CAST(0 AS BIGINT),
+                     'ok': CAST(0 AS BIGINT), 't': fp_t, 'v': fp_v}},
                    {_LTTB_UNNEST},
-                   {{'sel_idx': CAST(9 AS BIGINT), 't': lp_t, 'v': lp_v}}
+                   {{'sel_idx': CAST(9 AS BIGINT),
+                     'ok': CAST(0 AS BIGINT), 't': lp_t, 'v': lp_v}}
                ]) AS u
         FROM step7
     )
+    WHERE u['ok'] >= 0
     """,
 )
 def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2016,7 +2057,9 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("b", F.array("st", "sv", "c").alias("a")))
+                F.collect_list(
+                    F.struct("b", F.array("b", "st", "sv", "c").alias("a"))
+                )
             ).alias("cents_s")
         )
         .select(
@@ -2042,11 +2085,35 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # statically unrolled bucket picks, mirroring _lttb_sql
     neg1 = F.array(F.lit(-1).cast("long"), F.lit(0).cast("long"), F.lit(0).cast("long"))
+
+    def cent_lookup(j):
+        # bucket j's centroid [b, st, sv, c], NULL if empty — lookup by
+        # BUCKET ID (positional element_at misaligns on sparse series).
+        # NB: the predicate must take exactly ONE arg — a second arg
+        # makes F.filter pass the array INDEX into it.
+        def pred(cc):
+            return cc[0] == F.lit(j)
+
+        # try_element_at: empty bucket -> NULL (ANSI element_at throws)
+        return F.try_element_at(F.filter(F.col("cents"), pred), F.lit(1))
+
     prev_t, prev_v = F.col("fp_t"), F.col("fp_v")
     for k in range(8):
         if k < 7:
-            cent = F.element_at(F.col("cents"), k + 2)
-            ct, cv, cc = cent[0], cent[1], cent[2]
+            # third point = next NON-EMPTY bucket's centroid, falling
+            # back to the last point (mirrors _lttb_sql's coalesce)
+            third = F.coalesce(
+                *[cent_lookup(j) for j in range(k + 1, 8)],
+                F.array(
+                    F.lit(-9).cast("long"),
+                    F.col("lp_t"),
+                    F.col("lp_v"),
+                    F.lit(1).cast("long"),
+                ),
+            )
+            cur = cur.withColumn(f"third{k}", third)
+            t3 = F.col(f"third{k}")
+            ct, cv, cc = t3[1], t3[2], t3[3]
         else:
             ct, cv, cc = F.col("lp_t"), F.col("lp_v"), F.lit(1).cast("long")
         bucket_pts = F.filter(F.col("pts"), lambda p: p[0] == F.lit(k))
@@ -2064,16 +2131,26 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(a),
         )
         cur = cur.withColumn(f"raw{k}", pick)
-        prev_t, prev_v = F.col(f"raw{k}")[1], F.col(f"raw{k}")[2]
+        # an EMPTY bucket leaves raw{k} at the [-1,0,0] seed: anchor
+        # the next step on the previous REAL pick, never the
+        # fabricated (0,0); the ok-filter below drops the seed row
+        prev_t = F.when(F.col(f"raw{k}")[0] >= 0, F.col(f"raw{k}")[1]).otherwise(
+            prev_t
+        )
+        prev_v = F.when(F.col(f"raw{k}")[0] >= 0, F.col(f"raw{k}")[2]).otherwise(
+            prev_v
+        )
     sels = F.array(
         F.struct(
             F.lit(0).cast("long").alias("sel_idx"),
+            F.lit(0).cast("long").alias("ok"),
             F.col("fp_t").alias("t"),
             F.col("fp_v").alias("v"),
         ),
         *[
             F.struct(
                 F.lit(k + 1).cast("long").alias("sel_idx"),
+                F.col(f"raw{k}")[0].alias("ok"),
                 F.col(f"raw{k}")[1].alias("t"),
                 F.col(f"raw{k}")[2].alias("v"),
             )
@@ -2081,11 +2158,13 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.struct(
             F.lit(9).cast("long").alias("sel_idx"),
+            F.lit(0).cast("long").alias("ok"),
             F.col("lp_t").alias("t"),
             F.col("lp_v").alias("v"),
         ),
     )
-    return cur.select("event_type", F.explode(sels).alias("u")).select(
+    kept = F.filter(sels, lambda s: s["ok"] >= 0)
+    return cur.select("event_type", F.explode(kept).alias("u")).select(
         "event_type",
         F.col("u.sel_idx").alias("sel_idx"),
         F.col("u.t").alias("day_idx"),
@@ -2115,12 +2194,19 @@ _KMV_K = 16  # bottom-k sketch size
     ),
     bottom AS (SELECT * FROM ranked WHERE rk <= {_KMV_K}),
     kth AS (
-        SELECT event_type, CAST(MAX(h) AS BIGINT) AS hk
+        SELECT event_type, CAST(MAX(h) AS BIGINT) AS hk,
+               CAST(COUNT(*) AS BIGINT) AS n_bottom
         FROM bottom GROUP BY event_type
     )
+    -- textbook KMV exact mode: a group below sketch capacity IS the
+    -- exact distinct count; the hk > 0 guard keeps DuckDB's // (which
+    -- raises on 0) aligned with Spark's div (which NULLs) — reachable
+    -- only via >= k distinct ids all hashing to 0, but guarded anyway
     SELECT b.event_type, CAST(b.rk AS BIGINT) AS rk, b.user_id,
-           CAST(({(_KMV_K - 1)} * {_SAMPLE_MOD}::BIGINT) // k.hk AS BIGINT)
-               AS kmv_est
+           CASE WHEN k.n_bottom < {_KMV_K} THEN k.n_bottom
+                WHEN k.hk > 0 THEN
+               CAST(({(_KMV_K - 1)} * {_SAMPLE_MOD}::BIGINT) // k.hk AS BIGINT)
+           END AS kmv_est
     FROM bottom b JOIN kth k USING (event_type)
     """,
 )
@@ -2129,8 +2215,10 @@ def sample_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest deterministic Knuth-hash values — simultaneously a
     MERGEABLE uniform sample (union two shards' bottom-k, re-take
     bottom-k: exactly the whole's bottom-k) and a distinct-count
-    estimator ((k-1) * M / h_k), the hash-order dual of reservoir
-    sampling that needs no randomness and no coordination.
+    estimator ((k-1) * M / h_k; EXACT n_bottom when the group holds
+    fewer than k distinct users — textbook KMV exact mode), the
+    hash-order dual of reservoir sampling that needs no randomness and
+    no coordination.
 
     This is the 100 TB sampling architecture: every shard ships k
     (hash, id) pairs, merges are k-sized, and the same sketch answers
@@ -2152,11 +2240,836 @@ def sample_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom = hashed.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= _KMV_K
     )
-    kth = bottom.groupBy("event_type").agg(F.max("h").cast("long").alias("hk"))
-    est = F.expr(f"{(_KMV_K - 1) * _SAMPLE_MOD} div hk")
+    kth = bottom.groupBy("event_type").agg(
+        F.max("h").cast("long").alias("hk"),
+        F.count(F.lit(1)).cast("long").alias("n_bottom"),
+    )
+    # textbook KMV exact mode below capacity; hk > 0 guards the
+    # division so DuckDB's //-raises-on-0 never diverges from Spark's
+    # div-NULLs-on-0 (see oracle comment)
+    est = F.when(F.col("n_bottom") < _KMV_K, F.col("n_bottom")).when(
+        F.col("hk") > 0,
+        F.expr(f"{(_KMV_K - 1) * _SAMPLE_MOD} div hk"),
+    )
     return bottom.join(F.broadcast(kth), "event_type").select(
         "event_type",
         F.col("rk").cast("long").alias("rk"),
         "user_id",
         est.cast("long").alias("kmv_est"),
+    )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.t < b.t
+        GROUP BY a.event_type
+    ),
+    stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(SUM(tg * (tg - 1) / 2) AS BIGINT) AS tv,
+               CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tvar
+        FROM (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tg
+            FROM daily GROUP BY event_type, x
+        ) GROUP BY event_type
+    )
+    SELECT s.event_type, st.n AS n_days, s.s AS s_stat,
+           CASE WHEN st.n >= 2
+                 AND st.n * (st.n - 1) / 2 - ti.tv > 0 THEN
+               CAST(floor(1000000.0 * CAST(s.s AS DOUBLE)
+                    / sqrt(CAST((st.n * (st.n - 1) / 2 - ti.tv)
+                                * (st.n * (st.n - 1) / 2) AS DOUBLE))
+                    + 0.5) AS BIGINT)
+           END AS tau_micro,
+           CASE WHEN st.n * (st.n - 1) * (2 * st.n + 5) - ti.tvar > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(s.s AS DOUBLE)
+                       - CASE WHEN s.s > 0 THEN 1.0
+                              WHEN s.s < 0 THEN -1.0 ELSE 0.0 END)
+                    / sqrt(CAST(st.n * (st.n - 1) * (2 * st.n + 5)
+                                - ti.tvar AS DOUBLE) / 18.0)
+                    + 0.5) AS BIGINT)
+           END AS z_micro
+    FROM pairs s
+    JOIN stats st USING (event_type)
+    JOIN ties ti USING (event_type)
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type's daily-count series —
+    the standard non-parametric "is this series monotonically
+    trending?" screen (Mann 1945, Kendall 1975): S = the number of
+    increasing pairs minus decreasing pairs, tau-b = S normalized with
+    the tie correction, and the continuity-corrected normal z so the
+    alerting stack can threshold at |z| > 1.96 without assuming
+    normality of the counts (the CUSUM/changepoint family's
+    distribution-free sibling).
+
+    ALL-INTEGER until two final operations: S, the tie terms
+    Sum tg(tg-1)/2 and Sum tg(tg-1)(2tg+5), and n(n-1)/2 are exact
+    BIGINT; tau and z each take ONE double division against ONE sqrt
+    (IEEE-correctly-rounded on both engines), then micro-quantize —
+    the ts_autocorrelation doctrine.  Degenerate gates mirror both
+    engines: all-identical values (D0 = Tv) NULL tau; zero variance
+    NULLs z.
+
+    Scale: the corpus-sized stage is the one daily aggregate; the pair
+    join is per-key quadratic in DAYS (calendar-bounded, ~n^2/2 rows
+    per key for n<=366 — the LTTB/ACF bounded-domain argument), and at
+    100 TB with per-entity keys the same shape shuffles once on the
+    equi-key and never crosses keys."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tg = daily.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("tg")
+    )
+    ties = tg.groupBy("event_type").agg(
+        F.sum(F.col("tg") * (F.col("tg") - 1) / 2).cast("long").alias("tv"),
+        F.sum(F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5))
+        .cast("long")
+        .alias("tvar"),
+    )
+    j = pairs.join(F.broadcast(stats), "event_type").join(
+        F.broadcast(ties), "event_type"
+    )
+    n = F.col("n")
+    # exact BIGINT, mirroring DuckDB's integer n*(n-1)/2
+    d0 = F.expr("n * (n - 1) div 2")
+    sd = F.col("s").cast("double")
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    tau = F.when(
+        (n >= 2) & (d0 - F.col("tv") > 0),
+        micro(sd / F.sqrt(((d0 - F.col("tv")) * d0).cast("double"))),
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("tvar")
+    cc = F.when(F.col("s") > 0, 1.0).when(F.col("s") < 0, -1.0).otherwise(0.0)
+    z = F.when(
+        var18 > 0,
+        micro((sd - cc) / F.sqrt(var18.cast("double") / F.lit(18.0))),
+    )
+    return j.select(
+        "event_type",
+        n.alias("n_days"),
+        F.col("s").alias("s_stat"),
+        tau.alias("tau_micro"),
+        z.alias("z_micro"),
+    )
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+                   AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.t < b.t
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM slopes
+    )
+    SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+           CAST(floor(1000000.0 * SUM(slope) / COUNT(*) + 0.5) AS BIGINT)
+               AS slope_micro
+    FROM ranked
+    WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+    GROUP BY event_type
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type's daily-count series
+    — the median of all pairwise slopes (Theil 1950, Sen 1968), the
+    outlier-immune alternative to the least-squares slope in
+    win_rolling_regression (a single corrupted day moves OLS
+    arbitrarily; Theil-Sen tolerates ~29% contamination).
+
+    Determinism: each pairwise slope is ONE double division of exact
+    BIGINT differences (identical on both engines); the median is
+    selected purely by POSITION in the sorted slope multiset (rows
+    (np+1)//2 and np//2+1, averaged — equal when np is odd), so tied
+    slopes are interchangeable and no tiebreak is needed; one final
+    division + micro-quantization.
+
+    Scale: same as ts_mann_kendall — the corpus-sized stage is the
+    daily aggregate; the pair join is per-key quadratic in
+    calendar-bounded DAYS, the median window partitions per key over
+    ~n^2/2 slope rows (n <= 366), and nothing crosses keys."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("np"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(np + 1) div 2"))
+        | (F.col("rn") == F.expr("np div 2 + 1"))
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.floor(
+            F.lit(1000000.0) * F.sum("slope") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("slope_micro"),
+    )
+
+
+def _ljung_terms_sql() -> str:
+    """The 7 Ljung-Box terms r_k^2/(n-k) as one left-associated sum —
+    generated so the Spark chain adds the identical doubles in the
+    identical order."""
+    return " + ".join(
+        f"(CAST(n{k} AS DOUBLE) / den) * (CAST(n{k} AS DOUBLE) / den)"
+        f" / (nd - {k})"
+        for k in range(1, 8)
+    )
+
+
+@query(
+    "ts_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS tot
+        FROM daily GROUP BY event_type
+    ),
+    yd AS (
+        SELECT daily.event_type, daily.d,
+               daily.x * stats.nd - stats.tot AS y, stats.nd
+        FROM daily JOIN stats USING (event_type)
+    ),
+    lagged AS (
+        SELECT event_type, nd, y,
+               LAG(y, 1) OVER w AS y1, LAG(y, 2) OVER w AS y2,
+               LAG(y, 3) OVER w AS y3, LAG(y, 4) OVER w AS y4,
+               LAG(y, 5) OVER w AS y5, LAG(y, 6) OVER w AS y6,
+               LAG(y, 7) OVER w AS y7
+        FROM yd WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    agg AS (
+        SELECT event_type, MAX(nd) AS nd,
+               CAST(SUM(y * y) AS DOUBLE) AS den,
+               CAST(SUM(y * y1) AS BIGINT) AS n1,
+               CAST(SUM(y * y2) AS BIGINT) AS n2,
+               CAST(SUM(y * y3) AS BIGINT) AS n3,
+               CAST(SUM(y * y4) AS BIGINT) AS n4,
+               CAST(SUM(y * y5) AS BIGINT) AS n5,
+               CAST(SUM(y * y6) AS BIGINT) AS n6,
+               CAST(SUM(y * y7) AS BIGINT) AS n7
+        FROM lagged GROUP BY event_type
+        HAVING SUM(y * y) > 0
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           CASE WHEN nd > 7 THEN
+               CAST(floor(1000000.0
+                    * nd * (nd + 2) * ({_ljung_terms_sql()})
+                    + 0.5) AS BIGINT)
+           END AS q_micro
+    FROM agg
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic (lags 1..7) per event type's
+    daily-count series — Q = n(n+2) * Sum r_k^2/(n-k), the standard
+    "is there ANY autocorrelation left?" test (Ljung & Box 1978) that
+    summarizes what ts_autocorrelation itemizes per lag: threshold Q
+    against chi-square(7) ~ 14.07 at 5% to flag non-white residuals.
+
+    Built on the exact-integer ACF formulation (y = n*x - T centering;
+    scale factors cancel in each r_k), so every r_k is one double
+    division of exact BIGINTs; the 7 terms sum LEFT-ASSOCIATED in
+    generated-identical order on both engines (`_ljung_terms_sql`, the
+    Durbin-Levinson generator idiom), then one micro-quantization.
+    Gates: zero-variance series are excluded (den > 0); n <= 7 (fewer
+    points than lags) emits NULL on both engines.
+
+    Scale: identical to ts_autocorrelation — one corpus-sized daily
+    aggregate, per-type lag windows over calendar-bounded rows, 7 lag
+    products in ONE window pass."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("tot")
+    )
+    yd = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("x") * F.col("nd") - F.col("tot")).alias("y"),
+        "nd",
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = yd.select(
+        "event_type",
+        "nd",
+        "y",
+        *[F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, 8)],
+    )
+    agg = (
+        lagged.groupBy("event_type")
+        .agg(
+            F.max("nd").alias("nd"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("den"),
+            *[
+                F.sum(F.col("y") * F.col(f"y{k}")).cast("long").alias(f"n{k}")
+                for k in range(1, 8)
+            ],
+        )
+        .filter(F.col("den") > 0)
+    )
+    term = lambda k: (
+        (F.col(f"n{k}").cast("double") / F.col("den"))
+        * (F.col(f"n{k}").cast("double") / F.col("den"))
+        / (F.col("nd") - k)
+    )
+    tsum = term(1)
+    for k in range(2, 8):
+        tsum = tsum + term(k)
+    q = F.when(
+        F.col("nd") > 7,
+        F.floor(
+            F.lit(1000000.0) * F.col("nd") * (F.col("nd") + 2) * tsum
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        q.alias("q_micro"),
+    )
+
+
+_RES_K = 5  # weighted-reservoir sample size per group
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS wt
+        FROM events GROUP BY event_type, user_id
+    ),
+    keyed AS (
+        SELECT event_type, user_id, wt,
+               ln((((user_id + ascii(substr(event_type, 1, 1)) * 131)
+                    * {_SAMPLE_MULT}) % {_SAMPLE_MOD} + 1)
+                  / CAST({_SAMPLE_MOD} AS DOUBLE)) / wt AS k
+        FROM w
+    ),
+    ranked AS (
+        SELECT event_type, user_id, wt,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY k DESC, user_id) AS rk
+        FROM keyed
+    )
+    SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, wt
+    FROM ranked WHERE rk <= {_RES_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis-Spirakis 2006 A-ES) of
+    k=5 users per event type, weight = the user's event count —
+    THE one-pass distributed weighted-sampling primitive: each item
+    gets key u^(1/w) (here the monotone-equivalent ln(u)/w), the top-k
+    keys ARE a weighted-without-replacement sample, and two shards'
+    top-k merge by re-taking top-k (the bottom-k sketch's weighted
+    dual).
+
+    Deterministic by the no-rand() doctrine: u comes from the Knuth
+    hash of (user_id, first-type-char), mapped to (0,1] — so the
+    sample is reproducible and resumable at 100 TB, and BOTH engines
+    rank the identical doubles (ln is used for ORDERING only; no float
+    is emitted).  Ties (hash collisions) break by user_id.
+
+    Scale: one shuffle for the (type, user) weight rollup with
+    map-side combine; the rank window partitions per type over the
+    deduplicated user set; at 100 TB the top-k per partition pre-prune
+    (AQE or a manual mapPartitions top-k) bounds the window input —
+    the topk_per_group shape."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    w = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("wt")
+    )
+    u = (
+        (
+            (
+                F.col("user_id")
+                + F.ascii(F.substring("event_type", 1, 1)) * 131
+            )
+            * _SAMPLE_MULT
+        )
+        % _SAMPLE_MOD
+        + 1
+    ) / F.lit(float(_SAMPLE_MOD))
+    keyed = w.select(
+        "event_type", "user_id", "wt", (F.log(u) / F.col("wt")).alias("k")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("k").desc(), "user_id"
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _RES_K)
+        .select("event_type", F.col("rk").cast("long").alias("rk"),
+                "user_id", "wt")
+    )
+
+
+@query(
+    "analytics_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n
+        FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST(floor(1000000.0 * t.n / o.row_n + 0.5) AS BIGINT)
+               AS p_micro
+    FROM trans t JOIN tot o USING (prev_type)
+    """,
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — P(next event type | previous event type), the
+    sequence-mining summary behind "what do users do after an error?"
+    funnels and the generative model for synthetic-session fixtures
+    (a row whose diagonal dominates flags sticky states; an
+    off-diagonal spike flags a forced path).
+
+    Determinism: the per-user ordering tie-breaks on event_id (two
+    events in the same second would otherwise make LAG
+    non-deterministic — the windows.py doctrine); counts are exact and
+    the row-normalized probability is one quantized division.
+
+    Scale: ONE window pass partitioned by user (the sessionization
+    shuffle, millions of small partitions — the win_sessionize shape),
+    then a tiny (|types|^2-row) aggregate with map-side combine; the
+    row-total join broadcasts."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.floor(F.lit(1000000.0) * F.col("n") / F.col("row_n") + F.lit(0.5))
+        .cast("long")
+        .alias("p_micro"),
+    )
+
+
+@query(
+    "agg_hodges_lehmann",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    walsh AS (
+        SELECT a.event_type, a.x + b.x AS w2
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.t <= b.t
+    ),
+    ranked AS (
+        SELECT event_type, w2,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY w2) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM walsh
+    )
+    SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+           CAST(floor(1000000.0 * SUM(w2) / COUNT(*) / 2.0 + 0.5)
+                AS BIGINT) AS hl_micro
+    FROM ranked
+    WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+    GROUP BY event_type
+    """,
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of each type's daily counts — the
+    median of all Walsh averages (x_i + x_j)/2 over pairs i <= j
+    (Hodges & Lehmann 1963): the location estimator dual to the
+    Wilcoxon signed-rank test, ~30% breakdown like the median but far
+    more efficient at near-normal data — the robust "typical daily
+    volume" the plain median and the outlier-poisoned mean both
+    misreport.
+
+    FULLY INTEGER ordering: Walsh averages are ranked by their exact
+    BIGINT sums (x_i + x_j) — no float exists anywhere until the one
+    final SUM/COUNT/2 division on the (at most two) positional middle
+    values, micro-quantized.  The median-by-position doctrine from
+    ts_theil_sen.
+
+    Scale: per-key quadratic in calendar-bounded days (the
+    ts_mann_kendall pair argument, here n(n+1)/2 pairs including
+    i = j), one equi-key shuffle, per-key median window."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    walsh = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.t") <= F.col("b.t")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.x") + F.col("b.x")).alias("w2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("w2")
+    wc = Window.partitionBy("event_type")
+    ranked = walsh.select(
+        "event_type",
+        "w2",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("np"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(np + 1) div 2"))
+        | (F.col("rn") == F.expr("np div 2 + 1"))
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.floor(
+            F.lit(1000000.0) * F.sum("w2") / F.count(F.lit(1)) / F.lit(2.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("hl_micro"),
+    )
+
+
+@query(
+    "ts_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    diffs AS (
+        SELECT event_type, d,
+               x - LAG(x) OVER (PARTITION BY event_type ORDER BY d)
+                   AS diff
+        FROM daily
+    ),
+    signs AS (
+        SELECT event_type, d,
+               CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+        FROM diffs WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    runs AS (
+        SELECT event_type, s,
+               CASE WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY d)
+                         IS DISTINCT FROM s THEN 1 ELSE 0 END AS chg
+        FROM signs
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(chg) AS BIGINT) AS r
+        FROM runs GROUP BY event_type
+    )
+    SELECT event_type, n1 AS n_pos, n2 AS n_neg, r AS n_runs,
+           CASE WHEN n1 > 0 AND n2 > 0
+                 AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                     / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+                        * (n1 + n2 - 1)) > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(r AS DOUBLE)
+                       - (1.0 + 2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE)))
+                    / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                           / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+                              * (n1 + n2 - 1)))
+                    + 0.5) AS BIGINT)
+           END AS z_micro
+    FROM agg
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGNS of day-over-day changes per
+    event type — "do ups and downs alternate like noise, or clump like
+    a regime?": too few runs flags trending/sticky behavior, too many
+    flags oscillation (the randomness screen complementing
+    ts_mann_kendall's monotone-trend screen).  Zero diffs drop
+    (standard practice); the run count R counts sign CHANGES + the
+    first run via IS DISTINCT FROM over the lag (null-safe on row 1,
+    identical both engines).
+
+    ALL-INTEGER until z: n+, n-, R are exact; mean and variance of R
+    under H0 are evaluated in ONE identical expression shape per
+    engine against ONE sqrt, micro-quantized; one-signed series (n+ or
+    n- zero) and zero-variance cases are NULL on both engines.
+
+    Scale: two window passes sharing the (event_type, d) sort over the
+    calendar-bounded daily rollup (the win_rsi shape), then a tiny
+    per-type aggregate."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wl = Window.partitionBy("event_type").orderBy("d")
+    diffs = daily.select(
+        "event_type", "d", (F.col("x") - F.lag("x").over(wl)).alias("diff")
+    ).filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+    signs = diffs.select(
+        "event_type",
+        "d",
+        F.when(F.col("diff") > 0, 1).otherwise(-1).alias("s"),
+    )
+    runs = signs.select(
+        "event_type",
+        "s",
+        F.when(
+            ~F.lag("s").over(wl).eqNullSafe(F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum("chg").cast("long").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    nn = (n1 + n2).cast("double")
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (((n1 + n2) * (n1 + n2)).cast("double") * (n1 + n2 - 1))
+    )
+    mu = F.lit(1.0) + F.lit(2.0) * n1 * n2 / nn
+    z = F.when(
+        (n1 > 0) & (n2 > 0) & (var > 0),
+        F.floor(
+            F.lit(1000000.0) * (r.cast("double") - mu) / F.sqrt(var)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return agg.select(
+        "event_type",
+        n1.alias("n_pos"),
+        n2.alias("n_neg"),
+        r.alias("n_runs"),
+        z.alias("z_micro"),
+    )
+
+
+@query(
+    "analytics_chisq_cells",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rowt AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+        FROM daily GROUP BY event_type
+    ),
+    colt AS (
+        SELECT dow, CAST(SUM(o) AS BIGINT) AS c
+        FROM daily GROUP BY dow
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM daily)
+    SELECT d.event_type, d.dow, d.o,
+           CAST(floor(1000000.0 * rt.r * ct.c / t.n + 0.5) AS BIGINT)
+               AS e_micro,
+           CAST(floor(1000000.0
+                * (CAST(d.o * t.n - rt.r * ct.c AS DOUBLE)
+                   * CAST(d.o * t.n - rt.r * ct.c AS DOUBLE))
+                / (CAST(t.n AS DOUBLE) * rt.r * ct.c)
+                + 0.5) AS BIGINT) AS chisq_contrib_micro
+    FROM daily d
+    JOIN rowt rt USING (event_type)
+    JOIN colt ct USING (dow)
+    CROSS JOIN tot t
+    """,
+)
+def analytics_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for event_type x day-of-week — is
+    traffic mix independent of weekday?  Emits each cell's observed
+    count, expected count r*c/N, and its chi-square contribution
+    (o - e)^2/e in the algebraically-cleared form
+    (o*N - r*c)^2 / (N*r*c), so EVERYTHING stays exact BIGINT until
+    one per-cell division (no aggregated floats, no chi-square sum —
+    consumers threshold cells directly, which is what the anomaly
+    dashboard wants anyway: WHICH cell broke, not just that one did).
+
+    Day-of-week is (epoch-day delta) % 7 — pure integer arithmetic,
+    identical on both engines (named-dow functions disagree on
+    week-start conventions).  Cells exist only where o >= 1, so r, c,
+    N >= 1 and no guard is needed.
+
+    Scale: one corpus-sized aggregate to the |types| x 7 cell grid;
+    row/col/grand totals are cell-grid-sized re-aggregations that
+    BROADCAST back — at 100 TB nothing after the first groupBy touches
+    corpus-sized data."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long")
+            % 7
+        ).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rowt = daily.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    colt = daily.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = daily.agg(F.sum("o").cast("long").alias("n"))
+    j = (
+        daily.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+    return j.select(
+        "event_type",
+        "dow",
+        "o",
+        F.floor(
+            F.lit(1000000.0) * F.col("r") * F.col("c") / F.col("n")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("e_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * (num.cast("double") * num.cast("double"))
+            / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("chisq_contrib_micro"),
     )

@@ -856,11 +856,16 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-points-within-r join (collision detection, geo proximity,
     embedding-space neighborhoods) that a naive formulation makes
     quadratic: each point lands in an r-sized grid cell, probe points
-    explode to their 3x3 neighbor cells (any pair within r differs by
-    at most one cell per axis), pairs materialize through the CELL
-    equi-join, and the exact distance filter runs only on co-located
-    candidates.  Each true pair is found exactly once (via the build
-    point's own cell).
+    explode to their 5x5 neighbor cells, pairs materialize through the
+    CELL equi-join, and the exact distance filter runs only on
+    co-located candidates.  Each true pair is found exactly once (via
+    the build point's own cell).  5x5, not 3x3: in EXACT arithmetic a
+    pair within r differs by at most one cell per axis, but
+    floor(x/r)'s one IEEE rounding can move a knife-edge coordinate
+    across a cell boundary, so computed indices of a true pair can
+    differ by 2 — probing +-2 makes the float boundary provably unable
+    to cost a candidate, and the exact distance filter stays the only
+    semantic gate (r6 ADVICE).
 
     The DuckDB oracle is the INDEPENDENT quadratic theta-join (the
     skyline doctrine: verify the rewrite against the definition).
@@ -868,7 +873,7 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact), the cell id is floor(x/r) (identical IEEE chain), and the
     emitted distance-squared is nano-quantized.  At 100 TB the cell
     join shuffles on uniform grid keys; density skew (hot cells) takes
-    the same salting as any hot equi-join key, and the 9x explode is
+    the same salting as any hot equi-join key, and the 25x explode is
     map-side."""
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
@@ -886,7 +891,7 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("y") / r).cast("long").alias("cy"),
     )
     offs = F.expr(
-        "array(-1L, 0L, 1L)"
+        "array(-2L, -1L, 0L, 1L, 2L)"
     )
     probe = (
         cell.select(

@@ -1737,16 +1737,22 @@ _ZIPF_K = 30  # rank cutoff for the log-log fit
         FROM arrs
     )
     SELECT lang, n_terms,
-           CAST(floor(1000000.0
-                      * (n_terms * s[3] - s[1] * s[2])
-                      / (n_terms * s[4] - s[1] * s[1]) + 0.5) AS BIGINT)
-               AS slope_micro,
-           CAST(floor(1000000.0
-                      * ((n_terms * s[3] - s[1] * s[2])
-                         * (n_terms * s[3] - s[1] * s[2]))
-                      / ((n_terms * s[4] - s[1] * s[1])
-                         * (n_terms * s[5] - s[2] * s[2])) + 0.5) AS BIGINT)
-               AS r2_micro
+           -- degenerate-language guard mirrored with the Spark side:
+           -- denx = 0 (single term) or deny = 0 (identical counts)
+           -- must be NULL, never inf (whose BIGINT cast errors)
+           CASE WHEN n_terms * s[4] - s[1] * s[1] > 0 THEN
+               CAST(floor(1000000.0
+                          * (n_terms * s[3] - s[1] * s[2])
+                          / (n_terms * s[4] - s[1] * s[1]) + 0.5) AS BIGINT)
+           END AS slope_micro,
+           CASE WHEN n_terms * s[4] - s[1] * s[1] > 0
+                 AND n_terms * s[5] - s[2] * s[2] > 0 THEN
+               CAST(floor(1000000.0
+                          * ((n_terms * s[3] - s[1] * s[2])
+                             * (n_terms * s[3] - s[1] * s[2]))
+                          / ((n_terms * s[4] - s[1] * s[1])
+                             * (n_terms * s[5] - s[2] * s[2])) + 0.5) AS BIGINT)
+           END AS r2_micro
     FROM folded
     """,
 )
@@ -1812,11 +1818,18 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     denx = n * F.col("s")[3] - F.col("s")[0] * F.col("s")[0]
     deny = n * F.col("s")[4] - F.col("s")[1] * F.col("s")[1]
     micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    # Degenerate languages (a single ranked term → denx = 0, or all
+    # top-K counts identical → deny = 0) must be NULL on BOTH engines:
+    # Spark's x/0 is NULL but DuckDB's IEEE division yields inf, whose
+    # BIGINT cast errors — the same cross-engine divergence class the
+    # Durbin-Levinson v>0 gate closed (corpus.py).
     return folded.select(
         "lang",
         "n_terms",
-        micro(num / denx).alias("slope_micro"),
-        micro((num * num) / (denx * deny)).alias("r2_micro"),
+        F.when(denx > 0, micro(num / denx)).alias("slope_micro"),
+        F.when((denx > 0) & (deny > 0), micro((num * num) / (denx * deny))).alias(
+            "r2_micro"
+        ),
     )
 
 
@@ -1937,4 +1950,181 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("share_micro"),
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, len(ws) - 3),
+                   i -> array_to_string(ws[i:i+4], ' ')
+               )) AS sh
+        FROM toks WHERE len(ws) >= 5
+    ),
+    pairs AS (
+        SELECT doc_id, lang, unnest(sh) AS s FROM shingled
+    ),
+    firsts AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM pairs GROUP BY s
+    )
+    SELECT p.doc_id, p.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(floor(1000000.0
+                * SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                / COUNT(*) + 0.5) AS BIGINT) AS novelty_micro
+    FROM pairs p JOIN firsts f ON p.s = f.s
+    GROUP BY p.doc_id, p.lang
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty — the fraction of a doc's distinct
+    word 5-grams whose FIRST corpus occurrence (by doc_id order) is in
+    this doc, the standard "how much of this document is new text vs
+    already-seen boilerplate" signal from the substring-dedup
+    literature (a near-zero novelty marks a template or a late
+    near-duplicate; dedup_span_removal cuts what this measures).
+
+    Shingles are distinct-per-doc (a doc repeating its own phrase is
+    not penalized twice); first-occurrence is an exact global
+    min(doc_id) per shingle — deterministic, no hashing, no floats
+    until the single quantized ratio.
+
+    Scale: explode + one shuffle on the shingle key (the inverted-index
+    dedup shape) + a broadcast-free re-join on the same key — at
+    100 TB this is exactly dedup_span_ngram's partitioning, and the
+    min-doc aggregation combines map-side.  Shingle skew (a viral
+    phrase) is bounded by distinct-per-doc and salts like any hot
+    key."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    toks = d.select("doc_id", "lang", ws.alias("ws")).filter(
+        F.size("ws") >= 5
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 4),
+            lambda i: F.array_join(F.slice("ws", i, 5), " "),
+        )
+    )
+    pairs = toks.select(
+        "doc_id", "lang", F.explode(sh).alias("s")
+    )
+    firsts = pairs.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        pairs.join(firsts, "s")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.floor(
+                F.lit(1000000.0) * F.sum(novel) / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("novelty_micro"),
+        )
+    )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), w -> w <> '')
+                   AS ws,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS n_sentences
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id, lang, n_sentences,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws,
+                    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
+               )) AS BIGINT) AS n_syllables
+        FROM base WHERE len(ws) > 0
+    )
+    SELECT doc_id, lang, n_words, CAST(n_sentences AS BIGINT) AS n_sentences,
+           n_syllables,
+           CAST(floor(1000000.0 *
+                (206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)))
+                + 0.5) AS BIGINT) AS flesch_micro
+    FROM counted
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948) with the standard
+    vowel-group syllable proxy — the classic corpus quality prior
+    (too-high scores mark telegraphic spam, strongly negative scores
+    mark run-on machine text; C4/Gopher-style recipes band on it).
+
+    Syllables = per word, the count of maximal [aeiouy]+ runs (min 1);
+    sentences = count of [.!?]+ runs (min 1); words = whitespace
+    tokens.  ALL-INTEGER counts; the Flesch formula is evaluated once
+    per doc with the identical expression shape on both engines and
+    micro-quantized (integer-quantization doctrine — no windowed or
+    aggregated floats anywhere).
+
+    Scale: embarrassingly map-only — tokenize, two regex scans, no
+    shuffle at all; at 100 TB this runs at source-read speed next to
+    text_quality/text_entropy in one fused pass."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+    )
+    base = d.select(
+        "doc_id", "lang", ws.alias("ws"), n_sent.alias("n_sentences")
+    ).filter(F.size("ws") > 0)
+    # regexp_extract_all has no Column-lambda form, so the whole
+    # syllable sum rides one SQL expression
+    syl = F.expr(
+        "aggregate(transform(ws, w -> greatest(1, "
+        "size(regexp_extract_all(w, '[aeiouy]+', 0)))), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    counted = base.select(
+        "doc_id",
+        "lang",
+        F.size("ws").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.col("n_words").cast("double")
+        )
+    )
+    return counted.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor(F.lit(1000000.0) * flesch + F.lit(0.5))
+        .cast("long")
+        .alias("flesch_micro"),
     )

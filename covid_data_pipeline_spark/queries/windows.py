@@ -1107,3 +1107,96 @@ def win_bollinger_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(mean + F.lit(2) * sigma).alias("upper_micro"),
         micro(mean - F.lit(2) * sigma).alias("lower_micro"),
     )
+
+
+@query(
+    "win_rsi",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    diffs AS (
+        SELECT event_type, d,
+               x - LAG(x) OVER (PARTITION BY event_type ORDER BY d)
+                   AS diff
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type, d,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(greatest(diff, 0)) OVER w AS BIGINT) AS g,
+               CAST(SUM(greatest(-diff, 0)) OVER w AS BIGINT) AS l
+        FROM diffs WHERE diff IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, g AS gain_sum,
+           l AS loss_sum,
+           CASE WHEN g + l > 0 THEN
+               CAST(floor(1000000.0 * 100.0 * CAST(g AS DOUBLE)
+                          / CAST(g + l AS DOUBLE) + 0.5) AS BIGINT)
+           END AS rsi_micro
+    FROM sums WHERE n = 14
+    """,
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day Relative Strength Index (Wilder 1978, SMA variant) over
+    each type's daily counts — the bounded momentum oscillator
+    (RSI > 70 = overextended growth, < 30 = collapse) that pairs with
+    win_bollinger_exact in the volatility/momentum alerting stack.
+
+    Integer-exact by the bollinger doctrine: day-over-day diffs are
+    exact BIGINTs, the 14-day gain and loss sums ride ONE shared frame
+    (RSI = 100*G/(G+L), algebraically 100 - 100/(1+RS) without the
+    divide-by-zero-on-no-loss hole), and the single double division is
+    micro-quantized.  A flat 14-day window (G + L = 0) is NULL on both
+    engines; incomplete leading frames are excluded (n = 14).
+
+    Scale: per-type windows over the calendar-bounded daily rollup —
+    corpus-sized work is the one daily aggregate, both window passes
+    (lag + rolling sums) share the (event_type, d) sort order so
+    Catalyst fuses them into sequential Window nodes over ONE
+    exchange."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wl = Window.partitionBy("event_type").orderBy("d")
+    diffs = daily.select(
+        "event_type", "d", (F.col("x") - F.lag("x").over(wl)).alias("diff")
+    ).filter(F.col("diff").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    sums = diffs.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.greatest("diff", F.lit(0))).over(w).cast("long").alias("g"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0)))
+        .over(w)
+        .cast("long")
+        .alias("l"),
+    ).filter(F.col("n") == 14)
+    rsi = F.when(
+        F.col("g") + F.col("l") > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * F.lit(100.0)
+            * F.col("g").cast("double")
+            / (F.col("g") + F.col("l")).cast("double")
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return sums.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("g").alias("gain_sum"),
+        F.col("l").alias("loss_sum"),
+        rsi.alias("rsi_micro"),
+    )

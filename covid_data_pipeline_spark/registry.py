@@ -73,72 +73,68 @@ _loaded = False
 # driver ever samples differently, the local preflight remains the
 # source of truth.
 #
-# Round-6 window (gen_showcase.py): after r5, exactly 34 oracle-backed
-# queries had never been driver-sampled (the 8 pre-committed r5
-# deferrals + the 26 r5 additions).  34 + 5 flagship re-witness slots
-# leaves 11 free slots, spent on the stalest external rows: 10 r1-only
-# witnesses plus agg_approx_percentile, whose ONLY external record was
-# the r1 harness crash (unhashable list column, fixed r3) and which is
-# newly oracle-backed this round (exact-mode GK sketch vs DuckDB
-# quantile_disc) — this row supersedes the crash.
-# (Rows-only ids — sketches, LSH/ANN, side-effect sinks — are never
-# driver-witnessable; their accuracy/recall contracts live in tests/.)
+# Round-7 window (gen_showcase.py): after r6, exactly 19 oracle-backed
+# ids (the r6 additions, landed after the r6 window locked) and 18
+# rows-only ids had never been driver-sampled.  5 flagship re-witness
+# slots + 19 never-witnessed oracle-backed + 18 never-witnessed
+# rows-only (the driver records rows>0 + schema for these — a weaker
+# but real external witness, per the r6 judge's "every registered id
+# has at least one external row by end of r8") leaves 8 free slots:
+# join_bloom_runtime (dropped from the r6 window, last r1) plus the 7
+# stalest r1-only witnesses.
 SHOWCASE = (
-    # flagship re-witness slots (standing, every round)
-    "agg_groupby",
-    "join_inner",
-    "dedup_exact",
-    "dedup_near_jaccard",
-    "sim_topk_neighbors",
-    # never-witnessed: pre-r5 deferrals + r5 additions (34)
-    "scan_text_roundtrip",
-    "sql_lateral_topk",
-    "join_asof_tolerance",
-    "agg_decay_weighted",
-    "sql_pivot_clause",
-    "agg_weighted_median",
-    "agg_entropy_by_group",
-    "dedup_span_ngram",
-    "dedup_span_removal",
-    "dedup_source_report",
-    "stream_decay_weighted",
-    "graph_jaccard_neighbors",
-    "agg_gini_coefficient",
-    "analytics_rfm_segmentation",
-    "agg_hhi_concentration",
-    "analytics_abc_classification",
-    "text_collocation_pmi",
-    "quality_percentile_buckets",
-    "text_keyphrase_rake",
-    "text_js_divergence",
-    "text_hapax_ratio",
-    "ts_resample_ohlc",
-    "corpus_shuffle_order",
-    "ts_interpolate_linear",
-    "sample_negative_pairs",
-    "ts_seasonal_decompose",
-    "ts_cusum_changepoint",
-    "ts_autocorrelation",
-    "ts_holt_winters",
-    "win_drawdown",
-    "ts_partial_autocorrelation",
-    "win_rolling_regression",
-    "corpus_temperature_mix",
-    "embed_random_projection",
-    # supersede the r1 crash row with a fresh oracle-backed witness
-    "agg_approx_percentile",
-    # stalest external rows (last witnessed r1)
-    "scan_projected",
-    "source_union_registry",
-    "filter_like",
-    "join_left",
-    "join_right",
-    "join_broadcast",
-    "join_cross",
-    "join_skew_salted",
-    "join_bucketed",
-    "agg_count_distinct",
+    "agg_groupby",  # flagship re-witness
+    "join_inner",  # flagship re-witness
+    "dedup_exact",  # flagship re-witness
+    "dedup_near_jaccard",  # flagship re-witness
+    "sim_topk_neighbors",  # flagship re-witness
+    "scan_fixed_width",  # never witnessed
+    "source_calendar_spine",  # never witnessed
+    "join_spatial_grid",  # never witnessed
+    "agg_moments_exact",  # never witnessed
+    "agg_winsorized_mean",  # never witnessed
+    "win_hampel_outliers",  # never witnessed
+    "win_week_over_week",  # never witnessed
+    "win_bollinger_exact",  # never witnessed
+    "cast_try_permissive",  # never witnessed
+    "dedup_exact_normalized",  # never witnessed
+    "stream_dedup_ttl",  # never witnessed
+    "analytics_skyline_pareto",  # never witnessed
+    "text_zipf_fit",  # never witnessed
+    "text_langid_confusion",  # never witnessed
+    "multimodal_blockhash_dedup",  # never witnessed
+    "ts_twa",  # never witnessed
+    "ts_croston",  # never witnessed
+    "ts_lttb_downsample",  # never witnessed
+    "sample_bottomk_sketch",  # never witnessed
+    "sink_compact_small_files",  # never witnessed (rows-only)
+    "profile_parquet_footers",  # never witnessed (rows-only)
+    "agg_sliding_sketch_union",  # never witnessed (rows-only)
+    "stream_stateful_totals",  # never witnessed (rows-only)
+    "stream_change_detect",  # never witnessed (rows-only)
+    "dedup_minhash_lsh",  # never witnessed (rows-only)
+    "dedup_containment_lsh",  # never witnessed (rows-only)
+    "stream_spacesaving_topk",  # never witnessed (rows-only)
+    "sim_ann_bucketed",  # never witnessed (rows-only)
+    "sim_ann_ivf",  # never witnessed (rows-only)
+    "sim_pq_adc_rerank",  # never witnessed (rows-only)
+    "dedup_semdedup_kmeans",  # never witnessed (rows-only)
+    "text_bpe_train",  # never witnessed (rows-only)
+    "text_bpe_compression",  # never witnessed (rows-only)
+    "text_bpe_encode",  # never witnessed (rows-only)
+    "text_compression_ratio",  # never witnessed (rows-only)
+    "sim_kmeans_lloyd",  # never witnessed (rows-only)
+    "sim_pca_project",  # never witnessed (rows-only)
+    "join_bloom_runtime",  # last r1
+    "select_distinct",  # last r1
+    "agg_having",  # last r1
+    "agg_rollup",  # last r1
+    "agg_cube",  # last r1
+    "agg_stats",  # last r1
+    "agg_quantiles",  # last r1
+    "reshape_unpivot",  # last r1
 )
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (idempotent) and return the registry,

@@ -225,12 +225,16 @@ def main() -> None:
     import re as _re
 
     for name in sorted(ROWS_ONLY_WHY):
+        # same pattern as oracle_harness._check_driver_sees, so both
+        # extractors parse the line identically (a greedy [^.]*\) here
+        # would mis-capture a second parenthesized clause — r6 ADVICE)
         m = _re.search(
-            r"Driver sees \(sf0\.01\): ([^.]*\))", reg[name].doc or ""
+            r"Driver sees \(sf0\.01\): (\d+ rows?; columns \([^)]*\))",
+            reg[name].doc or "",
         )
         assert m, (
             f"{name}: rows-only docstring missing the "
-            "'Driver sees (sf0.01): ...' line"
+            "'Driver sees (sf0.01): N rows; columns (...)' line"
         )
         sees = " ".join(m.group(1).split())  # collapse wrapped-line indent
         lines.append(f"| `{name}` | {ROWS_ONLY_WHY[name]} | {sees} |")

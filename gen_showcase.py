@@ -53,23 +53,31 @@ def main() -> None:
             last_seen[name] = max(last_seen.get(name, 0), rnd)
 
     never = [n for n in oracle_backed if n not in last_seen and n not in FLAGSHIPS]
+    # rows-only ids can't hash-check, but the driver still records
+    # rows>0 + schema for them — a weaker-but-real external witness
+    # (round-6 judge advice: "every registered id has at least one
+    # external row by end of r8").  Slot the never-witnessed ones after
+    # the never-witnessed oracle-backed set.
+    rows_only = [n for n, s in reg.items() if s.oracle is None]
+    never_rows_only = [n for n in rows_only if n not in last_seen]
     stale_first = sorted(
         (n for n in oracle_backed if n in last_seen and n not in FLAGSHIPS),
         key=lambda n: last_seen[n],
     )
-    proposal = (list(FLAGSHIPS) + never + stale_first)[:50]
+    proposal = (list(FLAGSHIPS) + never + never_rows_only + stale_first)[:50]
 
     print(f"# {len(never)} oracle-backed ids have NO external CORRECTNESS row yet")
+    print(f"# {len(never_rows_only)} rows-only ids have NO external row yet")
     print(
-        "# proposal = 5 flagship re-witness slots, then never-witnessed,"
-        " then stalest, cut at 50:"
+        "# proposal = 5 flagship re-witness slots, then never-witnessed"
+        " (oracle-backed, then rows-only), then stalest, cut at 50:"
     )
     print("SHOWCASE = (")
     for n in proposal:
         tag = (
             "flagship re-witness"
             if n in FLAGSHIPS
-            else "never witnessed"
+            else ("never witnessed (rows-only)" if n in never_rows_only else "never witnessed")
             if n not in last_seen
             else f"last r{last_seen[n]}"
         )

@@ -1,0 +1,227 @@
+"""Literal-frame witnesses for degenerate-input gates (r6 verdict item 4
++ r6 ADVICE items).
+
+These branches exist to keep the two engines' NULL semantics aligned
+where IEEE division would diverge (Spark x/0 = NULL; DuckDB x/0 = inf,
+whose BIGINT cast errors).  None of them can be reached from the real
+fixtures — the Durbin-Levinson biased-ACF estimator is strictly
+positive-definite, every sf fixture lang has a rich vocabulary, every
+event_type has thousands of users and a full calendar — so each test
+drives the gate with a literal frame or a doctored corpus through BOTH
+engines and asserts the identical NULL/filtered result.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.io import load as load_table
+from covid_data_pipeline_spark.queries.corpus import (
+    _durbin_levinson_spark,
+    _durbin_levinson_sql,
+)
+from covid_data_pipeline_spark.registry import load_all
+
+from .conftest import SF_SMOKE
+from .oracle_harness import run_compare
+
+
+def _doctored_dir(tmp_path, spark, table, extra_df):
+    """A scale-factor dir where `table` = sf0.001's rows + extra_df,
+    every other table symlinked from sf0.001 — so run_compare (and the
+    oracle's pre-registered views) work unchanged."""
+    d = tmp_path / "sf_doctored"
+    d.mkdir()
+    from covid_data_pipeline_spark.schemas import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        if t != table:
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    base = load_table(spark, SF_SMOKE, table)
+    # INT96 timestamps read back as ns in pyarrow, which would misfire
+    # io.py's nanos footer sniff — write plain int64 micros
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    base.unionByName(extra_df).coalesce(1).write.parquet(
+        str(d / f"{table}.parquet")
+    )
+    return str(d)
+
+
+def _doctored_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """make_duck for a dir whose doctored table is a Spark-written
+    directory (read via glob) while the rest are plain files."""
+    from covid_data_pipeline_spark.schemas import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    return con
+
+
+def test_durbin_levinson_degenerate_gate(spark):
+    """v_{k-1} <= 0 must NULL the reflection coefficient and everything
+    downstream on BOTH engines (corpus.py:_durbin_levinson_sql) — row 1
+    degenerates at step 1 (r1 = 1 -> v_1 = 0), row 2 mid-chain at step
+    2 (a_2 = 1 -> v_2 = 0), row 3 is a healthy control."""
+    cols = "event_type string, r1 double, r2 double, r3 double, r4 double, r5 double, r6 double, r7 double"
+    rows = [
+        ("deg_step1", 1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625),
+        ("deg_step2", 0.5, 1.0, 0.25, 0.125, 0.0625, 0.03125, 0.015625),
+        ("healthy", 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125),
+    ]
+    got_spark = {
+        r["event_type"]: [r[f"phi_{k}_{k}"] for k in range(1, 8)]
+        + [r[f"v_{k}"] for k in range(1, 8)]
+        for r in _durbin_levinson_spark(spark.createDataFrame(rows, cols)).collect()
+    }
+    con = duckdb.connect()
+    base = " UNION ALL ".join(
+        "SELECT '%s' AS event_type, %s"
+        % (t, ", ".join(f"CAST({v} AS DOUBLE) AS r{i+1}" for i, v in enumerate(rs)))
+        for t, *rs in rows
+    )
+    sql = (
+        f"WITH base AS ({base}),\n    {_durbin_levinson_sql()}\n"
+        "SELECT * FROM step7"
+    )
+    duck = con.execute(sql).df()
+    got_duck = {
+        row["event_type"]: [
+            None if (isinstance(row[f"phi_{k}_{k}"], float) and math.isnan(row[f"phi_{k}_{k}"])) or row[f"phi_{k}_{k}"] is None else row[f"phi_{k}_{k}"]
+            for k in range(1, 8)
+        ]
+        + [
+            None if (isinstance(row[f"v_{k}"], float) and math.isnan(row[f"v_{k}"])) or row[f"v_{k}"] is None else row[f"v_{k}"]
+            for k in range(1, 8)
+        ]
+        for _, row in duck.iterrows()
+    }
+    # step-1 degenerate: phi_1_1 = 1, v_1 = 0, every later phi/v NULL
+    assert got_spark["deg_step1"][0] == 1.0
+    assert got_spark["deg_step1"][7] == 0.0
+    assert got_spark["deg_step1"][1:7] == [None] * 6
+    assert got_spark["deg_step1"][8:] == [None] * 6
+    # mid-chain degenerate: phi_1_1/phi_2_2 real, v_2 = 0, rest NULL
+    assert got_spark["deg_step2"][1] == 1.0  # a_2 = (1.0 - 0.25)/0.75
+    assert got_spark["deg_step2"][8] == 0.0  # v_2
+    assert got_spark["deg_step2"][2:7] == [None] * 5
+    assert got_spark["deg_step2"][9:] == [None] * 5  # v_3..v_7
+    # healthy control: no NULL anywhere
+    assert all(x is not None for x in got_spark["healthy"])
+    # cross-engine: identical IEEE chain, identical NULLs
+    for t in got_spark:
+        for a, b in zip(got_spark[t], got_duck[t]):
+            assert (a is None) == (b is None), (t, a, b)
+            if a is not None:
+                assert a == b, (t, a, b)
+
+
+def test_zipf_degenerate_languages(spark, tmp_path):
+    """A lang with one ranked term (denx = 0) and a lang whose top-K
+    counts are all identical (deny = 0) must produce NULL
+    slope/r2 on BOTH engines (llm_text.py text_zipf_fit guards)."""
+    extra = spark.createDataFrame(
+        # zz-solo: one doc, one distinct token -> n_terms = 1
+        [(2_000_001, "lonely lonely lonely", "zz-solo", "synthetic", 20)]
+        # zz-flat: every token appears exactly once -> all cnt = 1
+        + [
+            (2_000_002 + i, " ".join(f"tok{i}w{j}" for j in range(4)), "zz-flat", "synthetic", 40)
+            for i in range(3)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = _doctored_dir(tmp_path, spark, "documents", extra)
+    spec = load_all()["text_zipf_fit"]
+    con = _doctored_duck(d)
+    run_compare("text_zipf_fit", spec, spark, con, d)
+    con.close()
+    got = {r["lang"]: r for r in spec.fn(spark, d).collect()}
+    assert got["zz-solo"]["slope_micro"] is None
+    assert got["zz-solo"]["r2_micro"] is None
+    assert got["zz-flat"]["slope_micro"] == 0  # num = 0, denx > 0
+    assert got["zz-flat"]["r2_micro"] is None  # deny = 0
+    assert got["en"]["slope_micro"] is not None  # healthy control
+
+
+def test_bottomk_degenerate_groups(spark, tmp_path):
+    """A group below sketch capacity (fewer than k distinct users) must
+    take the textbook KMV exact-mode branch — kmv_est = n_bottom — on
+    BOTH engines; this also covers the hk = 0 case (user_id 0 is the
+    only id hashing to 0, so hk = 0 implies n_bottom = 1 < k), keeping
+    DuckDB's //-raises-on-0 from ever diverging from Spark's
+    div-NULLs-on-0 (corpus.py sample_bottomk_sketch guards)."""
+    from datetime import datetime
+
+    ts = datetime(2024, 3, 1, 12, 0, 0)
+    extra = spark.createDataFrame(
+        # hash of user 0 is 0 -> hk = 0 for this singleton group
+        [(9_000_001, ts, 0, "zz_solo_zero", 1.0, "{}")]
+        # 3 distinct users < _KMV_K = 16
+        + [
+            (9_000_002 + u, ts, 100 + u, "zz_few_users", 1.0, "{}")
+            for u in range(3)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = _doctored_dir(tmp_path, spark, "events", extra)
+    spec = load_all()["sample_bottomk_sketch"]
+    con = _doctored_duck(d)
+    run_compare("sample_bottomk_sketch", spec, spark, con, d)
+    con.close()
+    rows = spec.fn(spark, d).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    # exact mode: hk = 0 for the singleton group, yet est is exact 1
+    assert all(r["kmv_est"] == 1 for r in by_type["zz_solo_zero"])
+    assert all(r["kmv_est"] == 3 for r in by_type["zz_few_users"])
+    healthy = [t for t in by_type if not t.startswith("zz_")]
+    # sf0.001 types hold 15 < k = 16 distinct users: exact mode too
+    assert healthy and all(
+        r["kmv_est"] == 15 for t in healthy for r in by_type[t]
+    )
+
+
+def test_lttb_empty_buckets_carry_anchor_and_drop_seed(spark, tmp_path):
+    """A series with < 10 interior days leaves some LTTB buckets empty:
+    the [-1,0,0] fold seed must NOT surface as a fabricated (0,0)
+    point, and the next bucket must anchor on the previous REAL pick
+    (corpus.py ts_lttb_downsample + _lttb_sql) — identical on both
+    engines."""
+    from datetime import datetime
+
+    # 5 distinct days -> 3 interior points across 8 buckets
+    extra = spark.createDataFrame(
+        [
+            (9_100_000 + 10 * day + i, datetime(2024, 2, 1 + day, 8, 0, 0),
+             50 + i, "zz_short_series", 1.0, "{}")
+            for day, n in [(0, 2), (1, 5), (2, 1), (3, 4), (4, 2)]
+            for i in range(n)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = _doctored_dir(tmp_path, spark, "events", extra)
+    spec = load_all()["ts_lttb_downsample"]
+    con = _doctored_duck(d)
+    run_compare("ts_lttb_downsample", spec, spark, con, d)
+    con.close()
+    rows = [
+        r
+        for r in spec.fn(spark, d).collect()
+        if r["event_type"] == "zz_short_series"
+    ]
+    # first + last + 3 interior picks = 5 rows; 5 empty buckets dropped
+    assert len(rows) == 5, rows
+    sel = {r["sel_idx"] for r in rows}
+    assert 0 in sel and 9 in sel
+    # every emitted point is a real series point, never the (0,0) seed
+    real = {(0, 2), (1, 5), (2, 1), (3, 4), (4, 2)}
+    got_pts = {(r["day_idx"] - 31, r["day_value"]) for r in rows}
+    assert got_pts <= real, got_pts

@@ -1020,3 +1020,113 @@ def test_winsorized_mean_broadcasts_bounds(spark):
     plan = plan_of(q("agg_winsorized_mean", spark), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_mann_kendall_pair_join_no_cartesian(spark):
+    """The S-statistic pair join must resolve through the event_type
+    equi-key (range condition as post-filter) — never a cartesian of
+    the daily rollups — and stay JVM-side."""
+    plan = plan_of(q("ts_mann_kendall", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_theil_sen_partitioned_median_no_python(spark):
+    """The slope median must window PER TYPE over the calendar-bounded
+    pair set — no partition-less sort, no Python."""
+    plan = plan_of(q("ts_theil_sen", spark), mode="extended")
+    assert "windowspecdefinition(event_type" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_shuffles_on_shingle_no_python(spark):
+    """First-occurrence resolution is the inverted-index shape: explode,
+    aggregate min(doc_id) per shingle (map-side combine), re-join on
+    the same key — never a doc-pair join, never Python."""
+    plan = plan_of(q("text_ngram_novelty", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_min" in plan, plan  # map-side combine on min(doc_id)
+
+
+def test_readability_map_only(spark):
+    """Flesch scoring is embarrassingly parallel: tokenize + two regex
+    scans, ZERO shuffles, no Python."""
+    plan = plan_of(q("text_readability", spark), mode="simple")
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan
+
+
+def test_rsi_windows_share_one_exchange(spark):
+    """The lag pass and the rolling gain/loss pass share the
+    (event_type, d) sort order — sequential Window nodes over ONE
+    exchange of the daily rollup, no Python."""
+    plan = plan_of(q("win_rsi", spark), mode="simple")
+    assert "EvalPython" not in plan
+    # one exchange for the daily agg, one for the shared window sort
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_ljung_box_single_window_pass_no_python(spark):
+    """All 7 lag products must ride ONE window node (the ACF shape)."""
+    plan = plan_of(q("ts_ljung_box", spark), mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_weighted_reservoir_rank_pushes_topk(spark):
+    """The A-ES rank must window per type AND push the rk <= 5 filter
+    into the shuffle (WindowGroupLimit — top-k, never a full sort
+    then filter)."""
+    plan = plan_of(q("sample_weighted_reservoir", spark), mode="extended")
+    assert "windowspecdefinition(event_type" in plan
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+
+
+def test_markov_transitions_broadcast_row_totals(spark):
+    """The row-normalization join is |types|-sized — must broadcast;
+    the sequence window partitions per user (no global sort)."""
+    plan = plan_of(q("analytics_markov_transitions", spark), mode="extended")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(user_id" in plan
+    assert "EvalPython" not in plan
+
+
+def test_hodges_lehmann_walsh_join_no_cartesian(spark):
+    """Walsh pairs must come through the event_type equi-join (range
+    as post-filter) with integer-ordered median windows per type."""
+    plan = plan_of(q("agg_hodges_lehmann", spark), mode="extended")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_runs_test_windows_share_sort_no_python(spark):
+    """The diff lag and the sign-change lag share the (event_type, d)
+    order — sequential Window nodes, no Python, bounded exchanges."""
+    plan = plan_of(q("ts_runs_test", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_chisq_cells_broadcast_margins(spark):
+    """Row/col/grand totals are cell-grid-sized and must broadcast back
+    onto the cells — nothing after the first aggregate may shuffle
+    corpus-sized data."""
+    plan = plan_of(q("analytics_chisq_cells", spark), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_group_by_all_is_one_hash_aggregate(spark):
+    """GROUP BY ALL is analysis-time sugar: the plan must be the same
+    single partial+final hash aggregate as the explicit list — no
+    extra exchange, no expand."""
+    plan = plan_of(q("sql_group_by_all", spark), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Expand" not in plan
