@@ -3073,3 +3073,260 @@ def analytics_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chisq_contrib_micro"),
     )
+
+
+@query(
+    "agg_mannwhitney_u",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    grp AS (
+        SELECT event_type, x,
+               CASE WHEN t % 7 IN (5, 6) THEN 1 ELSE 0 END AS is_wkend
+        FROM daily
+    ),
+    ranked AS (
+        SELECT event_type, x, is_wkend,
+               -- mid-ranks doubled to stay integer: 2*avg rank of the
+               -- tie group = (min_rank + max_rank) within ORDER BY x
+               CAST(RANK() OVER w
+                    + (COUNT(*) OVER (PARTITION BY event_type, x) - 1)
+                    + RANK() OVER w AS BIGINT) AS r2
+        FROM grp
+        WINDOW w AS (PARTITION BY event_type ORDER BY x)
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN is_wkend = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN is_wkend = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN is_wkend = 1 THEN r2 ELSE 0 END)
+                    AS BIGINT) AS r1_2
+        FROM ranked GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(SUM(tg * tg * tg - tg) AS BIGINT) AS t3
+        FROM (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tg
+            FROM grp GROUP BY event_type, x
+        ) GROUP BY event_type
+    )
+    SELECT a.event_type, a.n1 AS n_weekend, a.n2 AS n_weekday,
+           -- U1 doubled stays integer: 2*U1 = R1_2 - n1(n1+1)
+           CAST((a.r1_2 - a.n1 * (a.n1 + 1)) AS BIGINT) AS u1_x2,
+           CASE WHEN a.n1 > 0 AND a.n2 > 0
+                 AND a.n1 * a.n2
+                     * (CAST((a.n1 + a.n2 + 1) AS DOUBLE)
+                        - CAST(t.t3 AS DOUBLE)
+                          / ((a.n1 + a.n2) * (a.n1 + a.n2 - 1))) / 12.0
+                     > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(a.r1_2 - a.n1 * (a.n1 + 1) AS DOUBLE) / 2.0
+                       - CAST(a.n1 * a.n2 AS DOUBLE) / 2.0)
+                    / sqrt(a.n1 * a.n2
+                           * (CAST((a.n1 + a.n2 + 1) AS DOUBLE)
+                              - CAST(t.t3 AS DOUBLE)
+                                / ((a.n1 + a.n2) * (a.n1 + a.n2 - 1)))
+                           / 12.0)
+                    + 0.5) AS BIGINT)
+           END AS z_micro
+    FROM agg a JOIN ties t USING (event_type)
+    """,
+)
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test per event type: are WEEKEND daily counts
+    drawn from the same distribution as WEEKDAY ones?  The standard
+    nonparametric two-sample location test (Mann & Whitney 1947),
+    completing the distribution-free family (ts_mann_kendall = trend,
+    ts_runs_test = randomness, this = group shift) — the weekday/
+    weekend split is the canonical traffic-mix question and dow comes
+    from epoch-day % 7 (engine-identical integer arithmetic; day 0 =
+    2024-01-01 is a Monday, so % 7 in (5,6) = weekend).
+
+    INTEGER rank trick: tie mid-ranks are halves, so DOUBLED ranks
+    (min_rank + max_rank of the tie group = 2*RANK + (tie_size - 1))
+    stay exact BIGINT; 2*U1 = 2*R1 - n1(n1+1) is exact; the normal z
+    with the tie-corrected variance evaluates ONE identical expression
+    shape per engine against ONE sqrt, micro-quantized.  One-sided
+    groups or zero variance emit NULL on both engines.
+
+    Scale: one corpus-sized daily aggregate; the rank window partitions
+    per type over calendar-bounded rows; tie terms re-aggregate the
+    same tiny table."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    grp = daily.select(
+        "event_type",
+        "x",
+        F.when((F.col("t") % 7).isin(5, 6), 1).otherwise(0).alias("is_wkend"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    wt = Window.partitionBy("event_type", "x")
+    ranked = grp.select(
+        "event_type",
+        "x",
+        "is_wkend",
+        (
+            F.rank().over(w)
+            + (F.count(F.lit(1)).over(wt) - 1)
+            + F.rank().over(w)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_wkend") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("is_wkend") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("is_wkend") == 1, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r1_2"),
+    )
+    tg = grp.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("tg")
+    )
+    ties = tg.groupBy("event_type").agg(
+        F.sum(F.col("tg") * F.col("tg") * F.col("tg") - F.col("tg"))
+        .cast("long")
+        .alias("t3")
+    )
+    j = agg.join(F.broadcast(ties), "event_type")
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1x2 = (F.col("r1_2") - n1 * (n1 + 1)).cast("long")
+    var = (
+        n1 * n2
+        * (
+            (n1 + n2 + 1).cast("double")
+            - F.col("t3").cast("double") / ((n1 + n2) * (n1 + n2 - 1))
+        )
+        / F.lit(12.0)
+    )
+    z = F.when(
+        (n1 > 0) & (n2 > 0) & (var > 0),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                u1x2.cast("double") / F.lit(2.0)
+                - (n1 * n2).cast("double") / F.lit(2.0)
+            )
+            / F.sqrt(var)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return j.select(
+        "event_type",
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        u1x2.alias("u1_x2"),
+        z.alias("z_micro"),
+    )
+
+
+@query(
+    "analytics_interarrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 1000
+                    - LAG(epoch_us(ts) // 1000)
+                          OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id)
+                    AS BIGINT) AS g
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS s1,
+               CAST(SUM(g * g) AS BIGINT) AS s2
+        FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_gaps,
+           CAST(floor(1000000.0 * s1 / n + 0.5) AS BIGINT) AS mean_ms_micro,
+           CASE WHEN sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+                          / (CAST(n AS DOUBLE) * n))
+                     + CAST(s1 AS DOUBLE) / n > 0 THEN
+               CAST(floor(1000000.0
+                    * (sqrt((CAST(s2 AS DOUBLE) * n
+                             - CAST(s1 AS DOUBLE) * s1)
+                            / (CAST(n AS DOUBLE) * n))
+                       - CAST(s1 AS DOUBLE) / n)
+                    / (sqrt((CAST(s2 AS DOUBLE) * n
+                             - CAST(s1 AS DOUBLE) * s1)
+                            / (CAST(n AS DOUBLE) * n))
+                       + CAST(s1 AS DOUBLE) / n)
+                    + 0.5) AS BIGINT)
+           END AS burstiness_micro
+    FROM agg
+    """,
+)
+def analytics_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of the
+    inter-event gaps per event type — the single number separating
+    Poisson-like arrivals (B ~ 0) from bursty machine traffic (B -> 1)
+    and metronome-regular heartbeats (B -> -1); the arrival-process
+    companion to the volume-side anomaly ops.
+
+    Gaps are exact BIGINT milliseconds (floored epoch-ms differences —
+    microsecond gap-squares overflow int64 at month-long gaps, measured;
+    ordered by (ts, event_id) so same-timestamp events can't flip the
+    lag);
+    sigma comes from the exact power sums (n*S2 - S1^2)/n^2 — the
+    win_bollinger_exact identity — so both engines evaluate ONE
+    identical chain of two divisions and one sqrt, micro-quantized.
+    The sigma + mu = 0 edge (single repeated timestamp) is NULL on
+    both engines.
+
+    Scale: ONE window pass partitioned per type (same-key lag) over
+    raw events, then a 3-sum aggregate with map-side combine; at
+    100 TB the per-entity variant partitions by (entity) exactly like
+    win_sessionize.  Overflow bound: ms gaps keep Sum g^2 < 2^63 up
+    to ~10^9 gaps of a day each; the us formulation measurably
+    overflowed at fixture scale, which is why this is ms."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ms = F.expr("unix_micros(ts) div 1000")
+    gaps = e.select(
+        "event_type", (ms - F.lag(ms).over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mu = s1.cast("double") / n
+    sigma = F.sqrt(
+        (s2.cast("double") * n - s1.cast("double") * s1)
+        / (n.cast("double") * n)
+    )
+    b = F.when(
+        sigma + mu > 0,
+        F.floor(
+            F.lit(1000000.0) * (sigma - mu) / (sigma + mu) + F.lit(0.5)
+        ).cast("long"),
+    )
+    return agg.select(
+        "event_type",
+        n.alias("n_gaps"),
+        F.floor(F.lit(1000000.0) * s1 / n + F.lit(0.5))
+        .cast("long")
+        .alias("mean_ms_micro"),
+        b.alias("burstiness_micro"),
+    )

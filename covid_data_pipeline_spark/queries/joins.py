@@ -932,3 +932,113 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist2_nano"),
         )
     )
+
+
+@query(
+    "join_spatial_nearest",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                   AS d2
+        FROM p a JOIN p b
+          ON a.vec_id <> b.vec_id
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             < {_GRID_R} * {_GRID_R}
+    ),
+    ranked AS (
+        SELECT a_id, b_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY a_id
+                                  ORDER BY d2, b_id) AS rn
+        FROM cand
+    )
+    SELECT a_id, b_id AS nn_id,
+           CAST(floor(1000000000.0 * d2 + 0.5) AS BIGINT) AS dist2_nano
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-within-radius join: for every point, its single
+    closest OTHER point at distance < r (ties break on neighbor id) —
+    the 1-NN companion to join_spatial_grid's all-pairs radius join
+    (record linkage, sensor pairing, embedding-space nearest-example
+    lookups).  Points with no neighbor inside r are absent, same as
+    the radius join's semantics.
+
+    Same grid discipline: r-sized cells, 5x5 probe explode (the +-2
+    knife-edge margin), cell equi-join, exact distance filter, then a
+    per-probe-point ROW_NUMBER argmin ordered (d2, b_id) — d2 is the
+    identical IEEE expression on both engines, so the argmin choice
+    can't diverge.  The DuckDB oracle is the independent quadratic
+    theta-join (the skyline doctrine).
+
+    Scale: identical to join_spatial_grid (uniform cell keys, map-side
+    explode, salting for hot cells); the argmin window partitions by
+    probe point over its bounded candidate set — WindowGroupLimit
+    pushes the rn = 1 cut into the shuffle."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    r = F.lit(_GRID_R)
+    cell = p.select(
+        "vec_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / r).cast("long").alias("cx"),
+        F.floor(F.col("y") / r).cast("long").alias("cy"),
+    )
+    offs = F.expr("array(-2L, -1L, 0L, 1L, 2L)")
+    probe = (
+        cell.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            "cx",
+            "cy",
+        )
+        .withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            "a_id",
+            "ax",
+            "ay",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    build = cell.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    cand = (
+        probe.join(build, ["jx", "jy"])
+        .filter((F.col("a_id") != F.col("b_id")) & (d2 < r * r))
+        .select("a_id", "b_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("a_id").orderBy("d2", "b_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "a_id",
+            F.col("b_id").alias("nn_id"),
+            F.floor(F.lit(1000000000.0) * F.col("d2") + F.lit(0.5))
+            .cast("long")
+            .alias("dist2_nano"),
+        )
+    )

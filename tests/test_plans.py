@@ -1130,3 +1130,41 @@ def test_group_by_all_is_one_hash_aggregate(spark):
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "Expand" not in plan
+
+
+def test_mannwhitney_rank_partitioned_no_python(spark):
+    """Doubled tie mid-ranks must window PER TYPE over the
+    calendar-bounded daily rollup; everything stays JVM-side."""
+    plan = plan_of(q("agg_mannwhitney_u", spark), mode="extended")
+    assert "windowspecdefinition(event_type" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_burstiness_one_window_one_agg(spark):
+    """The gap lag is ONE window pass partitioned per type over raw
+    events; the three power sums partially aggregate map-side."""
+    plan = plan_of(q("analytics_interarrival_burstiness", spark), mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_spatial_nearest_grid_no_cartesian_topk_pushed(spark):
+    """The 1-NN join must ride the grid-cell equi-join (never theta/
+    cartesian over the point sets) and WindowGroupLimit must push the
+    rn = 1 argmin into the shuffle."""
+    plan = plan_of(q("join_spatial_nearest", spark), mode="extended")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+
+
+def test_sttr_map_only_no_explode(spark):
+    """STTR chunking rides higher-order array expressions — zero
+    shuffles, zero generators, no Python."""
+    plan = plan_of(q("text_sttr_lexical_diversity", spark), mode="simple")
+    assert plan.count("Exchange") == 0, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan
