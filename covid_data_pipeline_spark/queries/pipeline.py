@@ -1322,3 +1322,57 @@ def analytics_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "p1", "p2")
         .limit(_BASKET_TOPK)
     )
+
+
+@query(
+    "pipeline_rollup_merge",
+    oracle=f"""
+    SELECT event_type,
+           CAST(strftime(CAST(ts AS DATE), '%Y-%m') AS VARCHAR) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def pipeline_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate MERGE: daily partials (count, decimal sum,
+    per-day distinct-user SETS) re-aggregated into the monthly rollup —
+    the incremental-warehouse pattern where yesterday's partials are
+    never recomputed, only merged.  The point being demonstrated: which
+    partials MERGE LOSSLESSLY (counts add, decimal sums add, distinct
+    requires carrying the SET — collected per day, unioned, then
+    re-distinct-counted; a naive sum of daily distincts double-counts
+    returning users) — and the oracle computes the month DIRECTLY from
+    raw events, so the merge path is only green if it loses nothing.
+
+    Scale: the daily partial is the corpus-sized aggregate; the merge
+    re-aggregates ~30x fewer rows.  Carrying exact distinct sets costs
+    O(daily uniques) per partial — at 100 TB that's the documented
+    trade vs HLL partials (agg_sketch_mergeable is the approximate
+    twin; this is the exact one)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("sum_value_d"),
+        F.collect_set("user_id").alias("users"),
+    )
+    monthly = daily.groupBy(
+        "event_type",
+        F.date_format("d", "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("users")))
+        )
+        .cast("long")
+        .alias("n_users"),
+        F.sum(F.col("sum_value_d").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    return monthly.select(
+        "event_type", "month", "n_events", "n_users", "sum_value"
+    )

@@ -1144,3 +1144,68 @@ def source_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("d") + F.lit(1)).cast("long").alias("iso_dow"),
         (F.col("d") == F.last_day("d")).cast("int").alias("is_month_end"),
     )
+
+
+@query(
+    "sink_csv_quoted_escapes",
+    oracle="""
+    SELECT doc_id,
+           sha256(concat('pre,', '"', substr(text, 1, 10), '"',
+                         chr(10), 'post|', lang)) AS evil_sha,
+           CAST(1 AS BIGINT) AS roundtrip_ok
+    FROM documents
+    """,
+)
+def sink_csv_quoted_escapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip of ADVERSARIAL field content — embedded commas,
+    embedded double quotes, embedded newlines, and a pipe — the
+    quoting/escaping edge cases that silently corrupt real exports
+    (Excel-style CSV is where data pipelines go to die).  A field
+    value is constructed deterministically from each doc, written
+    through Spark's CSV sink (quote-all so every field is explicitly
+    quoted, '""' escape per RFC 4180), and read back with
+    multiLine=true; the emitted hash is of the ROUND-TRIPPED value
+    while the oracle hashes the CONSTRUCTED value directly — any
+    quoting/escape corruption breaks the hash match, so the identity
+    is the gate, not an assertion comment.  roundtrip_ok additionally
+    pins value equality engine-side.
+
+    Scale: the sink/scan pair is embarrassingly parallel; multiLine
+    CSV is the one format option that DISABLES file splitting (a file
+    = a task), which is exactly why the writer shards output —
+    documented trade, same as scan_csv_permissive."""
+    import tempfile
+
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    evil = F.concat(
+        F.lit("pre,"),
+        F.lit('"'),
+        F.substring("text", 1, 10),
+        F.lit('"'),
+        F.lit("\n"),
+        F.lit("post|"),
+        F.col("lang"),
+    )
+    src = d.select("doc_id", evil.alias("evil"))
+    out = tempfile.mkdtemp(prefix="cdp_csv_evil_")
+    (
+        src.write.mode("overwrite")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(out, header=True)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("doc_id long, evil string")
+        .csv(out)
+    )
+    expected = src.withColumnRenamed("evil", "want")
+    j = back.join(expected, "doc_id")
+    return j.select(
+        "doc_id",
+        F.sha2("evil", 256).alias("evil_sha"),
+        (F.col("evil") == F.col("want")).cast("long").alias("roundtrip_ok"),
+    )

@@ -772,3 +772,110 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("event_id", "user_id", "content_hash"),
         output_mode="append",
     )
+
+
+def upsert_merge_batch(root: str):
+    """foreachBatch callback factory for stream_upsert_foreachbatch:
+    merge each micro-batch's per-user partial (ADDITIVE count +
+    latest-wins (ts, event_id, type) struct max) into the previous
+    versioned state dir, writing state_v{batch_id}.  Module-level so
+    the split-feed test can drive it across REAL multiple batches."""
+    import os
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("latest"),
+        )
+        prev_path = os.path.join(root, f"state_v{batch_id - 1}")
+        if os.path.isdir(prev_path):
+            prev = batch_df.sparkSession.read.parquet(prev_path)
+            part = (
+                prev.unionByName(part)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.max("latest").alias("latest"),
+                )
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(root, f"state_v{batch_id}")
+        )
+
+    return merge_batch
+
+
+@query(
+    "stream_upsert_foreachbatch",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    cnts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_events,
+           l.event_type AS last_event_type,
+           l.event_id AS last_event_id
+    FROM cnts c JOIN latest l ON c.user_id = l.user_id AND l.rn = 1
+    """,
+)  # oracle-checked: merged per-batch state == the batch latest-wins + count
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming CDC-apply: foreachBatch maintains a keyed state
+    TABLE on parquet — each micro-batch's per-user partial (event
+    count + latest event by (ts, event_id)) MERGES into the previous
+    state with both classic merge kinds at once: counts ADD
+    (associative partial), latest-wins OVERWRITES (the upsert verb) —
+    the incremental `MERGE INTO` every warehouse sink runs off a
+    stream, with versioned state dirs standing in for table-format
+    atomicity (each batch writes state_v{n}, the next batch reads
+    state_v{n-1} — never read-modify-write in place, which Spark's
+    lazy reads make unsafe).
+
+    The final state table equals the batch answer (count + argmax per
+    user) regardless of how the stream was chopped into batches —
+    THAT is the merge-correctness contract, and it is what the DuckDB
+    oracle checks; multi-batch merging is exercised by the split-feed
+    test (tests/test_streaming.py), the stream_stateful_totals
+    precedent.  The latest-wins tiebreak is the total order
+    (ts, event_id), so no arrival order can flip it.
+
+    Scale: per-batch work is one partial aggregate of the batch + one
+    key-partitioned merge join against state; state size is O(keys),
+    and on a real lakehouse the versioned-dir dance is one MERGE INTO
+    against Delta/Iceberg (MIGRATION.md)."""
+    import os
+    import tempfile
+
+    from ..streaming import read_events_stream
+
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    root = tempfile.mkdtemp(prefix="cdp_upsert_")
+    ckpt = os.path.join(root, "_checkpoint")
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(upsert_merge_batch(root))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        int(p.split("_v")[1])
+        for p in os.listdir(root)
+        if p.startswith("state_v")
+    )
+    state = spark.read.parquet(os.path.join(root, f"state_v{versions[-1]}"))
+    return state.select(
+        "user_id",
+        "n_events",
+        F.col("latest.event_type").alias("last_event_type"),
+        F.col("latest.event_id").alias("last_event_id"),
+    )

@@ -1200,3 +1200,68 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l").alias("loss_sum"),
         rsi.alias("rsi_micro"),
     )
+
+
+@query(
+    "win_seasonal_naive_error",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    fc AS (
+        SELECT event_type, x,
+               LAG(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS xhat
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(abs(x - xhat)) AS BIGINT) AS abs_err_sum,
+           CAST(floor(1000000.0 * SUM(abs(x - xhat)) / COUNT(*) + 0.5)
+                AS BIGINT) AS mae_micro,
+           CASE WHEN SUM(x) > 0 THEN
+               CAST(floor(1000000.0 * SUM(abs(x - xhat)) / SUM(x) + 0.5)
+                    AS BIGINT)
+           END AS wape_micro
+    FROM fc WHERE xhat IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def win_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error per type — predict today = same
+    weekday last week (the baseline every real forecaster must beat;
+    M-competition doctrine: report skill RELATIVE to this, not raw
+    error).  Emits MAE and WAPE (Sum|err|/Sum actual — the
+    industry-preferred 'percentage' error: unlike MAPE it has no
+    per-row division, so zero-count days can't blow it up, and
+    rationally it stays ALL-INTEGER until one quantized division).
+
+    Pairs with ts_holt_winters/ts_croston: those produce forecasts,
+    this scores the benchmark they must beat.  All sums are exact
+    BIGINT; the lag-7 window is the win_week_over_week frame.
+
+    Scale: one corpus-sized daily aggregate, one per-type lag window
+    over calendar-bounded rows, one tiny final aggregate."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    fc = daily.select(
+        "event_type", "x", F.lag("x", 7).over(w).alias("xhat")
+    ).filter(F.col("xhat").isNotNull())
+    err = F.abs(F.col("x") - F.col("xhat"))
+    return fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(err).cast("long").alias("abs_err_sum"),
+        F.floor(F.lit(1000000.0) * F.sum(err) / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("mae_micro"),
+        F.when(
+            F.sum("x") > 0,
+            F.floor(F.lit(1000000.0) * F.sum(err) / F.sum("x") + F.lit(0.5))
+            .cast("long"),
+        ).alias("wape_micro"),
+    )

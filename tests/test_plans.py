@@ -1168,3 +1168,28 @@ def test_sttr_map_only_no_explode(spark):
     assert plan.count("Exchange") == 0, plan
     assert "Generate" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_csv_evil_roundtrip_reads_back_with_schema(spark):
+    """The round-trip read must carry the declared schema (no inference
+    pass) and stay JVM-side end to end."""
+    plan = plan_of(q("sink_csv_quoted_escapes", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert "Scan csv" in plan or "FileScan csv" in plan, plan
+
+
+def test_rollup_merge_two_aggregates_no_python(spark):
+    """The merge path is exactly two aggregation levels (daily partial,
+    monthly merge) — no third pass, no Python."""
+    plan = plan_of(q("pipeline_rollup_merge", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_seasonal_naive_one_window_one_agg(spark):
+    """Lag-7 rides one per-type window over the daily rollup; the error
+    sums partially aggregate."""
+    plan = plan_of(q("win_seasonal_naive_error", spark), mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "EvalPython" not in plan

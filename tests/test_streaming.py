@@ -667,3 +667,62 @@ def test_spacesaving_topk_invariants(spark):
         for r in rs:
             true_c = truth.get((et, r["user_id"]), 0)
             assert r["est_count"] >= true_c, (et, r["user_id"])
+
+
+def test_upsert_foreachbatch_merges_across_batches(spark, tmp_path):
+    """Two files, one per micro-batch: the final state must ADD counts
+    and OVERWRITE the latest event across the batch boundary — and a
+    state_v dir per batch must exist (the merge path actually ran,
+    not a single-batch degenerate)."""
+    from covid_data_pipeline_spark.queries.streaming_batch import (
+        upsert_merge_batch,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    T0 = 1_700_000_000_000_000
+
+    def mk(rows, path):
+        spark.createDataFrame(
+            [
+                Row(event_id=i, user_id=u, event_type=t, value=1.0, props="{}")
+                for i, u, t in rows
+            ],
+            schema="event_id long, user_id long, event_type string, value double, props string",
+        ).withColumn(
+            "ts", F.timestamp_micros(F.lit(T0) + F.col("event_id") * 1000)
+        ).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    mk([(1, 1, "view"), (2, 1, "click"), (3, 2, "view")], os.path.join(src, "b1"))
+    mk([(4, 1, "purchase"), (5, 3, "signup")], os.path.join(src, "b2"))
+
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_merge_batch(root))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        int(p.split("_v")[1])
+        for p in os.listdir(root)
+        if p.startswith("state_v")
+    )
+    assert len(versions) == 2, versions  # one state version per batch
+    state = spark.read.parquet(os.path.join(root, f"state_v{versions[-1]}"))
+    got = {
+        r["user_id"]: (r["n_events"], r["latest"]["event_type"])
+        for r in state.collect()
+    }
+    # user 1: 2 events in b1 + 1 in b2 (count ADDS), latest OVERWRITES
+    assert got == {1: (3, "purchase"), 2: (1, "view"), 3: (1, "signup")}, got
