@@ -1719,3 +1719,113 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "agg_percentile_cont_exact",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority AS prio,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    ranked AS (
+        SELECT prio, c,
+               ROW_NUMBER() OVER (PARTITION BY prio ORDER BY c) AS rn
+        FROM cents
+    ),
+    stats AS (
+        SELECT prio, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cents GROUP BY prio
+    ),
+    targets AS (
+        SELECT s.prio, s.n, u.q,
+               CAST(floor(u.q * (s.n - 1)) + 1 AS BIGINT) AS lo_rn,
+               least(CAST(floor(u.q * (s.n - 1)) + 2 AS BIGINT), s.n)
+                   AS hi_rn,
+               u.q * (s.n - 1) - floor(u.q * (s.n - 1)) AS frac
+        FROM stats s
+        CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q) u
+    )
+    SELECT t.prio, CAST(t.q * 100 AS BIGINT) AS q_pct, t.n,
+           CAST(floor(1000000.0
+                * (MAX(CASE WHEN r.rn = t.lo_rn THEN r.c END)
+                       * (1.0 - t.frac)
+                   + MAX(CASE WHEN r.rn = t.hi_rn THEN r.c END) * t.frac)
+                / 100.0 + 0.5) AS BIGINT) AS pctl_micro
+    FROM targets t
+    JOIN ranked r ON r.prio = t.prio AND r.rn IN (t.lo_rn, t.hi_rn)
+    GROUP BY t.prio, t.q, t.n, t.frac
+    """,
+)
+def agg_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT (linear interpolation between closest
+    ranks) at 25/50/75/95 over order totals per priority — the
+    interpolated companion to agg_quantiles' discrete percentiles, and
+    the SQL-standard definition spelled out: pos = q*(n-1),
+    v = x[floor(pos)]*(1-frac) + x[floor(pos)+1]*frac.
+
+    Built-in percentile implementations stream doubles in
+    partition-dependent order and differ across engines at the last
+    ulp; HERE the value selection is purely POSITIONAL over exact
+    integer cents (two rows per (group, q) fetched by rank), the lerp
+    is one identical IEEE expression per engine, and the result is
+    micro-quantized — dollars out, so the cents scale divides away.
+
+    Scale: one rank window per group + a 4-row-per-group broadcast of
+    targets; the rank-row fetch is a semi-join on (group, rn) — at
+    100 TB the window is the only corpus-sized stage (same cost class
+    as agg_quantiles)."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    w = Window.partitionBy("prio").orderBy("c")
+    ranked = cents.withColumn("rn", F.row_number().over(w))
+    stats = cents.groupBy("prio").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))).alias("q")
+    )
+    pos = F.col("q") * (F.col("n") - 1)
+    targets = stats.crossJoin(F.broadcast(qs)).select(
+        "prio",
+        "n",
+        "q",
+        (F.floor(pos) + 1).cast("long").alias("lo_rn"),
+        F.least((F.floor(pos) + 2).cast("long"), F.col("n")).alias("hi_rn"),
+        (pos - F.floor(pos)).alias("frac"),
+    )
+    j = targets.alias("t").join(
+        ranked.alias("r"),
+        (F.col("r.prio") == F.col("t.prio"))
+        & ((F.col("r.rn") == F.col("t.lo_rn")) | (F.col("r.rn") == F.col("t.hi_rn"))),
+    )
+    v = (
+        F.max(F.when(F.col("r.rn") == F.col("t.lo_rn"), F.col("r.c")))
+        * (F.lit(1.0) - F.col("t.frac"))
+        + F.max(F.when(F.col("r.rn") == F.col("t.hi_rn"), F.col("r.c")))
+        * F.col("t.frac")
+    )
+    return (
+        j.groupBy(
+            F.col("t.prio").alias("prio"),
+            F.col("t.q").alias("q"),
+            F.col("t.n").alias("n"),
+            F.col("t.frac").alias("frac"),
+        )
+        .agg(
+            F.floor(F.lit(1000000.0) * v / F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("pctl_micro")
+        )
+        .select(
+            "prio",
+            (F.col("q") * 100).cast("long").alias("q_pct"),
+            "n",
+            "pctl_micro",
+        )
+    )

@@ -970,3 +970,286 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HARDNEG_K)
         .select("anchor_id", "negative_id", "cosine", "rank")
     )
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                     / ({_SQL_NORM.format(a='q.embedding')}
+                        * {_SQL_NORM.format(a='c.embedding')}), 6) AS cosine,
+               ROUND({_SQL_DOT.format(a='q.embedding', b='c.embedding')}, 6)
+                   AS dotp
+        FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id)
+                   AS r_cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dotp DESC, neighbor_id) AS r_dot
+        FROM scored
+    ),
+    fused AS (
+        SELECT query_id, neighbor_id,
+               CAST(r_cos AS BIGINT) AS r_cos,
+               CAST(r_dot AS BIGINT) AS r_dot,
+               1.0 / (60 + r_cos) + 1.0 / (60 + r_dot) AS rrf
+        FROM ranked
+    )
+    SELECT query_id, neighbor_id, r_cos, r_dot,
+           CAST(floor(1000000.0 * rrf + 0.5) AS BIGINT) AS rrf_micro,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, neighbor_id) AS rn
+        FROM fused
+    ) WHERE rn <= 5
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers (Cormack et al. 2009,
+    the hybrid-search default in every RAG stack): per query, rank the
+    corpus by COSINE and by raw DOT PRODUCT (two genuinely different
+    retrievers — dot favors long vectors), fuse with
+    RRF = 1/(60+r1) + 1/(60+r2), return the top-5 fused.
+
+    Determinism: both base rankings order by ROUNDED score +
+    neighbor-id tiebreak (the sim_topk doctrine); RRF operates on
+    INTEGER ranks, so the fused score is the same pair of exact
+    divisions on both engines, ties (rank permutations give equal
+    sums) break by neighbor_id, and the output is micro-quantized.
+
+    Scale: the corpus is scored ONCE against the broadcast query set
+    (both scores in one pass, corpus never shuffles); the two rank
+    windows and the fused window all partition by query_id over the
+    same shuffle.  At 100 TB you pre-prune per-partition top-k before
+    the rank windows (the topk_per_group note) — RRF only needs each
+    retriever's top ranks, which is the point of fusion."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec("embedding").alias("vec")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6
+            ).alias("cosine"),
+            F.round(_dot("q_vec", "c_vec"), 6).alias("dotp"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    r_cos = F.row_number().over(
+        wq.orderBy(F.col("cosine").desc(), "neighbor_id")
+    )
+    r_dot = F.row_number().over(
+        wq.orderBy(F.col("dotp").desc(), "neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        r_cos.cast("long").alias("r_cos"),
+        r_dot.cast("long").alias("r_dot"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(60) + F.col("r_cos"))
+        + F.lit(1.0) / (F.lit(60) + F.col("r_dot"))
+    )
+    fused = ranked.select("query_id", "neighbor_id", "r_cos", "r_dot", rrf.alias("rrf"))
+    wr = wq.orderBy(F.col("rrf").desc(), "neighbor_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "r_cos",
+            "r_dot",
+            F.floor(F.lit(1000000.0) * F.col("rrf") + F.lit(0.5))
+            .cast("long")
+            .alias("rrf_micro"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+_MMR_CAND = 8  # candidate pool per query (top-k by cosine)
+_MMR_K = 4  # diversified picks per query
+
+
+def _mmr_sql() -> str:
+    """Generate the unrolled MMR greedy-selection CTE chain (picks
+    2..K; pick 1 is the top candidate) — the Durbin-Levinson generator
+    idiom applied to retrieval: each step scores the REMAINING
+    candidates as 0.7*rel - 0.3*max-sim-to-picked and takes the argmax,
+    with every pairwise cosine micro-quantized BEFORE the max so both
+    engines compare identical integers."""
+    cos = _SQL_DOT.format(a="c.vec", b="p.vec")
+    na = _SQL_NORM.format(a="c.vec")
+    nb = _SQL_NORM.format(a="p.vec")
+    pair = f"CAST(floor(1000000.0 * {cos} / ({na} * {nb}) + 0.5) AS BIGINT)"
+    steps = []
+    prev = "p1"
+    for t in range(2, _MMR_K + 1):
+        steps.append(f"""pen{t} AS (
+        SELECT c.query_id, c.id, c.simq_micro, c.vec,
+               MAX({pair}) AS pen
+        FROM cand c JOIN {prev} p USING (query_id)
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.query_id = c.query_id AND x.id = c.id)
+        GROUP BY c.query_id, c.id, c.simq_micro, c.vec
+    ),
+    pk{t} AS (
+        SELECT query_id, id, simq_micro, vec,
+               CAST({t} AS BIGINT) AS pick_idx
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY 0.7 * simq_micro - 0.3 * pen DESC, id) AS rn
+            FROM pen{t}
+        ) WHERE rn = 1
+    ),
+    p{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pk{t})""")
+        prev = f"p{t}"
+    return ",\n    ".join(steps)
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    cand AS (
+        SELECT query_id, id, simq_micro, vec FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS id,
+                   CAST(floor(1000000.0
+                        * {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                        / ({_SQL_NORM.format(a='q.embedding')}
+                           * {_SQL_NORM.format(a='c.embedding')})
+                        + 0.5) AS BIGINT) AS simq_micro,
+                   c.embedding AS vec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST(floor(1000000.0
+                           * {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                           / ({_SQL_NORM.format(a='q.embedding')}
+                              * {_SQL_NORM.format(a='c.embedding')})
+                           + 0.5) AS BIGINT) DESC, c.vec_id) AS rn
+            FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rn <= {_MMR_CAND}
+    ),
+    p1 AS (
+        SELECT query_id, id, simq_micro, vec, CAST(1 AS BIGINT) AS pick_idx
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY simq_micro DESC, id) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ),
+    {_mmr_sql()}
+    SELECT query_id, pick_idx, id AS neighbor_id, simq_micro
+    FROM p{_MMR_K}
+    """,
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass every RAG retriever runs after ANN:
+    from each query's top-8 cosine candidates, greedily pick 4 where
+    each pick maximizes 0.7*relevance - 0.3*(max similarity to the
+    already-picked set), so near-duplicate passages can't crowd the
+    context window.
+
+    The greedy loop is sequential by nature, so it is STATICALLY
+    UNROLLED (the Durbin-Levinson idiom — one generator emits the
+    identical step chain for both engines): each step is an anti-join
+    (remaining = candidates minus picked), a bounded pairwise-cosine
+    penalty (at most K-1 picked vectors per candidate, every pair sim
+    micro-quantized BEFORE the max so engines compare identical
+    integers), and a per-query argmax window with id tiebreak.
+
+    Scale: candidate pools are top-k-bounded (8/query), so every step
+    joins tiny tables; the one corpus-sized stage is the initial
+    broadcast-query scoring pass, identical to sim_topk_neighbors.
+    At 100 TB the candidates come from the ANN path (sim_ann_ivf) and
+    this rerank costs O(queries * k^2) — nothing."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec("embedding").alias("vec")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("id"), F.col("vec").alias("c_vec"))
+    simq = F.floor(
+        F.lit(1000000.0)
+        * _dot("q_vec", "c_vec")
+        / (_norm("q_vec") * _norm("c_vec"))
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", "id", simq.alias("simq_micro"), F.col("c_vec").alias("vec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("simq_micro").desc(), "id"
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_CAND)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # 3 consumers per step: truncate replay
+    )
+    picked = cand.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") == 1
+    ).drop("rn").withColumn("pick_idx", F.lit(1).cast("long"))
+    pair = F.floor(
+        F.lit(1000000.0)
+        * _dot("vec", "p_vec")
+        / (_norm("vec") * _norm("p_vec"))
+        + F.lit(0.5)
+    ).cast("long")
+    for t in range(2, _MMR_K + 1):
+        pvecs = picked.select(
+            "query_id", F.col("id").alias("p_id"), F.col("vec").alias("p_vec")
+        )
+        rem = cand.join(
+            picked.select("query_id", "id"), ["query_id", "id"], "left_anti"
+        )
+        pen = (
+            rem.join(pvecs, "query_id")
+            .select("query_id", "id", "simq_micro", "vec", pair.alias("pp"))
+            .groupBy("query_id", "id", "simq_micro", "vec")
+            .agg(F.max("pp").alias("pen"))
+        )
+        score = F.lit(0.7) * F.col("simq_micro") - F.lit(0.3) * F.col("pen")
+        wsc = Window.partitionBy("query_id").orderBy(score.desc(), "id")
+        pk = (
+            pen.withColumn("rn", F.row_number().over(wsc))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "id",
+                "simq_micro",
+                "vec",
+                F.lit(t).cast("long").alias("pick_idx"),
+            )
+        )
+        picked = picked.unionByName(pk)
+    return picked.select(
+        "query_id",
+        "pick_idx",
+        F.col("id").alias("neighbor_id"),
+        "simq_micro",
+    )

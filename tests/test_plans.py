@@ -1193,3 +1193,33 @@ def test_seasonal_naive_one_window_one_agg(spark):
     assert plan.count("Window") == 1, plan
     assert "partial_sum" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_hybrid_rrf_single_scoring_pass(spark):
+    """Both retriever scores come from ONE broadcast scoring pass (the
+    corpus never shuffles for the join) and all three rank windows
+    partition by query_id."""
+    plan = plan_of(q("sim_hybrid_rrf", spark), mode="extended")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(query_id" in plan
+    assert "EvalPython" not in plan
+
+
+def test_mmr_steps_join_bounded_candidates(spark):
+    """Every greedy step joins top-k-bounded candidate tables — no
+    cartesian over the corpus, no Python; the candidate pool is
+    localCheckpoint-truncated so the scoring pass isn't replayed per
+    step."""
+    plan = plan_of(q("sim_mmr_diversify", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_percentile_cont_positional_fetch(spark):
+    """Value selection is positional: one rank window per group, then a
+    rank-targeted join — never a percentile built-in (engine-varying
+    float accumulation)."""
+    plan = plan_of(q("agg_percentile_cont_exact", spark), mode="extended")
+    assert "windowspecdefinition(prio" in plan
+    assert "percentile" not in plan.lower()
+    assert "EvalPython" not in plan
