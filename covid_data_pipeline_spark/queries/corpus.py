@@ -3330,3 +3330,51 @@ def analytics_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataF
         .alias("mean_ms_micro"),
         b.alias("burstiness_micro"),
     )
+
+
+@query(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY user_id
+    )
+    SELECT strftime(ud.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN ud.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN ud.d = f.d0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_returning
+    FROM ud JOIN firsts f USING (user_id)
+    GROUP BY ud.d
+    """,
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the first growth chart every
+    product dashboard draws: per day, how many active users are seen
+    for the FIRST time ever vs coming back (acquisition vs retention,
+    the summary row of win_retention_cohort's full matrix).
+
+    Exact and shuffle-lean: one (user, day) dedup, one per-user
+    min(day) (map-side combinable), one broadcast-joinable re-join
+    keyed on user, one daily rollup — all integer counts, no floats
+    at all.
+
+    Scale: the dedup and the first-day aggregate share the user_id
+    shuffle (AQE reuses the exchange); at 100 TB the first-day table
+    is incrementally maintainable (MERGE least(seen_min, new_min) —
+    the pipeline_rollup_merge pattern), so the daily job never
+    rescans history."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    j = ud.join(firsts, "user_id")
+    is_new = F.when(F.col("d") == F.col("d0"), 1).otherwise(0)
+    return j.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(is_new).cast("long").alias("n_new"),
+        F.sum(1 - is_new).cast("long").alias("n_returning"),
+    )

@@ -1042,3 +1042,84 @@ def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist2_nano"),
         )
     )
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               sha256(props) AS h,
+               CASE WHEN sha256(props) IS DISTINCT FROM
+                         LAG(sha256(props)) OVER w THEN 1 ELSE 0 END
+                   AS changed
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versioned AS (
+        SELECT *,
+               LAST_VALUE(CASE WHEN changed = 1 THEN h END IGNORE NULLS)
+                   OVER w2 AS at_version_hash,
+               LAST_VALUE(CASE WHEN changed = 1 THEN ts END IGNORE NULLS)
+                   OVER w2 AS version_from
+        FROM flagged
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, at_version_hash,
+           CAST(epoch_us(version_from) AS BIGINT) AS version_from_us
+    FROM versioned WHERE event_type = 'purchase'
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time lookup: each purchase resolved to the content
+    VERSION that was live at its timestamp — the temporal-join verb
+    behind "which config/profile/page version did this conversion see?"
+    (the reference's which-snapshot-was-current question).  Version
+    boundaries are the rows whose props hash differs from the previous
+    row (the scd2_intervals change detector); the lookup is the
+    AT-OR-BEFORE as-of, inclusive of a purchase that is itself the
+    change event.
+
+    Formulated as TWO windows over ONE (user_id, (ts, event_id))
+    partitioning — never a range join of events against the intervals
+    table: the window form costs one shuffle and is immune to hot-key
+    interval explosion (the join_asof doctrine applied to versioned
+    dimensions).  IS DISTINCT FROM makes row 1 a version start on both
+    engines; last(ignorenulls) carries the version forward."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = F.sha2("props", 256)
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        h.alias("h"),
+        F.when(~h.eqNullSafe(F.lag(h).over(w)), 1).otherwise(0).alias("changed"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    versioned = flagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(
+            F.when(F.col("changed") == 1, F.col("h")), ignorenulls=True
+        )
+        .over(w2)
+        .alias("at_version_hash"),
+        F.last(
+            F.when(F.col("changed") == 1, F.col("ts")), ignorenulls=True
+        )
+        .over(w2)
+        .alias("version_from"),
+    )
+    return versioned.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "at_version_hash",
+        F.unix_micros("version_from").cast("long").alias("version_from_us"),
+    )

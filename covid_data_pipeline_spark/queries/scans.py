@@ -1209,3 +1209,29 @@ def sink_csv_quoted_escapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("evil", 256).alias("evil_sha"),
         (F.col("evil") == F.col("want")).cast("long").alias("roundtrip_ok"),
     )
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``SELECT * EXCEPT (cols)`` projection surface — the
+    wide-table ergonomics ("everything but the blob/PII columns")
+    that, like GROUP BY ALL, resolves at ANALYSIS time: the oracle
+    spells the surviving columns explicitly, and the plan test pins
+    that the scan's ReadSchema prunes the excepted columns — EXCEPT
+    is not a post-scan drop, it narrows the parquet read itself
+    (column pruning still reaches the source, which is what matters
+    at 100 TB: excepting a fat column saves its I/O entirely)."""
+    tune(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("se_orders")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_totalprice, o_orderdate)
+        FROM se_orders
+        """
+    )

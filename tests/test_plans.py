@@ -1223,3 +1223,29 @@ def test_percentile_cont_positional_fetch(spark):
     assert "windowspecdefinition(prio" in plan
     assert "percentile" not in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_scd2_pit_two_windows_one_shuffle(spark):
+    """The change detector and the carry-forward must share the
+    (user_id, (ts, event_id)) partitioning — one exchange, never a
+    range join against an intervals table."""
+    plan = plan_of(q("join_scd2_point_in_time", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_new_vs_returning_shares_user_shuffle(spark):
+    """The (user, day) dedup and the per-user first-day aggregate ride
+    the same user-keyed exchange; counts partially aggregate."""
+    plan = plan_of(q("analytics_new_vs_returning", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_star_except_prunes_scan(spark):
+    """* EXCEPT must narrow the parquet read itself — the excepted fat
+    columns may not appear in ReadSchema."""
+    plan = plan_of(q("sql_star_except", spark))
+    assert "ReadSchema" in plan
+    assert "o_totalprice" not in plan.split("ReadSchema")[1][:400], plan
