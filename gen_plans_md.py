@@ -253,6 +253,29 @@ SHOWN = (
         "selection arithmetic is exact integer.",
         False,
     ),
+    (
+        "sim_mmr_diversify",
+        "Greedy MMR statically unrolled: ONE broadcast scoring pass is "
+        "the only corpus-sized stage (localCheckpoint truncates the "
+        "candidate pool), then each pick is an anti-join + bounded "
+        "pairwise penalty + WindowGroupLimit argmax over 8-row tables.",
+        False,
+    ),
+    (
+        "join_scd2_point_in_time",
+        "Temporal lookup as TWO windows over ONE "
+        "hashpartitioning(user_id) exchange — the change detector and "
+        "the version carry-forward share the sort; no range join, no "
+        "interval-table hot-key explosion.",
+        False,
+    ),
+    (
+        "text_ngram_novelty",
+        "Inverted-index novelty: explode distinct 5-grams, partial_min "
+        "map-side combine per shingle, re-join on the SAME shingle key — "
+        "never a doc-pair join.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead
