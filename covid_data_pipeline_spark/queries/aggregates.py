@@ -1829,3 +1829,71 @@ def agg_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pctl_micro",
         )
     )
+
+
+@query(
+    "agg_benford_deviation",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+    SELECT o.d AS digit, o.n,
+           CAST(floor(1000000.0 * log10(1.0 + 1.0 / o.d) + 0.5) AS BIGINT)
+               AS expected_micro,
+           CAST(floor(1000000.0 * o.n / t.t + 0.5) AS BIGINT)
+               AS observed_micro,
+           CAST(floor(1000000.0
+                * (CAST(o.n AS DOUBLE) / t.t - log10(1.0 + 1.0 / o.d))
+                + 0.5) AS BIGINT) AS deviation_micro
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen (Benford 1938; Nigrini's forensic
+    accounting standard): naturally-occurring amounts put ~30.1% of
+    leading digits at 1, so a flat or spiky observed distribution
+    flags synthetic or tampered values.  Emits per digit the observed
+    count/share, the Benford expectation log10(1 + 1/d), and the
+    signed deviation.
+
+    Determinism: the leading digit comes from INTEGER string
+    arithmetic (floor to BIGINT, first character — no float log to
+    extract the digit); log10 runs on the nine constant ratios only,
+    identically on both engines; shares are single quantized
+    divisions.
+
+    Scale: one map-side digit projection + a 9-row aggregate with
+    map-side combine; the grand total broadcasts back.  At 100 TB
+    this is scan-bandwidth bound, like every profiling op."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    d = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    obs = d.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("t"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n",
+        micro(expected).alias("expected_micro"),
+        micro(F.col("n") / F.col("t")).alias("observed_micro"),
+        micro(F.col("n").cast("double") / F.col("t") - expected).alias(
+            "deviation_micro"
+        ),
+    )

@@ -2214,3 +2214,69 @@ def text_sttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sttr_micro"),
     )
+
+
+@query(
+    "text_case_pattern_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_filter(ws,
+                w -> regexp_full_match(w, '[A-Z]{2,}'))) AS BIGINT)
+               AS n_allcaps,
+           CAST(len(list_filter(ws,
+                w -> regexp_full_match(w, '[A-Z][a-z]+'))) AS BIGINT)
+               AS n_titlecase,
+           CAST(len(list_filter(ws,
+                w -> regexp_full_match(w, '[a-z]+'))) AS BIGINT)
+               AS n_lower,
+           CAST(floor(1000000.0
+                * len(list_filter(ws,
+                      w -> regexp_full_match(w, '[A-Z]{2,}')))
+                / len(ws) + 0.5) AS BIGINT) AS allcaps_ratio_micro
+    FROM toks WHERE len(ws) > 0
+    """,
+)
+def text_case_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document case-pattern profile — ALL-CAPS, TitleCase and
+    lowercase word counts plus the all-caps ratio: the shouting/spam
+    prior the big cleaning recipes band on (C4 drops pages with too
+    many all-caps lines; headline-cased boilerplate profiles as
+    title-heavy), complementing text_quality's punctuation and
+    stopword signals.
+
+    ALL-INTEGER counts from full-match regex classes evaluated inside
+    one higher-order filter per class (identical regexes both
+    engines; anchored full-match so 'USA.' is neither all-caps nor
+    lower on either engine), one quantized ratio.
+
+    Scale: map-only — tokenize once, three in-array filters, zero
+    shuffles; fuses into the same single corpus pass as
+    text_readability/text_sttr."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = d.select("doc_id", "lang", ws.alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    def n_match(pat):
+        return F.size(
+            F.filter(F.col("ws"), lambda w: w.rlike(f"^{pat}$"))
+        ).cast("long")
+    allcaps = n_match("[A-Z]{2,}")
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.size("ws").cast("long").alias("n_words"),
+        allcaps.alias("n_allcaps"),
+        n_match("[A-Z][a-z]+").alias("n_titlecase"),
+        n_match("[a-z]+").alias("n_lower"),
+        F.floor(F.lit(1000000.0) * allcaps / F.size("ws") + F.lit(0.5))
+        .cast("long")
+        .alias("allcaps_ratio_micro"),
+    )

@@ -1235,3 +1235,58 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM se_orders
         """
     )
+
+
+@query(
+    "scan_parquet_file_metadata",
+    oracle="""
+    -- the fixture table is exactly ONE physical file named
+    -- orders.parquet at every sf, so the expected provenance rollup
+    -- is statable from the view alone; only the Spark side can (and
+    -- does) derive the name from the _metadata column
+    SELECT 'orders.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def scan_parquet_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance scan via Spark's hidden ``_metadata`` source
+    column — per physical parquet file: row count and key range, the
+    lineage question ("which file did this row come from / what does
+    each file cover?") behind incremental reprocessing, bad-file
+    quarantine, and compaction planning (sink_compact_small_files'
+    read-side dual).  The oracle reads the same files with DuckDB's
+    filename=true — an independent implementation of the same
+    provenance surface.
+
+    _metadata is COLLAPSED to the file name (both engines take the
+    path's basename) so the check is location-independent; selecting
+    _metadata costs nothing extra at scan time (it's constant per
+    file, no I/O).
+
+    Scale: per-file aggregation with map-side combine — at 100 TB
+    with millions of files this is the manifest-building pass, and
+    the min/max key ranges it emits are exactly what partition-pruning
+    manifests (or Iceberg metadata) store."""
+    tune(spark)
+    from ..io import table_path
+
+    o = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string"
+    ).parquet(table_path(sf_dir, "orders"))
+    return (
+        o.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            .alias("file_name"),
+            "o_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )

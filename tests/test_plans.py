@@ -1249,3 +1249,28 @@ def test_star_except_prunes_scan(spark):
     plan = plan_of(q("sql_star_except", spark))
     assert "ReadSchema" in plan
     assert "o_totalprice" not in plan.split("ReadSchema")[1][:400], plan
+
+
+def test_benford_digit_extraction_in_codegen(spark):
+    """Digit extraction is integer/string arithmetic inside codegen (no
+    float log to get the digit); the 9-row total broadcasts back."""
+    plan = plan_of(q("agg_benford_deviation", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_case_profile_map_only(spark):
+    """Three in-array regex filters, zero shuffles, no generators."""
+    plan = plan_of(q("text_case_pattern_profile", spark), mode="simple")
+    assert plan.count("Exchange") == 0, plan
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_file_metadata_rides_the_scan(spark):
+    """_metadata provenance must come from the parquet scan itself (no
+    extra I/O pass) with map-side combined per-file aggregates."""
+    plan = plan_of(q("scan_parquet_file_metadata", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "partial_min" in plan, plan
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan parquet") == 1, plan
