@@ -1897,3 +1897,79 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deviation_micro"
         ),
     )
+
+
+@query(
+    "sql_window_named_clause",
+    oracle="""
+    SELECT o_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS order_seq,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS n_orders,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    """,
+)
+def sql_window_named_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``WINDOW`` clause — one NAMED window spec shared by
+    several window functions (the analyst spelling that keeps a
+    5-function report from restating the same PARTITION/ORDER five
+    times).  The oracle inlines the specs, proving the named form is
+    analysis-time sugar: Catalyst resolves both to the SAME Window
+    nodes over one exchange, and functions with compatible frames
+    fuse exactly as their inline twins do (the shared-frame doctrine).
+    Ordering tie-breaks on o_orderkey so row_number is deterministic."""
+    tune(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("wc_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               ROW_NUMBER() OVER w AS order_seq,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+        FROM wc_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+    )
+
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT * FROM orders WHERE o_orderkey % 97 = 0
+    ) GROUP BY o_orderpriority
+    """,
+)
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``listagg(... ) WITHIN GROUP (ORDER BY ...)`` — the
+    SQL-standard ordered string aggregation (DuckDB spells it
+    string_agg with ORDER BY).  The WITHIN GROUP order is the entire
+    determinism story: an unordered listagg concatenates in partition
+    arrival order and can never hash-match (the collect_list doctrine
+    in SQL form) — this query IS the regression canary for that.
+    Input thinned by a key filter so group strings stay KB-sized.
+
+    Scale: ordered string aggregation must ship the full member list
+    per group through the shuffle — use it for report-sized groups
+    only; corpus-sized concatenation belongs in collect_list +
+    array_join after an explicit sort, or better, stays unconcatenated
+    (the doc-chunking ops)."""
+    tune(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("la_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderkey) AS statuses,
+               COUNT(*) AS n
+        FROM la_orders WHERE o_orderkey % 97 = 0
+        GROUP BY o_orderpriority
+        """
+    )

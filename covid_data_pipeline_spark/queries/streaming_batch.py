@@ -879,3 +879,66 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("latest.event_type").alias("last_event_type"),
         F.col("latest.event_id").alias("last_event_id"),
     )
+
+
+@query("stream_progress_metrics", oracle=None)  # rows-only: engine metrics
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY: drain the hourly tumbling aggregation
+    with availableNow and surface the engine's own progress telemetry
+    (StreamingQueryProgress) as rows — total input rows, micro-batch
+    count, and stateful-operator state rows: the numbers an on-call
+    engineer alarms on (state growth = leak; input-rate vs processed
+    divergence = falling behind).  The batch-side pipeline_observe_
+    metrics is the batch twin; this is the stream side the reference's
+    run-loop monitoring would map to.
+
+    Deterministic at fixture scale: availableNow over one source file
+    yields a fixed batch count, input rows equal the table size, and
+    state rows equal the (window x type) group count — asserted in
+    tests/test_streaming.py, not just eyeballed.
+
+    Driver sees (sf0.01): 4 rows; columns (metric, value).
+
+    Scale: progress metrics are O(1) per micro-batch regardless of
+    data volume — the monitoring plane is free; ship them to the
+    metrics sink via a StreamingQueryListener in production."""
+    import uuid
+
+    from ..streaming import read_events_stream
+
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"prog_{uuid.uuid4().hex[:12]}"
+    import tempfile
+
+    agg = TR.tumbling_hourly(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdp_prog_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p is not None]
+    n_batches = len(progresses)
+    input_rows = sum(int(p["numInputRows"]) for p in progresses)
+    state_rows = max(
+        (
+            int(op["numRowsTotal"])
+            for p in progresses
+            for op in p.get("stateOperators", [])
+        ),
+        default=0,
+    )
+    sink_rows = spark.table(name).count()
+    return spark.createDataFrame(
+        [
+            ("n_micro_batches", n_batches),
+            ("total_input_rows", input_rows),
+            ("state_rows_total", state_rows),
+            ("final_sink_rows", sink_rows),
+        ],
+        "metric string, value long",
+    )

@@ -74,6 +74,12 @@ def family_of(name: str) -> str:
 # query id; the generator fails if an id here is stale or a rows-only
 # query lacks an entry — so this list can never drift from the registry.
 ROWS_ONLY_WHY = {
+    "stream_progress_metrics": (
+        "the output IS the engine's own StreamingQueryProgress telemetry "
+        "(batch counts, state rows) — no SQL twin exists by definition. "
+        "Exact expected values at fixture scale asserted in "
+        "tests/test_streaming.py."
+    ),
     "sim_pq_adc_rerank": (
         "iterative Lloyd codebook training + model-state collect — the "
         "driver-contract category exempt from SQL twins. Determinism and "

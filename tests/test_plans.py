@@ -1274,3 +1274,20 @@ def test_file_metadata_rides_the_scan(spark):
     assert "EvalPython" not in plan
     assert "partial_count" in plan or "partial_min" in plan, plan
     assert plan.count("Scan parquet") == 1 or plan.count("FileScan parquet") == 1, plan
+
+
+def test_named_window_clause_same_plan_as_inline(spark):
+    """The WINDOW clause is analysis-time sugar: named and inline specs
+    over the same partitioning resolve to Window nodes over ONE
+    user-key exchange, no Python."""
+    plan = plan_of(q("sql_window_named_clause", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_string_agg_is_sort_aggregate_with_order(spark):
+    """listagg WITHIN GROUP must plan as an ordered aggregate (the
+    determinism guarantee) — never an arrival-order concat."""
+    plan = plan_of(q("agg_string_agg_ordered", spark), mode="extended")
+    assert "listagg" in plan, plan
+    assert "EvalPython" not in plan

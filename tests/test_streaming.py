@@ -726,3 +726,19 @@ def test_upsert_foreachbatch_merges_across_batches(spark, tmp_path):
     }
     # user 1: 2 events in b1 + 1 in b2 (count ADDS), latest OVERWRITES
     assert got == {1: (3, "purchase"), 2: (1, "view"), 3: (1, "signup")}, got
+
+
+def test_progress_metrics_exact_at_fixture_scale(spark):
+    """The telemetry rows are deterministic at fixture scale: one
+    availableNow batch over the single source file, input rows equal
+    the table size, and the stateful operator's state rows equal the
+    final (window, type) group count in the sink."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    df = load_all()["stream_progress_metrics"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    got = {r["metric"]: r["value"] for r in df.collect()}
+    assert got["n_micro_batches"] == 1
+    assert got["total_input_rows"] == 1000
+    assert got["state_rows_total"] == got["final_sink_rows"] > 0, got
