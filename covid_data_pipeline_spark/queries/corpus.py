@@ -3378,3 +3378,76 @@ def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_new).cast("long").alias("n_new"),
         F.sum(1 - is_new).cast("long").alias("n_returning"),
     )
+
+
+@query(
+    "analytics_dau_mau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    daily AS (
+        SELECT strftime(d, '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS dau
+        FROM ud GROUP BY d
+    ),
+    dsum AS (
+        SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(dau) AS BIGINT) AS dau_sum
+        FROM daily GROUP BY month
+    ),
+    mau AS (
+        SELECT strftime(d, '%Y-%m') AS month,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM ud GROUP BY 1
+    )
+    SELECT d.month, d.n_days, d.dau_sum, m.mau,
+           CAST(floor(1000000.0 * d.dau_sum / (d.n_days * m.mau) + 0.5)
+                AS BIGINT) AS stickiness_micro
+    FROM dsum d JOIN mau m USING (month)
+    """,
+)
+def analytics_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — mean daily actives over monthly
+    actives, THE engagement ratio every growth team reports (a
+    stickiness near 1 means users show up every day; near 1/30 means
+    once-a-month drive-bys), complementing analytics_new_vs_returning's
+    acquisition split.
+
+    ALL-INTEGER: the (user, day) dedup feeds both the daily distinct
+    counts (summed exactly per month) and the monthly distinct; one
+    quantized division at the end.
+
+    Scale: one dedup shuffle keyed (user, day); the daily and monthly
+    rollups are day- and month-grain re-aggregations of it.  The
+    monthly COUNT(DISTINCT user) re-shuffles the dedup by user — at
+    100 TB swap in the bitmap partials (stream_bitmap_partials'
+    architecture) to make both grains one-pass mergeable."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    daily = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    dsum_m = daily.groupBy(
+        F.date_format("d", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+    )
+    mau = ud.groupBy(F.date_format("d", "yyyy-MM").alias("month")).agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    j = dsum_m.join(F.broadcast(mau), "month")
+    return j.select(
+        "month",
+        "n_days",
+        "dau_sum",
+        "mau",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("dau_sum")
+            / (F.col("n_days") * F.col("mau"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("stickiness_micro"),
+    )

@@ -1291,3 +1291,22 @@ def test_string_agg_is_sort_aggregate_with_order(spark):
     plan = plan_of(q("agg_string_agg_ordered", spark), mode="extended")
     assert "listagg" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_adamic_adar_wedge_contrib_quantized_before_sum(spark):
+    """Wedge enumeration through shared neighbors only (no node-pair
+    cartesian); the degree dim broadcasts onto the wedge center; the
+    per-pair score is an exact integer sum (partial_sum present)."""
+    plan = plan_of(q("graph_adamic_adar", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_dau_mau_single_dedup_feeds_both_grains(spark):
+    """One (user, day) dedup feeds the day- and month-grain rollups;
+    the monthly dim broadcasts back; all JVM-side."""
+    plan = plan_of(q("analytics_dau_mau", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
