@@ -1973,3 +1973,78 @@ def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT l_returnflag, c,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM cents
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(floor(1000000.0 * SUM(c) / COUNT(*) / 100.0 + 0.5)
+                AS BIGINT) AS trimmed_mean_micro
+    FROM ranked
+    -- // not /: DuckDB's / on integers is FLOAT division, which
+    -- silently shifts the upper cut by one rank
+    WHERE rn > n // 20 AND rn <= n - n // 20
+    GROUP BY l_returnflag
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided TRIMMED mean of price per returnflag — the robust
+    sibling of agg_winsorized_mean that DROPS the tail observations
+    instead of clamping them (the olympic-scoring estimator; n shrinks
+    by 2*floor(n/20)).
+
+    POSITIONAL trimming over exact integer cents: rank per group, keep
+    ranks in (n/20, n - n/20], sum the kept BIGINTs exactly, one
+    quantized division back to dollars — no percentile interpolation
+    anywhere, so unlike the winsorized twin there is no shared
+    bound-double to keep in sync; the cut is pure integer rank
+    arithmetic on both engines.
+
+    Scale: one rank window per group is the only corpus-sized stage
+    (the agg_percentile_cont_exact cost class); at 100 TB replace the
+    exact rank with the two GK-sketch cut values and a filter —
+    documented approximation path, same shape as winsorized's."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("c")
+    wc = Window.partitionBy("l_returnflag")
+    ranked = cents.select(
+        "l_returnflag",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("n div 20"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 20"))
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.floor(
+            F.lit(1000000.0) * F.sum("c") / F.count(F.lit(1)) / F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("trimmed_mean_micro"),
+    )

@@ -2280,3 +2280,95 @@ def text_case_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allcaps_ratio_micro"),
     )
+
+
+@query(
+    "text_boilerplate_lines",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN '. subscribe to our newsletter for daily updates'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN '. this page is updated every morning at nine'
+                    ELSE '' END AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_filter(string_split(text, '.'),
+                        s -> len(trim(s)) >= 20))) AS line
+        FROM seeded
+    ),
+    counts AS (
+        SELECT trim(line) AS line,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM lines GROUP BY 1
+    )
+    SELECT line, n_docs FROM counts
+    WHERE n_docs >= 5
+    ORDER BY n_docs DESC, line LIMIT 30
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document BOILERPLATE detection: sentences (period-split
+    segments >= 20 chars, distinct per doc) appearing verbatim in 5+
+    documents — the shared headers/footers/disclaimers that every
+    corpus-cleaning recipe strips before training (CCNet's line-level
+    dedup signal at sentence grain; dedup_paragraph_exact is the
+    removal verb, this is the REPORT that says what to remove).
+
+    Distinct-per-doc before counting (a doc repeating its own footer
+    counts once), exact string match after trim — deterministic, no
+    hashing needed at report scale; top-30 by document count with a
+    lexical tiebreak.  The fixture corpus carries no sentence
+    punctuation (every doc is one segment — measured), so two footer
+    sentences are SEEDED deterministically in-pipeline on both engines
+    (doc_id % 7 / % 11 — the dedup_embedding_cosine fixture-honesty
+    precedent): the report's ground truth is planted, witnessed, and
+    identical at every sf.
+
+    Scale: explode + one shuffle on the line key with map-side
+    combine; the >= 5 threshold prunes the long tail before the
+    top-k (TakeOrderedAndProject) — the text_tf shape.  At 100 TB
+    hash the line to a 64-bit key for the shuffle and keep the text
+    only on the surviving rows."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    # fixture docs carry NO sentence punctuation (measured: every doc is
+    # one period-segment, so the organic report is empty at every sf) —
+    # per the fixture-honesty doctrine the footers are SEEDED
+    # deterministically in-pipeline, identically on both engines (the
+    # dedup_embedding_cosine precedent), so the machinery is witnessed
+    # against a planted ground truth instead of passing vacuously
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(". subscribe to our newsletter for daily updates"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(". this page is updated every morning at nine"),
+        ).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", seeded.alias("text"))
+    segs = F.array_distinct(
+        F.filter(
+            F.split("text", "\\."),
+            lambda s: F.length(F.trim(s)) >= 20,
+        )
+    )
+    lines = d.select("doc_id", F.explode(segs).alias("line0")).select(
+        "doc_id", F.trim("line0").alias("line")
+    )
+    counts = lines.groupBy("line").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        counts.filter(F.col("n_docs") >= 5)
+        .orderBy(F.col("n_docs").desc(), "line")
+        .limit(30)
+    )

@@ -1310,3 +1310,21 @@ def test_dau_mau_single_dedup_feeds_both_grains(spark):
     plan = plan_of(q("analytics_dau_mau", spark), mode="simple")
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_trimmed_mean_positional_cut_no_python(spark):
+    """The trim is pure integer rank arithmetic over one per-group rank
+    window; the kept sum partially aggregates."""
+    plan = plan_of(q("agg_trimmed_mean", spark), mode="extended")
+    assert "windowspecdefinition(l_returnflag" in plan
+    assert "percentile" not in plan.lower()
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_one_shuffle_topk(spark):
+    """Line counting is one shuffle on the line key with map-side
+    combine; the report comes back via TakeOrderedAndProject."""
+    plan = plan_of(q("text_boilerplate_lines", spark), mode="simple")
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan
