@@ -3451,3 +3451,730 @@ def analytics_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stickiness_micro"),
     )
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    grp AS (
+        SELECT event_type, x,
+               CASE WHEN t % 7 IN (5, 6) THEN 1 ELSE 0 END AS is_wkend
+        FROM daily
+    ),
+    vals AS (
+        SELECT event_type, x,
+               CAST(SUM(is_wkend) AS BIGINT) AS a,
+               CAST(SUM(1 - is_wkend) AS BIGINT) AS b
+        FROM grp GROUP BY event_type, x
+    ),
+    cum AS (
+        SELECT event_type,
+               CAST(SUM(a) OVER w AS BIGINT) AS ca,
+               CAST(SUM(b) OVER w AS BIGINT) AS cb,
+               CAST(SUM(a) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+               CAST(SUM(b) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        FROM vals
+        WINDOW w AS (PARTITION BY event_type ORDER BY x)
+    )
+    SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+           CAST(MAX(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(floor(1000000.0
+                    * CAST(MAX(abs(ca * n2 - cb * n1)) AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * n2) + 0.5) AS BIGINT)
+           END AS d_micro,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(MAX(abs(ca * n2 - cb * n1)) AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * n2))
+                    * sqrt(CAST(n1 * n2 AS DOUBLE) / (n1 + n2))
+                    + 0.5) AS BIGINT)
+           END AS lambda_micro
+    FROM cum GROUP BY event_type, n1, n2
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per event type: weekend vs
+    weekday daily-count DISTRIBUTIONS (Mann-Whitney asks about location
+    shift; KS asks about ANY distributional difference — shape, spread,
+    or location).  D = max_x |F1(x) - F2(x)| over the pooled support.
+
+    INTEGER statistic: the ECDF gap at value x is |c1(x)*n2 - c2(x)*n1|
+    / (n1*n2) where c_i are cumulative counts <= x — the numerator is
+    exact BIGINT, so the max is order-free and partitioning-invariant;
+    only the final normalization and the asymptotic lambda
+    D*sqrt(n1*n2/(n1+n2)) touch doubles, one identical expression shape
+    per engine, micro-quantized.  Empty sides emit NULL on both engines.
+
+    Scale: one corpus-sized daily aggregate, then value-grain windows
+    over calendar-bounded rows (<= 366 per type-year); the cumulative
+    window partitions per type.  At 100 TB the daily table is still
+    tiny — the pattern holds unchanged."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    grp = daily.select(
+        "event_type",
+        "x",
+        F.when((F.col("t") % 7).isin(5, 6), 1).otherwise(0).alias("is_wkend"),
+    )
+    vals = grp.groupBy("event_type", "x").agg(
+        F.sum("is_wkend").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("is_wkend")).cast("long").alias("b"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    wp = Window.partitionBy("event_type")
+    cum = vals.select(
+        "event_type",
+        F.sum("a").over(w).cast("long").alias("ca"),
+        F.sum("b").over(w).cast("long").alias("cb"),
+        F.sum("a").over(wp).cast("long").alias("n1"),
+        F.sum("b").over(wp).cast("long").alias("n2"),
+    )
+    gap = F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+    agg = cum.groupBy("event_type", "n1", "n2").agg(
+        F.max(gap).cast("long").alias("d_num")
+    )
+    n1d = F.col("n1").cast("double")
+    d = F.col("d_num").cast("double") / (n1d * F.col("n2"))
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    return agg.select(
+        "event_type",
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        "d_num",
+        F.when(ok, micro(d)).alias("d_micro"),
+        F.when(
+            ok,
+            micro(
+                d
+                * F.sqrt(
+                    (F.col("n1") * F.col("n2")).cast("double")
+                    / (F.col("n1") + F.col("n2"))
+                )
+            ),
+        ).alias("lambda_micro"),
+    )
+
+
+@query(
+    "agg_spearman_rho",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type,
+               -- doubled mid-ranks stay exact BIGINT under ties
+               CAST(RANK() OVER wx
+                    + (COUNT(*) OVER (PARTITION BY event_type, x) - 1)
+                    + RANK() OVER wx AS BIGINT) AS rx2,
+               CAST(2 * RANK() OVER wt AS BIGINT) AS rt2
+        FROM daily
+        WINDOW wx AS (PARTITION BY event_type ORDER BY x),
+               wt AS (PARTITION BY event_type ORDER BY t)
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx2) AS BIGINT) AS sx,
+               CAST(SUM(rt2) AS BIGINT) AS st,
+               CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(SUM(rt2 * rt2) AS BIGINT) AS stt,
+               CAST(SUM(rx2 * rt2) AS BIGINT) AS sxt
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * stt - st * st > 0 THEN
+               CAST(floor(1000000.0
+                    * CAST(n * sxt - sx * st AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * stt - st * st AS DOUBLE))
+                    + 0.5) AS BIGINT)
+           END AS rho_micro
+    FROM sums
+    """,
+)
+def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per event type between calendar day and
+    daily count — the monotone-association twin of ts_mann_kendall's
+    trend TEST (Kendall counts concordant pairs; Spearman is Pearson on
+    ranks, the cheaper one-pass-after-ranking statistic analysts reach
+    for first).
+
+    Tie-safe via the same DOUBLED-mid-rank trick as agg_mannwhitney_u:
+    rank sums, squares, and cross products are exact BIGINT (the 2x
+    scale cancels between numerator and denominator), so everything is
+    order-free until ONE final division against ONE sqrt, micro-
+    quantized.  Constant series (zero rank variance) emit NULL on both
+    engines.
+
+    Scale: ranking windows partition per type over calendar-bounded
+    daily rows; the moment sums are additive partials — per-shard
+    (n, sx, st, sxx, stt, sxt) tuples ADD, so rollups to coarser grains
+    never re-rank (within a fixed ranking grain)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wtie = Window.partitionBy("event_type", "x")
+    wt = Window.partitionBy("event_type").orderBy("t")
+    ranked = daily.select(
+        "event_type",
+        (
+            F.rank().over(wx)
+            + (F.count(F.lit(1)).over(wtie) - 1)
+            + F.rank().over(wx)
+        )
+        .cast("long")
+        .alias("rx2"),
+        (F.lit(2) * F.rank().over(wt)).cast("long").alias("rt2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("rt2").cast("long").alias("st"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("rt2") * F.col("rt2")).cast("long").alias("stt"),
+        F.sum(F.col("rx2") * F.col("rt2")).cast("long").alias("sxt"),
+    )
+    n, sx, st = F.col("n"), F.col("sx"), F.col("st")
+    vx = n * F.col("sxx") - sx * sx
+    vt = n * F.col("stt") - st * st
+    return sums.select(
+        "event_type",
+        "n",
+        F.when(
+            (vx > 0) & (vt > 0),
+            F.floor(
+                F.lit(1000000.0)
+                * (n * F.col("sxt") - sx * st).cast("double")
+                / F.sqrt(vx.cast("double") * vt.cast("double"))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("rho_micro"),
+    )
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN t % 7 IN (5, 6) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN t % 7 IN (5, 6) THEN x ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN t % 7 IN (5, 6) THEN x * x ELSE 0 END)
+                    AS BIGINT) AS ss1,
+               CAST(SUM(CASE WHEN t % 7 IN (5, 6) THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN t % 7 IN (5, 6) THEN 0 ELSE x END)
+                    AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN t % 7 IN (5, 6) THEN 0 ELSE x * x END)
+                    AS BIGINT) AS ss2
+        FROM daily GROUP BY event_type
+    ),
+    mv AS (
+        SELECT event_type, n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(s2 AS DOUBLE) / n2 AS m2,
+               (CAST(ss1 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / n1)
+                   / (n1 - 1) AS v1,
+               (CAST(ss2 AS DOUBLE) - CAST(s2 * s2 AS DOUBLE) / n2)
+                   / (n2 - 1) AS v2
+        FROM sums WHERE n1 >= 2 AND n2 >= 2
+    )
+    SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+           CASE WHEN v1 / n1 + v2 / n2 > 0 THEN
+               CAST(floor(1000000.0 * (m1 - m2) / sqrt(v1 / n1 + v2 / n2)
+                    + 0.5) AS BIGINT)
+           END AS t_micro,
+           CASE WHEN (v1 / n1) * (v1 / n1) / (n1 - 1)
+                     + (v2 / n2) * (v2 / n2) / (n2 - 1) > 0 THEN
+               CAST(floor(1000000.0
+                    * ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                    / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                       + (v2 / n2) * (v2 / n2) / (n2 - 1))
+                    + 0.5) AS BIGINT)
+           END AS df_micro,
+           CASE WHEN ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2) > 0
+           THEN
+               CAST(floor(1000000.0 * (m1 - m2)
+                    / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+                    + 0.5) AS BIGINT)
+           END AS cohens_d_micro
+    FROM mv
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type (weekend vs
+    weekday daily means), with the Welch-Satterthwaite degrees of
+    freedom and Cohen's d effect size — the PARAMETRIC member of the
+    two-sample family (agg_mannwhitney_u is its rank-based twin; report
+    both and let the analyst pick their assumptions).
+
+    Exact integer side sums (n, sum x, sum x^2 per side in ONE grouped
+    pass — no per-side shuffle), sample variances from the raw->central
+    identity, then t, df, and d each evaluate one identical IEEE
+    expression shape per engine against one sqrt, micro-quantized.
+    Sides smaller than 2 are filtered; zero-variance denominators emit
+    NULL on both engines.
+
+    Scale: the six integers per (group, side) are additive partials —
+    shards merge by adding, the test statistic is O(groups) driver-free
+    arithmetic.  x <= ~1e5/day keeps x^2 sums int64-safe past 1000x
+    this fixture; beyond that, shard the power sums by month first."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wk = (F.col("t") % 7).isin(5, 6)
+    x = F.col("x")
+    sums = daily.groupBy("event_type").agg(
+        F.sum(F.when(wk, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(wk, x).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(wk, x * x).otherwise(0)).cast("long").alias("ss1"),
+        F.sum(F.when(wk, 0).otherwise(1)).cast("long").alias("n2"),
+        F.sum(F.when(wk, 0).otherwise(x)).cast("long").alias("s2"),
+        F.sum(F.when(wk, 0).otherwise(x * x)).cast("long").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mv = sums.filter((n1 >= 2) & (n2 >= 2)).select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.col("s1").cast("double") / n1).alias("m1"),
+        (F.col("s2").cast("double") / n2).alias("m2"),
+        (
+            (
+                F.col("ss1").cast("double")
+                - (F.col("s1") * F.col("s1")).cast("double") / n1
+            )
+            / (n1 - 1)
+        ).alias("v1"),
+        (
+            (
+                F.col("ss2").cast("double")
+                - (F.col("s2") * F.col("s2")).cast("double") / n2
+            )
+            / (n2 - 1)
+        ).alias("v2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2, v1, v2 = F.col("m1"), F.col("m2"), F.col("v1"), F.col("v2")
+    se2 = v1 / n1 + v2 / n2
+    df_den = (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (
+        n2 - 1
+    )
+    pooled = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    return mv.select(
+        "event_type",
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        F.when(se2 > 0, micro((m1 - m2) / F.sqrt(se2))).alias("t_micro"),
+        F.when(df_den > 0, micro((se2 * se2) / df_den)).alias("df_micro"),
+        F.when(pooled > 0, micro((m1 - m2) / F.sqrt(pooled))).alias(
+            "cohens_d_micro"
+        ),
+    )
+
+
+@query(
+    "agg_jarque_bera",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * x) AS BIGINT) AS s2,
+               CAST(SUM(x * x * x) AS BIGINT) AS s3,
+               CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+        FROM daily GROUP BY event_type
+    ),
+    mom AS (
+        SELECT event_type, n,
+               CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   AS m2,
+               CAST(s3 AS DOUBLE) / n
+                   - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                   + 2 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n) AS m3,
+               CAST(s4 AS DOUBLE) / n
+                   - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                   + 6 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s2 AS DOUBLE) / n)
+                   - 3 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n) AS m4
+        FROM sums
+    )
+    SELECT event_type, n,
+           CAST(floor(1000000.0 * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                      + 0.5) AS BIGINT) AS skew_micro,
+           CAST(floor(1000000.0 * (m4 / (m2 * m2) - 3) + 0.5) AS BIGINT)
+               AS kurt_micro,
+           CAST(floor(1000000.0 * (CAST(n AS DOUBLE) / 6.0)
+                * ((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                       * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                   + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0)
+                + 0.5) AS BIGINT) AS jb_micro
+    FROM mom WHERE m2 > 0
+    """,
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type over daily counts —
+    the goodness-of-fit rollup built on agg_moments_exact's mergeable
+    integer power sums: JB = n/6 * (skew^2 + kurt^2/4), where skew and
+    excess kurtosis come from the raw->central moment identities.  The
+    monitoring question it answers: has this series' distribution
+    stopped looking Gaussian (regime change), even when mean and
+    variance alarms stay quiet?
+
+    Population moments from exact BIGINT s1..s4 (x <= ~1e3/day here;
+    int64-safe through ~50k/day/type, beyond which shard the partials
+    by month and merge), then ONE identical IEEE chain per engine for
+    skew, kurtosis, and JB, each micro-quantized; zero-variance groups
+    are filtered identically on both engines.
+
+    Scale: additive partials — per-shard (n, s1..s4) tuples ADD, so the
+    normality score of any rollup grain is five-integer arithmetic."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    x = F.col("x")
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x * x * x).cast("long").alias("s3"),
+        F.sum(x * x * x * x).cast("long").alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    mom = sums.select(
+        "event_type",
+        "n",
+        (r2 - mu * mu).alias("m2"),
+        (r3 - F.lit(3) * mu * r2 + F.lit(2) * mu * mu * mu).alias("m3"),
+        (
+            r4
+            - F.lit(4) * mu * r3
+            + F.lit(6) * mu * mu * r2
+            - F.lit(3) * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    skew = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - F.lit(3)
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    return mom.filter(m2 > 0).select(
+        "event_type",
+        "n",
+        micro(skew).alias("skew_micro"),
+        micro(kurt).alias("kurt_micro"),
+        micro(
+            (F.col("n").cast("double") / F.lit(6.0))
+            * (skew * skew + kurt * kurt / F.lit(4.0))
+        ).alias("jb_micro"),
+    )
+
+
+@query(
+    "agg_anova_oneway",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    per_group AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(x) AS BIGINT) AS s_i,
+               CAST(SUM(x * x) AS BIGINT) AS ss_i
+        FROM daily GROUP BY event_type
+    ),
+    terms AS (
+        SELECT n_i, s_i,
+               -- micro-quantized per-group terms -> order-free BIGINT sums
+               CAST(floor(1000000.0
+                    * (CAST(ss_i AS DOUBLE)
+                       - CAST(s_i * s_i AS DOUBLE) / n_i) + 0.5)
+                    AS BIGINT) AS within_micro,
+               CAST(floor(1000000.0 * CAST(s_i * s_i AS DOUBLE) / n_i
+                    + 0.5) AS BIGINT) AS meansq_micro
+        FROM per_group
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_i) AS BIGINT) AS n_total,
+               CAST(SUM(s_i) AS BIGINT) AS s_all,
+               CAST(SUM(within_micro) AS BIGINT) AS ssw_micro,
+               CAST(SUM(meansq_micro) AS BIGINT) AS sum_meansq_micro
+        FROM terms
+    )
+    SELECT k, n_total, ssw_micro,
+           CAST(sum_meansq_micro
+                - CAST(floor(1000000.0
+                       * CAST(s_all * s_all AS DOUBLE) / n_total + 0.5)
+                       AS BIGINT) AS BIGINT) AS ssb_micro,
+           CASE WHEN ssw_micro > 0 AND k > 1 AND n_total > k THEN
+               CAST(floor(1000000.0
+                    * ((CAST(sum_meansq_micro
+                             - CAST(floor(1000000.0
+                                    * CAST(s_all * s_all AS DOUBLE)
+                                    / n_total + 0.5) AS BIGINT)
+                             AS DOUBLE) / (k - 1))
+                       / (CAST(ssw_micro AS DOUBLE) / (n_total - k)))
+                    + 0.5) AS BIGINT)
+           END AS f_micro
+    FROM tot
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event types on daily counts: do
+    the five traffic streams share a mean daily volume?  Completes the
+    k-group layer above the two-sample tests (Welch t = 2 groups,
+    this = k groups).
+
+    Order-free by the house micro-quantization doctrine: each group's
+    within-SS and s_i^2/n_i terms are exact-integer-derived doubles
+    micro-quantized to BIGINT BEFORE the cross-group sum (a raw double
+    sum over groups would be partitioning-ordered), so SSB = sum
+    s_i^2/n_i - S^2/N and SSW land as exact integers and the final
+    F = (SSB/(k-1)) / (SSW/(N-k)) is one identical expression per
+    engine.  Degenerate shapes (one group, zero within-variance) emit
+    NULL on both engines.
+
+    Scale: one corpus-sized daily aggregate, then O(groups) arithmetic;
+    the (n_i, s_i, ss_i) tuples are additive partials that merge across
+    shards without re-scanning."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    x = F.col("x")
+    per_group = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(x).cast("long").alias("s_i"),
+        F.sum(x * x).cast("long").alias("ss_i"),
+    )
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    terms = per_group.select(
+        "n_i",
+        "s_i",
+        micro(
+            F.col("ss_i").cast("double")
+            - (F.col("s_i") * F.col("s_i")).cast("double") / F.col("n_i")
+        ).alias("within_micro"),
+        micro(
+            (F.col("s_i") * F.col("s_i")).cast("double") / F.col("n_i")
+        ).alias("meansq_micro"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.sum("s_i").cast("long").alias("s_all"),
+        F.sum("within_micro").cast("long").alias("ssw_micro"),
+        F.sum("meansq_micro").cast("long").alias("sum_meansq_micro"),
+    )
+    k, n_total = F.col("k"), F.col("n_total")
+    grand_micro = micro(
+        (F.col("s_all") * F.col("s_all")).cast("double") / n_total
+    )
+    ssb_micro = (F.col("sum_meansq_micro") - grand_micro).cast("long")
+    return tot.select(
+        "k",
+        "n_total",
+        "ssw_micro",
+        ssb_micro.alias("ssb_micro"),
+        F.when(
+            (F.col("ssw_micro") > 0) & (k > 1) & (n_total > k),
+            micro(
+                (ssb_micro.cast("double") / (k - 1))
+                / (F.col("ssw_micro").cast("double") / (n_total - k))
+            ),
+        ).alias("f_micro"),
+    )
+
+
+@query(
+    "agg_cramers_v",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rowt AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+        FROM daily GROUP BY event_type
+    ),
+    colt AS (
+        SELECT dow, CAST(SUM(o) AS BIGINT) AS c
+        FROM daily GROUP BY dow
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM daily),
+    cells AS (
+        SELECT CAST(floor(1000000.0
+                    * (CAST(d.o * t.n - rt.r * ct.c AS DOUBLE)
+                       * CAST(d.o * t.n - rt.r * ct.c AS DOUBLE))
+                    / (CAST(t.n AS DOUBLE) * rt.r * ct.c)
+                    + 0.5) AS BIGINT) AS contrib_micro
+        FROM daily d
+        JOIN rowt rt USING (event_type)
+        JOIN colt ct USING (dow)
+        CROSS JOIN tot t
+    ),
+    dims AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rowt) AS n_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM colt) AS n_cols,
+               (SELECT n FROM tot) AS n,
+               (SELECT CAST(SUM(contrib_micro) AS BIGINT) FROM cells)
+                   AS chisq_micro
+    )
+    SELECT n, n_rows, n_cols,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS df,
+           chisq_micro,
+           CASE WHEN n_rows > 1 AND n_cols > 1 THEN
+               CAST(floor(1000000.0
+                    * sqrt((CAST(chisq_micro AS DOUBLE) / 1000000.0)
+                           / (CAST(n AS DOUBLE)
+                              * least(n_rows - 1, n_cols - 1)))
+                    + 0.5) AS BIGINT)
+           END AS cramers_v_micro
+    FROM dims
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the event_type x day-of-week
+    contingency — the single-number rollup of analytics_chisq_cells:
+    that operator tells you WHICH cell broke; this one tells you HOW
+    STRONGLY the two factors associate overall (V in [0,1], comparable
+    across tables of different size — chi-square alone is not).
+
+    Per-cell contributions are micro-quantized to BIGINT in the exact
+    algebraically-cleared form (o*N - r*c)^2 / (N*r*c) before the
+    cross-cell sum (the chisq_cells doctrine: no aggregated floats),
+    then V = sqrt(chisq / (N * min(r-1, c-1))) evaluates once per
+    engine.  Single-row output; degenerate 1xC / Rx1 tables emit NULL V
+    on both engines.
+
+    Scale: one corpus-sized aggregate to the |types| x 7 grid, then
+    grid-sized arithmetic; row/col/grand totals broadcast back."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long")
+            % 7
+        ).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rowt = daily.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    colt = daily.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = daily.agg(F.sum("o").cast("long").alias("n"))
+    j = (
+        daily.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    cells = j.select(
+        F.floor(
+            F.lit(1000000.0)
+            * (num.cast("double") * num.cast("double"))
+            / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("contrib_micro")
+    )
+    chisq = cells.agg(
+        F.sum("contrib_micro").cast("long").alias("chisq_micro")
+    )
+    dims = (
+        rowt.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(colt.agg(F.count(F.lit(1)).cast("long").alias("n_cols")))
+        .crossJoin(tot)
+        .crossJoin(chisq)
+    )
+    nr, nc = F.col("n_rows"), F.col("n_cols")
+    return dims.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        ((nr - 1) * (nc - 1)).cast("long").alias("df"),
+        "chisq_micro",
+        F.when(
+            (nr > 1) & (nc > 1),
+            F.floor(
+                F.lit(1000000.0)
+                * F.sqrt(
+                    (F.col("chisq_micro").cast("double") / F.lit(1000000.0))
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(nr - 1, nc - 1)
+                    )
+                )
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("cramers_v_micro"),
+    )
