@@ -2048,3 +2048,196 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("trimmed_mean_micro"),
     )
+
+
+@query(
+    "agg_geo_harmonic_means",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(floor(1000000.0
+                * CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS DOUBLE)
+                / 100.0 / COUNT(*) + 0.5) AS BIGINT) AS arith_micro,
+           CAST(floor(1000000.0
+                * exp(CAST(SUM(CAST(floor(1000000.0 * ln(l_extendedprice)
+                                          + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1000000.0 / COUNT(*))
+                + 0.5) AS BIGINT) AS geo_micro,
+           CAST(floor(1000000.0
+                * CAST(COUNT(*) AS DOUBLE) * 1000000000000.0
+                / CAST(SUM(CAST(floor(1000000000000.0 / l_extendedprice
+                                      + 0.5) AS BIGINT)) AS DOUBLE)
+                + 0.5) AS BIGINT) AS harm_micro
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic, geometric, and harmonic mean of extended price per
+    returnflag — the Pythagorean-means triple (AM >= GM >= HM,
+    property-tested): GM is the right average for ratios and growth
+    rates, HM for rates and unit costs, and the AM/GM gap is itself a
+    dispersion signal.
+
+    Order-free by per-row quantization: ln(x) micro-quantized and 1/x
+    PICO-quantized (1e-12 — a micro quantum would keep only ~3
+    significant digits of a ~1e-5 reciprocal, a measured precision
+    cliff) to BIGINT before the sums; the arithmetic mean runs on exact
+    cents.  Each final mean is one identical expression per engine.
+    Prices are strictly positive, so ln/reciprocal domains need no
+    guard.
+
+    Scale: additive (n, cents, sum_ln, sum_recip) partials; reciprocal
+    pico-sums stay int64-safe to ~9e6 rows per shard at min price ~1
+    (here min ~900: ~8e9 rows) — shard partials by month past that."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    micro = lambda col: F.floor(F.lit(1000000.0) * col + F.lit(0.5)).cast(
+        "long"
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(x * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.sum(micro(F.log(x))).cast("long").alias("sum_ln_micro"),
+        F.sum(
+            F.floor(F.lit(1000000000000.0) / x + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("sum_recip_pico"),
+    )
+    n = F.col("n")
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("cents").cast("double")
+            / F.lit(100.0)
+            / n
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("arith_micro"),
+        micro(
+            F.exp(
+                F.col("sum_ln_micro").cast("double")
+                / F.lit(1000000.0)
+                / n
+            )
+        ).alias("geo_micro"),
+        micro(
+            n.cast("double")
+            * F.lit(1000000000000.0)
+            / F.col("sum_recip_pico").cast("double")
+        ).alias("harm_micro"),
+    )
+
+
+@query(
+    "agg_circular_mean_hour",
+    oracle="""
+    WITH terms AS (
+        SELECT event_type,
+               CAST(floor(1000000.0
+                    * sin((3600 * EXTRACT(hour FROM ts)
+                           + 60 * EXTRACT(minute FROM ts)
+                           + EXTRACT(second FROM ts))
+                          * 2.0 * 3.141592653589793 / 86400.0)
+                    + 0.5) AS BIGINT) AS sin_micro,
+               CAST(floor(1000000.0
+                    * cos((3600 * EXTRACT(hour FROM ts)
+                           + 60 * EXTRACT(minute FROM ts)
+                           + EXTRACT(second FROM ts))
+                          * 2.0 * 3.141592653589793 / 86400.0)
+                    + 0.5) AS BIGINT) AS cos_micro
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sin_micro) AS BIGINT) AS ssin,
+               CAST(SUM(cos_micro) AS BIGINT) AS scos
+        FROM terms GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(floor(sqrt((CAST(ssin AS DOUBLE) / n)
+                           * (CAST(ssin AS DOUBLE) / n)
+                           + (CAST(scos AS DOUBLE) / n)
+                           * (CAST(scos AS DOUBLE) / n)) + 0.5)
+                AS BIGINT) AS resultant_micro,
+           CAST(floor(1000000.0
+                * (CASE WHEN atan2(CAST(ssin AS DOUBLE) / n,
+                                   CAST(scos AS DOUBLE) / n) < 0
+                        THEN atan2(CAST(ssin AS DOUBLE) / n,
+                                   CAST(scos AS DOUBLE) / n)
+                             + 2.0 * 3.141592653589793
+                        ELSE atan2(CAST(ssin AS DOUBLE) / n,
+                                   CAST(scos AS DOUBLE) / n) END)
+                * 24.0 / (2.0 * 3.141592653589793)
+                + 0.5) AS BIGINT) AS mean_hour_micro
+    FROM sums
+    """,
+)
+def agg_circular_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular mean time-of-day per event type — "when does this
+    traffic peak?" done RIGHT: a linear mean of hours puts the average
+    of 23:00 and 01:00 at noon; mapping each timestamp to an angle and
+    averaging the unit vectors puts it at midnight where it belongs.
+    Also emits the resultant length R in [0,1] — the concentration of
+    the daily rhythm (R ~ 0 = uniform around the clock, R ~ 1 = sharp
+    peak), the circular analogue of 1 - variance.
+
+    Seconds-in-day from integer EXTRACT parts (engine-identical; no
+    timezone functions), one shared angle expression, per-row sin/cos
+    micro-quantized to BIGINT before the sums (libm agreement far below
+    the quantum), then R and atan2-derived mean hour evaluate once per
+    engine; atan2's negative branch is wrapped by +2pi with the SAME
+    literal pi in both SQL texts.
+
+    Scale: additive (n, sum_sin, sum_cos) partials — the circular mean
+    of any rollup grain is three-integer arithmetic."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    s = (
+        F.lit(3600) * F.hour("ts")
+        + F.lit(60) * F.minute("ts")
+        + F.second("ts")
+    )
+    theta = s * F.lit(2.0) * F.lit(3.141592653589793) / F.lit(86400.0)
+    micro = lambda col: F.floor(F.lit(1000000.0) * col + F.lit(0.5)).cast(
+        "long"
+    )
+    sums = e.select(
+        "event_type",
+        micro(F.sin(theta)).alias("sin_micro"),
+        micro(F.cos(theta)).alias("cos_micro"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sin_micro").cast("long").alias("ssin"),
+        F.sum("cos_micro").cast("long").alias("scos"),
+    )
+    ms = F.col("ssin").cast("double") / F.col("n")
+    mc = F.col("scos").cast("double") / F.col("n")
+    a = F.atan2(ms, mc)
+    a_wrapped = F.when(
+        a < 0, a + F.lit(2.0) * F.lit(3.141592653589793)
+    ).otherwise(a)
+    return sums.select(
+        "event_type",
+        "n",
+        F.floor(F.sqrt(ms * ms + mc * mc) + F.lit(0.5))
+        .cast("long")
+        .alias("resultant_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * a_wrapped
+            * F.lit(24.0)
+            / (F.lit(2.0) * F.lit(3.141592653589793))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_hour_micro"),
+    )

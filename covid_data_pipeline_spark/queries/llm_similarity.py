@@ -1253,3 +1253,133 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("neighbor_id"),
         "simq_micro",
     )
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 50
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+               / ({_SQL_NORM.format(a='q.embedding')}
+                  * {_SQL_NORM.format(a='c.embedding')}) AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    topk AS (
+        SELECT query_id, true_label, neighbor_label
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT query_id, true_label, neighbor_label,
+               CAST(COUNT(*) AS BIGINT) AS votes
+        FROM topk GROUP BY query_id, true_label, neighbor_label
+    ),
+    winner AS (
+        SELECT query_id, true_label, neighbor_label AS predicted
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY votes DESC, neighbor_label) AS rn
+              FROM votes)
+        WHERE rn = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(floor(1000000.0
+                * CAST(SUM(CASE WHEN predicted = true_label
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                + 0.5) AS BIGINT) AS accuracy_micro
+    FROM winner GROUP BY true_label
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote classification over the
+    embedding corpus, reported as per-label accuracy — the standard
+    embedding-quality probe ("do these vectors actually encode the
+    label?") run entirely as relational operators: exact cosine top-5
+    per held-out query, vote by neighbor label, tie broken to the
+    smallest label, then a per-label accuracy rollup.
+
+    Deterministic end-to-end: cosines come from the shared left-fold
+    dot product (bit-identical per engine), neighbor rank ties break on
+    vec_id, vote ties on label.  The 50-query panel keeps the exact
+    scan honest at fixture scale.
+
+    Scale: query panel broadcasts against the corpus (sim_topk_neighbors'
+    shape — no shuffle of the corpus side); at 100 TB swap the exact
+    scan for the IVF/LSH candidate join (sim_ann_ivf / sim_ann_bucketed)
+    and re-rank exactly — the vote and rollup stages are unchanged."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("vec")
+    )
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("vec").alias("q_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("vec").alias("c_vec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                _dot("q_vec", "c_vec")
+                / (_norm("q_vec") * _norm("c_vec"))
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    topk = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= 5
+    )
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), "neighbor_label"
+    )
+    winner = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted"),
+        )
+    )
+    correct = F.sum(
+        F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+    ).cast("long")
+    return winner.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        correct.alias("n_correct"),
+        F.floor(
+            F.lit(1000000.0)
+            * correct.cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("accuracy_micro"),
+    )

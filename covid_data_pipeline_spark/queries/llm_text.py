@@ -2372,3 +2372,356 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "line")
         .limit(30)
     )
+
+
+@query(
+    "text_simpson_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE tok <> '' GROUP BY lang, tok
+    ),
+    sums AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS coll
+        FROM counts GROUP BY lang
+    )
+    SELECT lang, n_types, n_tokens,
+           CASE WHEN n_tokens > 1 THEN
+               CAST(floor(1000000.0
+                    * (1.0 - CAST(coll AS DOUBLE)
+                             / (CAST(n_tokens AS DOUBLE)
+                                * (n_tokens - 1)))
+                    + 0.5) AS BIGINT)
+           END AS simpson_diversity_micro,
+           CASE WHEN coll > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+                    / CAST(coll AS DOUBLE)
+                    + 0.5) AS BIGINT)
+           END AS inv_simpson_micro
+    FROM sums
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson lexical diversity per language — the probability that two
+    randomly drawn tokens DIFFER (1 - sum n_i(n_i-1)/(N(N-1))), plus the
+    inverse Simpson "effective vocabulary size".  The quadratic-weighted
+    complement to text_entropy's log-weighted view: Simpson is dominated
+    by the head of the distribution, so a boilerplate flood moves it
+    long before it moves type counts, and unlike entropy it is EXACTLY
+    estimable from integer counts (no per-type float terms at all).
+
+    All-integer until one final division per measure: the collision sum
+    n_i(n_i-1) is a BIGINT aggregate over the (lang, token) count table
+    (int64-safe to ~3e9 occurrences of a single type); degenerate
+    single-token languages emit NULL on both engines.
+
+    Scale: one (lang, token) shuffle with map-side combine — the
+    text_tf cost class; (n_types, n_tokens, coll) partials are additive
+    only per fixed grain (collision sums don't merge across shards of
+    the SAME type — merge the count table, not the sums)."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    sums = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * (F.col("cnt") - 1)).cast("long").alias("coll"),
+    )
+    nt = F.col("n_tokens")
+    return sums.select(
+        "lang",
+        "n_types",
+        "n_tokens",
+        F.when(
+            nt > 1,
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.lit(1.0)
+                    - F.col("coll").cast("double")
+                    / (nt.cast("double") * (nt - 1))
+                )
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("simpson_diversity_micro"),
+        F.when(
+            F.col("coll") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * (nt.cast("double") * (nt - 1))
+                / F.col("coll").cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("inv_simpson_micro"),
+    )
+
+
+@query(
+    "text_vocab_jaccard_langs",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT lang, tok
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+    ),
+    sizes AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM vocab GROUP BY lang
+    ),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    )
+    SELECT i.lang_a, i.lang_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(floor(1000000.0
+                * CAST(i.n_common AS DOUBLE)
+                / (sa.n + sb.n - i.n_common)
+                + 0.5) AS BIGINT) AS jaccard_micro
+    FROM inter i
+    JOIN sizes sa ON i.lang_a = sa.lang
+    JOIN sizes sb ON i.lang_b = sb.lang
+    """,
+)
+def text_vocab_jaccard_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard overlap between languages — the
+    corpus-mixture diagnostic ("are these language buckets actually
+    distinct, or is lang-ID bleeding vocabulary across them?"): high
+    off-diagonal overlap flags mislabeled documents and shared
+    boilerplate that per-lang statistics silently absorb.
+
+    The intersection is an equi-join on token over the DISTINCT
+    (lang, token) vocabulary — never a document-level product — and the
+    union size comes from |A| + |B| - |A+B| (no second join).  Integer
+    counts until one final Jaccard division, micro-quantized.
+
+    Scale: vocabulary is sublinear in corpus size (Heaps' law), so the
+    join input is tiny relative to the corpus; sizes broadcast.  The
+    lang_a < lang_b constraint keeps each unordered pair once."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = vocab.select(F.col("lang").alias("lang_a"), "tok")
+    b = vocab.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
+@query(
+    "text_heaps_law",
+    oracle="""
+    WITH tok2 AS (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    toks AS (SELECT * FROM tok2 WHERE tok <> ''),
+    doc_tok AS (
+        SELECT lang, doc_id, CAST(COUNT(*) AS BIGINT) AS m
+        FROM toks GROUP BY lang, doc_id
+    ),
+    first_counts AS (
+        SELECT lang, first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT lang, tok, MIN(doc_id) AS first_doc
+              FROM toks GROUP BY lang, tok)
+        GROUP BY lang, first_doc
+    ),
+    curve AS (
+        SELECT d.lang,
+               CAST(SUM(d.m) OVER w AS BIGINT) AS n_p,
+               CAST(SUM(COALESCE(f.f, 0)) OVER w AS BIGINT) AS v_p
+        FROM doc_tok d LEFT JOIN first_counts f USING (lang, doc_id)
+        WINDOW w AS (PARTITION BY d.lang ORDER BY d.doc_id)
+    ),
+    terms AS (
+        SELECT lang,
+               CAST(floor(1000000.0 * ln(CAST(n_p AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS x,
+               CAST(floor(1000000.0 * ln(CAST(v_p AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS y
+        FROM curve
+    ),
+    sums AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM terms GROUP BY lang
+    )
+    SELECT lang, np AS n_points,
+           CASE WHEN CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    + 0.5) AS BIGINT)
+           END AS beta_micro,
+           CASE WHEN CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+               CAST(floor(1000000.0
+                    * exp((CAST(sy AS DOUBLE)
+                           - (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * CAST(sx AS DOUBLE))
+                          / np / 1000000.0)
+                    + 0.5) AS BIGINT)
+           END AS k_micro,
+           CASE WHEN CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+               CAST(floor(1000000.0
+                    * ((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    / ((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    + 0.5) AS BIGINT)
+           END AS r2_micro
+    FROM sums
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit per language: OLS of ln(vocabulary size) against
+    ln(cumulative tokens) along the corpus growth curve — V(n) ~ K*n^B
+    with B ~ 0.4-0.6 for natural text.  The companion diagnostic to
+    text_zipf_fit (Zipf looks at the frequency head; Heaps at
+    vocabulary growth): template spam and dedup failures push B down
+    (vocabulary saturates), OCR noise and PII floods push it up.
+
+    The growth curve is exact integers: per-doc token counts and
+    first-occurrence counts (min doc_id per type) cumulate in one
+    per-lang window ordered by the unique doc_id; each point's
+    ln(n_p)/ln(v_p) is micro-quantized to BIGINT before the moment
+    sums (sums of quantized-log PRODUCTS stay int64-safe to ~1e4
+    points/lang x (16e6)^2 — cast to DOUBLE only in the closed-form
+    slope/R^2/intercept, identical shape per engine).  Degenerate
+    single-point languages emit NULL fits on both engines.
+
+    Scale: the (lang, token) -> min(doc_id) aggregate is the only
+    vocabulary-sized shuffle; the growth window partitions per lang
+    over doc-count-sized rows.  At 100 TB, sample the curve at
+    log-spaced positions instead of every doc — the moment-sum
+    architecture is unchanged."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    doc_tok = toks.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    first_counts = (
+        toks.groupBy("lang", "tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("lang", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    curve = (
+        doc_tok.join(first_counts, ["lang", "doc_id"], "left")
+        .select(
+            "lang",
+            "doc_id",
+            "m",
+            F.coalesce(F.col("f"), F.lit(0)).alias("f"),
+        )
+        .select(
+            "lang",
+            F.sum("m").over(w).cast("long").alias("n_p"),
+            F.sum("f").over(w).cast("long").alias("v_p"),
+        )
+    )
+    micro = lambda col: F.floor(F.lit(1000000.0) * col + F.lit(0.5)).cast(
+        "long"
+    )
+    terms = curve.select(
+        "lang",
+        micro(F.log(F.col("n_p").cast("double"))).alias("x"),
+        micro(F.log(F.col("v_p").cast("double"))).alias("y"),
+    )
+    sums = terms.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    npd = F.col("np").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = npd * sxyd - sxd * syd
+    denx = npd * sxxd - sxd * sxd
+    deny = npd * syyd - syd * syd
+    slope = num / denx
+    return sums.select(
+        "lang",
+        F.col("np").alias("n_points"),
+        F.when(denx > 0, micro(slope)).alias("beta_micro"),
+        F.when(
+            denx > 0,
+            micro(
+                F.exp((syd - slope * sxd) / F.col("np") / F.lit(1000000.0))
+            ),
+        ).alias("k_micro"),
+        F.when(
+            (denx > 0) & (deny > 0), micro((num * num) / (denx * deny))
+        ).alias("r2_micro"),
+    )

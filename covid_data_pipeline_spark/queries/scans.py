@@ -1290,3 +1290,102 @@ def scan_parquet_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("long").alias("max_key"),
         )
     )
+
+
+@query(
+    "scan_csv_gz_codec",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def scan_csv_gz_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events to GZIP-compressed CSV and read them back with the
+    explicit schema — the compressed-text ingest path (the wild is full
+    of .csv.gz drops; a pipeline that only reads plain text punts them
+    to a shell step).  The read-back count equals the direct aggregate,
+    so the codec round trip is fully oracle-checked.
+
+    100 TB caveat, stated because it bites: gzip is NOT splittable —
+    one .gz file = one task regardless of size, so a single 1 TB drop
+    serializes.  The writer here shards by the upstream partitioning
+    (many ~tens-of-MB files, one gzip stream each), which is the
+    correct shape: parallelism = file count.  Prefer zstd/parquet for
+    anything produced in-house; this operator exists for the files you
+    DIDN'T produce."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "csv_gz_codec")
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.write.mode("overwrite")
+        .options(
+            header=True,
+            timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+            compression="gzip",
+        )
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(EVENTS)
+        .options(header=True, timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "scan_nested_struct_roundtrip",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS qty_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def scan_nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema parquet round trip: pack each order's lines into an
+    ARRAY<STRUCT<linenumber, qty_cents>> (sorted by linenumber — a
+    deterministic array, not arrival order), write parquet, read back,
+    explode, and re-aggregate.  Exercises the nested read/write path —
+    repeated groups, definition levels, struct field pruning — that
+    flat-table queries never touch, and that every document/span store
+    eventually needs (chunks-in-doc, frames-in-video are this shape).
+
+    The re-aggregate equals the flat join's aggregate, so the nested
+    round trip is fully oracle-checked: a dropped array element,
+    reordered struct field, or precision-mangled value breaks the hash.
+    Quantities ride as exact cents (the harness's no-doubles-through-
+    explode lesson).
+
+    Scale: the pack is one groupBy on the join key (arrays stay
+    order-sized — bounded fan-in); nested parquet columns compress and
+    prune like flat ones, and the explode is a narrow map-side op."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "nested_struct")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("linenumber"),
+            F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("qty_cents"),
+        ).alias("line"),
+    )
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("line")).alias("lines"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select("o_orderkey", "o_orderpriority", "lines")
+    )
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            "o_orderpriority", F.explode("lines").alias("line")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("line.qty_cents")).cast("long").alias("qty_cents"),
+        )
+    )

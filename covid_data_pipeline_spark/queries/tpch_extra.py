@@ -1518,3 +1518,277 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_micro").desc(), "u", "v")
         .limit(20)
     )
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    tot AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rev_c) AS BIGINT) AS s
+        FROM cust GROUP BY nation
+    ),
+    terms AS (
+        SELECT c.nation, t.n, t.s,
+               CAST(floor(1000000.0
+                    * (CAST(c.rev_c * t.n AS DOUBLE) / t.s)
+                    * ln(CAST(c.rev_c * t.n AS DOUBLE) / t.s)
+                    + 0.5) AS BIGINT) AS t_micro,
+               CAST(floor(1000000.0
+                    * ln(CAST(c.rev_c * t.n AS DOUBLE) / t.s)
+                    + 0.5) AS BIGINT) AS m_micro
+        FROM cust c JOIN tot t USING (nation)
+    )
+    SELECT nation, CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(floor(CAST(SUM(t_micro) AS DOUBLE) / MAX(n) + 0.5)
+                AS BIGINT) AS theil_t_micro,
+           CAST(floor(-CAST(SUM(m_micro) AS DOUBLE) / MAX(n) + 0.5)
+                AS BIGINT) AS theil_l_micro
+    FROM terms GROUP BY nation
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Theil L (mean log deviation) of customer revenue per
+    nation — the DECOMPOSABLE inequality indices beside
+    agg_gini_coefficient: unlike Gini, Theil splits exactly into
+    within-group + between-group terms, which is what a marketplace
+    health dashboard wants when it asks "is inequality rising inside
+    segments or between them?".  T = (1/n) sum (x/mu) ln(x/mu);
+    L = (1/n) sum ln(mu/x).
+
+    Order-free: revenue is exact cents, the ratio x/mu = x*n/S is an
+    integer product over an integer sum, and each row's ln term is
+    micro-quantized to BIGINT BEFORE the per-group sum (the adamic-adar
+    float-reduction doctrine) — so the index is partitioning-invariant
+    and needs no ranked pass (Gini ranks; Theil is ONE unordered
+    aggregate plus a broadcast-back, strictly cheaper at scale).
+
+    Scale: per-customer rollup is the only corpus-sized stage; the
+    group-total dim broadcasts; per-shard (n, S, sum t_micro) partials
+    ADD."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    tot = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_c").cast("long").alias("s"),
+    )
+    ratio = (F.col("rev_c") * F.col("n")).cast("double") / F.col("s")
+    micro = lambda col: F.floor(F.lit(1000000.0) * col + F.lit(0.5)).cast(
+        "long"
+    )
+    terms = cust.join(F.broadcast(tot), "nation").select(
+        "nation",
+        "n",
+        micro(ratio * F.log(ratio)).alias("t_micro"),
+        micro(F.log(ratio)).alias("m_micro"),
+    )
+    return terms.groupBy("nation").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.floor(
+            F.sum("t_micro").cast("double") / F.max("n") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("theil_t_micro"),
+        F.floor(
+            -F.sum("m_micro").cast("double") / F.max("n") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("theil_l_micro"),
+    )
+
+
+@query(
+    "agg_atkinson_index",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    sums AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rev_c) AS BIGINT) AS s,
+               CAST(SUM(CAST(floor(1000000.0
+                    * ln(CAST(rev_c AS DOUBLE)) + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_ln_micro,
+               CAST(SUM(CAST(floor(1000000.0
+                    * sqrt(CAST(rev_c AS DOUBLE)) + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_sq_micro
+        FROM cust GROUP BY nation
+    )
+    SELECT nation, n AS n_customers,
+           CAST(floor(1000000.0
+                * (1.0 - exp(CAST(sum_ln_micro AS DOUBLE)
+                             / 1000000.0 / n)
+                         / (CAST(s AS DOUBLE) / n))
+                + 0.5) AS BIGINT) AS atkinson_e1_micro,
+           CAST(floor(1000000.0
+                * (1.0 - (CAST(sum_sq_micro AS DOUBLE) / 1000000.0 / n)
+                         * (CAST(sum_sq_micro AS DOUBLE) / 1000000.0 / n)
+                         / (CAST(s AS DOUBLE) / n))
+                + 0.5) AS BIGINT) AS atkinson_e05_micro
+    FROM sums
+    """,
+)
+def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index of customer revenue per nation at
+    epsilon = 1 (A = 1 - geomean/mean) and epsilon = 0.5
+    (A = 1 - (mean sqrt x)^2 / mean x) — the WELFARE-weighted member of
+    the inequality family (Gini weights by rank, Theil by share; Atkinson
+    makes the analyst's aversion-to-inequality parameter explicit, so two
+    dashboards can disagree on epsilon without disagreeing on data).
+
+    One unordered pass: exact-cent revenues, each row's ln and sqrt
+    micro-quantized to BIGINT before the group sums (ln via each
+    engine's libm agrees far below the 1e-6 quantum; sqrt is
+    IEEE-exact), then both indices evaluate one identical expression
+    shape per engine.  Revenue is strictly positive so no domain guard
+    is needed — customers with no orders never enter the join.
+
+    Scale: additive (n, S, sum_ln, sum_sqrt) partials — the index of
+    any rollup grain is four-integer arithmetic, no ranked pass."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    micro = lambda col: F.floor(F.lit(1000000.0) * col + F.lit(0.5)).cast(
+        "long"
+    )
+    x = F.col("rev_c").cast("double")
+    sums = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_c").cast("long").alias("s"),
+        F.sum(micro(F.log(x))).cast("long").alias("sum_ln_micro"),
+        F.sum(micro(F.sqrt(x))).cast("long").alias("sum_sq_micro"),
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / n
+    mean_ln = F.col("sum_ln_micro").cast("double") / F.lit(1000000.0) / n
+    mean_sq = F.col("sum_sq_micro").cast("double") / F.lit(1000000.0) / n
+    return sums.select(
+        "nation",
+        n.alias("n_customers"),
+        micro(F.lit(1.0) - F.exp(mean_ln) / mean).alias(
+            "atkinson_e1_micro"
+        ),
+        micro(F.lit(1.0) - mean_sq * mean_sq / mean).alias(
+            "atkinson_e05_micro"
+        ),
+    )
+
+
+@query(
+    "analytics_lorenz_points",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    deciled AS (
+        SELECT nation, rev_c,
+               NTILE(10) OVER (PARTITION BY nation
+                               ORDER BY rev_c, c_custkey) AS decile
+        FROM cust
+    ),
+    per AS (
+        SELECT nation, decile,
+               CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(rev_c) AS BIGINT) AS cents_i
+        FROM deciled GROUP BY nation, decile
+    )
+    SELECT nation, decile, n_i, cents_i,
+           CAST(floor(1000000.0
+                * CAST(SUM(cents_i) OVER (PARTITION BY nation
+                                          ORDER BY decile) AS DOUBLE)
+                / SUM(cents_i) OVER (PARTITION BY nation)
+                + 0.5) AS BIGINT) AS cum_share_micro
+    FROM per
+    """,
+)
+def analytics_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve sampled at revenue deciles per nation — the CURVE
+    the scalar inequality family (Gini/Theil/Atkinson) summarizes:
+    cumulative revenue share held by the bottom k/10 of customers.  The
+    dashboard artifact itself ("the bottom half holds 9% of revenue"),
+    and the mergeable bracket for Gini at unbounded scale (SCALE.md).
+
+    ALL-INTEGER: exact-cent revenues, NTILE over the deterministic
+    (revenue, custkey) order (both engines fill leading buckets first —
+    SQL-standard NTILE), per-decile sums and the cumulative window are
+    BIGINT; one final share division, micro-quantized.  Groups smaller
+    than 10 fill only their first n buckets, identically on both
+    engines.
+
+    Scale: the ranked pass is per-nation (the Gini cost class); past
+    that, swap NTILE for bucketed histogram cut points — the decile
+    table itself is O(groups x 10) forever."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    wd = Window.partitionBy("nation").orderBy("rev_c", "c_custkey")
+    per = (
+        cust.select(
+            "nation", "rev_c", F.ntile(10).over(wd).alias("decile")
+        )
+        .groupBy("nation", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum("rev_c").cast("long").alias("cents_i"),
+        )
+    )
+    wc = Window.partitionBy("nation").orderBy("decile")
+    wp = Window.partitionBy("nation")
+    return per.select(
+        "nation",
+        "decile",
+        "n_i",
+        "cents_i",
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum("cents_i").over(wc).cast("double")
+            / F.sum("cents_i").over(wp)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cum_share_micro"),
+    )

@@ -1265,3 +1265,208 @@ def win_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         ).alias("wape_micro"),
     )
+
+
+@query(
+    "win_stochastic_oscillator",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, d, x,
+               COUNT(*) OVER w AS n,
+               CAST(MAX(x) OVER w AS BIGINT) AS hi,
+               CAST(MIN(x) OVER w AS BIGINT) AS lo
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT event_type, d, x, hi, lo,
+               CASE WHEN hi > lo THEN
+                   CAST(floor(1000000.0 * CAST(x - lo AS DOUBLE)
+                        / (hi - lo) + 0.5) AS BIGINT)
+               END AS k_micro
+        FROM framed WHERE n = 7
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x, hi, lo, k_micro,
+           CAST(floor((CAST(k_micro AS DOUBLE)
+                       + LAG(k_micro, 1) OVER wk
+                       + LAG(k_micro, 2) OVER wk) / 3.0 + 0.5) AS BIGINT)
+               AS d_micro
+    FROM k
+    WINDOW wk AS (PARTITION BY event_type ORDER BY d)
+    """,
+)
+def win_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator over each type's daily counts: %K = where
+    today sits inside the 7-day high-low channel (0 = at the low,
+    1e6 = at the high), %D = 3-day smoothing of %K — the momentum
+    indicator pair, and with hi/lo emitted it doubles as Donchian
+    channels.  The ops question it answers: is today's traffic pressing
+    the top of its recent range (breakout) or the bottom (decay)?
+
+    Channel bounds are exact integer MIN/MAX over the bollinger frame
+    (no float reduction at all); %K quantizes one guarded division;
+    %D averages the three QUANTIZED %K integers (NULL-propagating: a
+    flat channel or a too-early row yields NULL on both engines, and
+    the leading 2 rows of each type have no 2-lag — NULL there too).
+    Incomplete frames are excluded (n = 7, the house edge policy).
+
+    Scale: per-type windows over the calendar-bounded daily rollup —
+    the win_bollinger_exact cost class exactly."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    framed = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.max("x").over(w).cast("long").alias("hi"),
+        F.min("x").over(w).cast("long").alias("lo"),
+    ).filter(F.col("n") == 7)
+    hi, lo = F.col("hi"), F.col("lo")
+    k = framed.select(
+        "event_type",
+        "d",
+        "x",
+        "hi",
+        "lo",
+        F.when(
+            hi > lo,
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("x") - lo).cast("double")
+                / (hi - lo)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("k_micro"),
+    )
+    wk = Window.partitionBy("event_type").orderBy("d")
+    return k.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        "hi",
+        "lo",
+        "k_micro",
+        F.floor(
+            (
+                F.col("k_micro").cast("double")
+                + F.lag("k_micro", 1).over(wk)
+                + F.lag("k_micro", 2).over(wk)
+            )
+            / F.lit(3.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+
+
+@query(
+    "win_ulcer_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+        SELECT event_type, d, x,
+               CAST(floor(1000000.0
+                    * CAST(x - MAX(x) OVER wrun AS DOUBLE)
+                    / MAX(x) OVER wrun + 0.5) AS BIGINT) AS dd_micro
+        FROM daily
+        WINDOW wrun AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    rolled AS (
+        SELECT event_type, d, x, dd_micro,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(dd_micro * dd_micro) OVER w AS BIGINT) AS sum_sq
+        FROM dd
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x, dd_micro,
+           CAST(floor(sqrt(CAST(sum_sq AS DOUBLE) / 7.0) + 0.5) AS BIGINT)
+               AS ulcer_micro
+    FROM rolled WHERE n = 7
+    """,
+)
+def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index over each type's daily counts: RMS of the percentage
+    drawdown from the running peak, over a 7-day frame — the risk
+    metric that punishes DEPTH x DURATION of slumps (win_drawdown
+    reports the worst single dip; the ulcer index hurts more the longer
+    traffic stays down, which is what an SLO review actually wants).
+
+    Per-row drawdown (x - runmax)/runmax quantizes to BIGINT micro
+    (runmax >= x >= 1 so the division is always defined), its SQUARE is
+    an exact 1e12-scaled BIGINT, the rolling sum is integer, and one
+    final sqrt lands back on the micro scale.  Incomplete frames
+    excluded (n = 7).
+
+    Scale: two per-type windows (running max + rolling sum) over the
+    calendar-bounded daily rollup, fused into the same sort order —
+    one partition-local sort, no extra shuffle."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runmax = F.max("x").over(wrun)
+    dd = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("x") - runmax).cast("double")
+            / runmax
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dd_micro"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = dd.select(
+        "event_type",
+        "d",
+        "x",
+        "dd_micro",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("dd_micro") * F.col("dd_micro")).over(w)
+        .cast("long")
+        .alias("sum_sq"),
+    ).filter(F.col("n") == 7)
+    return rolled.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        "dd_micro",
+        F.floor(F.sqrt(F.col("sum_sq").cast("double") / F.lit(7.0)) + F.lit(0.5))
+        .cast("long")
+        .alias("ulcer_micro"),
+    )
