@@ -4178,3 +4178,205 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("cramers_v_micro"),
     )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lags(lag) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+               a.x AS xa, b.x AS xb
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.event_type > a.event_type
+                    AND b.t = a.t + l.lag
+    ),
+    sums AS (
+        SELECT type_a, type_b, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xa) AS BIGINT) AS sx,
+               CAST(SUM(xb) AS BIGINT) AS sy,
+               CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+               CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+               CAST(SUM(xb * xb) AS BIGINT) AS syy
+        FROM pairs GROUP BY type_a, type_b, lag
+    )
+    SELECT type_a, type_b, lag, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               CAST(floor(1000000.0
+                    * CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                    + 0.5) AS BIGINT)
+           END AS r_micro
+    FROM sums
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between every pair of event-type daily
+    series (lags -3..+3) — the lead-lag detector ts_autocorrelation
+    can't see: does the click series LEAD the purchase series by two
+    days?  The peak-lag row per pair is the input to any
+    Granger-style causal screen or marketing-attribution window.
+
+    One daily aggregate feeds a per-lag shifted equi-join on (day+lag)
+    — never a windowed re-scan per lag — and every Pearson moment is
+    an exact BIGINT sum; r evaluates one closed form per engine
+    against two sqrts, micro-quantized, with zero-variance windows
+    NULL on both engines.  type_a < type_b plus signed lags covers
+    every ordered pair exactly once.
+
+    Scale: the join input is the calendar-bounded daily table (|types|
+    x |days|); the 7-lag fan-out multiplies THAT, not the corpus.
+    Moment tuples are additive partials per (pair, lag)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("t").alias("ta"),
+        F.col("x").alias("xa"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("t").alias("tb"),
+        F.col("x").alias("xb"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("type_b") > F.col("type_a"))
+            & (F.col("tb") == F.col("ta") + F.col("lag")),
+        )
+    )
+    sums = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    nn, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = nn * F.col("sxx") - sx * sx
+    vy = nn * F.col("syy") - sy * sy
+    return sums.select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(
+                F.lit(1000000.0)
+                * (nn * F.col("sxy") - sx * sy).cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("r_micro"),
+    )
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH freqs AS (
+        SELECT 'lineitem.l_orderkey' AS key_col, l_orderkey AS k,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM lineitem GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey', l_partkey, CAST(COUNT(*) AS BIGINT)
+        FROM lineitem GROUP BY l_partkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', l_suppkey, CAST(COUNT(*) AS BIGINT)
+        FROM lineitem GROUP BY l_suppkey
+        UNION ALL
+        SELECT 'orders.o_custkey', o_custkey, CAST(COUNT(*) AS BIGINT)
+        FROM orders GROUP BY o_custkey
+        UNION ALL
+        SELECT 'events.user_id', user_id, CAST(COUNT(*) AS BIGINT)
+        FROM events GROUP BY user_id
+    )
+    SELECT key_col,
+           CAST(SUM(f) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(f) AS BIGINT) AS max_freq,
+           CAST(floor(1000000.0 * CAST(MAX(f) AS DOUBLE) / SUM(f) + 0.5)
+                AS BIGINT) AS top1_share_micro,
+           CAST(floor(1000000.0 * CAST(MAX(f) AS DOUBLE) * COUNT(*)
+                      / SUM(f) + 0.5)
+                AS BIGINT) AS skew_ratio_micro
+    FROM freqs GROUP BY key_col
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler over the five hot join/group keys — the
+    operational report that DECIDES the physical strategy the join
+    family implements: skew_ratio = max_freq / mean_freq tells you
+    whether a key needs salting (join_skew_salted), a hot-key broadcast
+    carve-out, or nothing; top1_share bounds the worst single-task
+    shuffle partition.  Run it before the 100 TB job, not after the
+    straggler page.
+
+    Each profile is one exact integer frequency aggregate (the
+    groupBy's own cost — nothing new is scanned twice); max/mean land
+    as two quantized divisions.  UNION ALL keeps per-key-column
+    lineage in one result for the dashboard.
+
+    Scale: five independent map-side-combined aggregates; the
+    frequency tables are key-cardinality-sized.  The profiler is
+    O(distinct keys) memory per column — at 100 TB profile per
+    partition and MERGE the (n, max, sum) partials, which are
+    additive."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    parts = [
+        (li, "l_orderkey", "lineitem.l_orderkey"),
+        (li, "l_partkey", "lineitem.l_partkey"),
+        (li, "l_suppkey", "lineitem.l_suppkey"),
+        (o, "o_custkey", "orders.o_custkey"),
+        (e, "user_id", "events.user_id"),
+    ]
+    freqs = None
+    for df, col, name in parts:
+        p = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("f")
+        ).select(F.lit(name).alias("key_col"), "k", "f")
+        freqs = p if freqs is None else freqs.unionByName(p)
+    return freqs.groupBy("key_col").agg(
+        F.sum("f").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("f").cast("long").alias("max_freq"),
+        F.floor(
+            F.lit(1000000.0) * F.max("f").cast("double") / F.sum("f")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("top1_share_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.max("f").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("f")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("skew_ratio_micro"),
+    )

@@ -207,3 +207,105 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@query(
+    "sql_exists_correlated",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F'
+          )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries in one predicate —
+    customers holding an urgent order but no finished one, per segment.
+    The SQL surface every migrated report writes on day one; Catalyst
+    rewrites the pair into a left-semi plus a left-anti join (the same
+    physical plans join_semi/join_anti pin), so the subquery sugar
+    costs nothing over the explicit joins — this query is the
+    executable proof.
+
+    Pure integer counts — no float discipline needed.  Scale: two
+    hash joins on the customer key; the EXISTS side aggregates
+    nothing (semi-join short-circuits on first match)."""
+    tune(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sqlx_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sqlx_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM sqlx_customer c
+        WHERE EXISTS (
+                SELECT 1 FROM sqlx_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM sqlx_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F'
+              )
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@query(
+    "sql_correlated_scalar",
+    oracle="""
+    SELECT c.c_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_above_avg
+    FROM customer c
+    WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) > (
+            SELECT AVG(CAST(FLOOR(c2.c_acctbal * 100 + 0.5) AS BIGINT))
+            FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+          )
+    GROUP BY c.c_nationkey
+    """,
+)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery — customers above their own nation's
+    average balance, per nation.  The second half of the subquery
+    surface beside sql_exists_correlated: Catalyst de-correlates the
+    scalar into an aggregate-then-join (visible in the plan as one
+    extra hash aggregate — never a per-row re-scan), which is exactly
+    the rewrite a migrating analyst needs to trust before deleting
+    their hand-rolled two-step version.
+
+    Balances compare as exact cents; AVG over BIGINT cents is an exact
+    integer sum over a count on both engines, so the correlated
+    threshold is ONE identical double per engine (same dividend, same
+    divisor, same IEEE division) and the strict > comparison can never
+    disagree between them.
+
+    Scale: one aggregate of the customer table + one broadcast-back
+    join — the agg_groupby cost class."""
+    tune(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sqlc_customer")
+    return spark.sql(
+        """
+        SELECT c.c_nationkey AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_above_avg
+        FROM sqlc_customer c
+        WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) > (
+                SELECT AVG(CAST(FLOOR(c2.c_acctbal * 100 + 0.5) AS BIGINT))
+                FROM sqlc_customer c2
+                WHERE c2.c_nationkey = c.c_nationkey
+              )
+        GROUP BY c.c_nationkey
+        """
+    )

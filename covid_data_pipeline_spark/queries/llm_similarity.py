@@ -1383,3 +1383,139 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("accuracy_micro"),
     )
+
+
+@query(
+    "sim_silhouette_labels",
+    oracle=f"""
+    WITH panel AS (
+        SELECT vec_id, label, embedding,
+               {_SQL_NORM.format(a='embedding')} AS nrm
+        FROM embeddings
+        WHERE vec_id % 10 = 0
+    ),
+    corpus AS (
+        SELECT vec_id, label, embedding,
+               {_SQL_NORM.format(a='embedding')} AS nrm
+        FROM embeddings
+    ),
+    dists AS (
+        SELECT p.vec_id, p.label AS plabel, c.label AS clabel,
+               CAST(floor(1000000.0
+                    * (1.0 - {_SQL_DOT.format(a='p.embedding', b='c.embedding')}
+                             / (p.nrm * c.nrm))
+                    + 0.5) AS BIGINT) AS dist_micro
+        FROM panel p JOIN corpus c ON c.vec_id <> p.vec_id
+    ),
+    grouped AS (
+        SELECT vec_id, plabel, clabel,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(dist_micro) AS BIGINT) AS sum_micro
+        FROM dists GROUP BY vec_id, plabel, clabel
+    ),
+    ab AS (
+        SELECT vec_id, plabel,
+               MAX(CASE WHEN clabel = plabel THEN
+                   CAST(sum_micro AS DOUBLE) / cnt END) AS a,
+               MIN(CASE WHEN clabel <> plabel THEN
+                   CAST(sum_micro AS DOUBLE) / cnt END) AS b
+        FROM grouped GROUP BY vec_id, plabel
+    ),
+    s AS (
+        SELECT plabel AS label,
+               CAST(floor(1000000.0 * (b - a)
+                    / (CASE WHEN a > b THEN a ELSE b END)
+                    + 0.5) AS BIGINT) AS s_micro
+        FROM ab WHERE a IS NOT NULL AND b IS NOT NULL
+              AND (CASE WHEN a > b THEN a ELSE b END) > 0
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_panel,
+           CAST(floor(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS mean_silhouette_micro
+    FROM s GROUP BY label
+    """,
+)
+def sim_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette score of the LABEL partition over cosine distance,
+    estimated on a deterministic 10% panel (vec_id % 10 = 0) against
+    the full corpus — the second embedding-quality probe beside
+    sim_knn_classify: s(i) = (b - a)/max(a, b) with a = mean distance
+    to own label, b = mean distance to the nearest other label.
+    Near-zero silhouette + barely-above-chance kNN accuracy is the
+    fixture's documented weak-label-signal story, now quantified.
+
+    Per-pair cosine distances are micro-quantized to BIGINT before any
+    mean (the float-reduction doctrine), per-(vector, label) means are
+    exact-integer divisions, and MIN/MAX over those doubles are
+    order-free; one final quantized expression per panel vector, then
+    an integer per-label rollup.  Labels with a degenerate max(a,b)=0
+    are excluded identically on both engines.
+
+    Scale: the panel bounds the cross product (panel x corpus, the
+    sim_topk_neighbors broadcast shape — no corpus shuffle); at 100 TB
+    the per-(vector, label) partial sums come from the IVF/LSH
+    candidate join and the rollup is unchanged."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("vec")
+    )
+    panel = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("vec").alias("p_vec"),
+        _norm("vec").alias("p_nrm"),
+    )
+    # norms once per ROW before the pair join (one fold per pair, not
+    # three — measured 7.0 -> ~3 s at sf0.1); localCheckpoint pins the
+    # corpus-side projection so Catalyst can't collapse the norm fold
+    # into the per-pair expression
+    corpus = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("vec").alias("c_vec"),
+        _norm("vec").alias("c_nrm"),
+    ).localCheckpoint(eager=False)
+    dist = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.lit(1.0)
+            - _dot("p_vec", "c_vec") / (F.col("p_nrm") * F.col("c_nrm"))
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    grouped = (
+        F.broadcast(panel)
+        .crossJoin(corpus)
+        .filter(F.col("cid") != F.col("pid"))
+        .select("pid", "plabel", "clabel", dist.alias("dist_micro"))
+        .groupBy("pid", "plabel", "clabel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("dist_micro").cast("long").alias("sum_micro"),
+        )
+    )
+    mean_d = F.col("sum_micro").cast("double") / F.col("cnt")
+    ab = grouped.groupBy("pid", "plabel").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("plabel"), mean_d)
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("plabel"), mean_d)
+        ).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    mx = F.when(a > b, a).otherwise(b)
+    s = ab.filter(a.isNotNull() & b.isNotNull() & (mx > 0)).select(
+        F.col("plabel").alias("label"),
+        F.floor(F.lit(1000000.0) * (b - a) / mx + F.lit(0.5))
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_panel"),
+        F.floor(
+            F.sum("s_micro").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_silhouette_micro"),
+    )

@@ -2725,3 +2725,164 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             (denx > 0) & (deny > 0), micro((num * num) / (denx * deny))
         ).alias("r2_micro"),
     )
+
+
+@query(
+    "text_bigram_lm_crossentropy",
+    oracle="""
+    WITH train AS (
+        SELECT lang, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    test AS (
+        SELECT lang, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    train_uni AS (
+        SELECT lang, unnest(l) AS w FROM train
+    ),
+    uni_counts AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM train_uni GROUP BY lang, w
+    ),
+    vocab AS (
+        SELECT lang, CAST(COUNT(*) + 1 AS BIGINT) AS v
+        FROM uni_counts GROUP BY lang
+    ),
+    big_counts AS (
+        SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM (
+            SELECT lang,
+                   unnest([l[i] || ' ' || l[i+1]
+                           FOR i IN range(1, len(l))]) AS bigram
+            FROM train
+        ) GROUP BY lang, bigram
+    ),
+    test_big AS (
+        SELECT lang,
+               unnest([l[i] FOR i IN range(1, len(l))]) AS w1,
+               unnest([l[i] || ' ' || l[i+1]
+                       FOR i IN range(1, len(l))]) AS bigram
+        FROM test
+    ),
+    scored AS (
+        SELECT t.lang,
+               CAST(floor(1000000.0
+                    * ln((CAST(COALESCE(b.cb, 0) + 1 AS DOUBLE))
+                         / (COALESCE(u.cu, 0) + v.v))
+                    + 0.5) AS BIGINT) AS lnp_micro
+        FROM test_big t
+        JOIN vocab v USING (lang)
+        LEFT JOIN big_counts b ON t.lang = b.lang AND t.bigram = b.bigram
+        LEFT JOIN uni_counts u ON t.lang = u.lang AND t.w1 = u.w
+    )
+    SELECT s.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test_bigrams,
+           CAST(MAX(v.v) AS BIGINT) AS vocab,
+           CAST(floor(-CAST(SUM(s.lnp_micro) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS h_micro,
+           CAST(floor(1000000.0
+                * exp(-CAST(SUM(s.lnp_micro) AS DOUBLE)
+                      / 1000000.0 / COUNT(*))
+                + 0.5) AS BIGINT) AS ppl_micro
+    FROM scored s JOIN vocab v USING (lang)
+    GROUP BY s.lang
+    """,
+)
+def text_bigram_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM cross-entropy per language — the CCNet-style
+    quality gate one order above text_perplexity_proxy's unigram model:
+    train an add-one-smoothed bigram LM on the even-doc half, score the
+    odd-doc half, report cross-entropy and perplexity.  Pages whose
+    perplexity explodes under a same-corpus LM are boilerplate, OCR
+    noise, or the wrong language; pages far BELOW it are templates.
+
+    The UNK convention costs zero joins: with V = train types + 1,
+    p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) under OOV-to-UNK mapping equals
+    the raw-pair LEFT JOIN with COALESCE-0 counts (train contains no
+    UNK, so any OOV component zeroes both counts — stated here, relied
+    on by both engines).  Per-bigram ln p is micro-quantized to BIGINT
+    before the per-lang sum; H and perplexity evaluate once per engine.
+
+    Scale: two (lang, gram) count shuffles with map-side combine (the
+    text_tfidf cost class) and one corpus-sized probability join; the
+    vocab dim broadcasts.  The even/odd doc-id split is the
+    corpus_split_hash discipline — deterministic, resumable, no
+    rand()."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    uni_counts = (
+        train.select("lang", F.explode(toks).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    vocab = uni_counts.groupBy("lang").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("v")
+    )
+    big_counts = (
+        train.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    test_big = test.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                bigrams,
+                lambda w1, bg: F.struct(w1.alias("w1"), bg.alias("bigram")),
+            )
+        ).alias("p"),
+    ).select("lang", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram"))
+    scored = (
+        test_big.join(F.broadcast(vocab), "lang")
+        .join(big_counts, ["lang", "bigram"], "left")
+        .join(uni_counts.withColumnRenamed("w", "w1"), ["lang", "w1"], "left")
+        .select(
+            "lang",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(vocab), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_bigrams"),
+            F.max("v").cast("long").alias("vocab"),
+            F.floor(
+                -F.sum("lnp_micro").cast("double") / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("h_micro"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.exp(
+                    -F.sum("lnp_micro").cast("double")
+                    / F.lit(1000000.0)
+                    / F.count(F.lit(1))
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ppl_micro"),
+        )
+    )

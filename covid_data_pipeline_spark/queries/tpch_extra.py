@@ -1792,3 +1792,127 @@ def analytics_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_share_micro"),
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH sc AS (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    proj AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+        FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT s1 AS src, s2 AS dst, shared FROM proj
+        UNION ALL
+        SELECT s2 AS src, s1 AS dst, shared FROM proj
+    ),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY shared DESC, dst) AS rn
+            FROM directed
+        ) WHERE rn <= {_KNN_K}
+    ),
+    edges AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM knn
+    ),
+    adj AS (
+        SELECT a AS v, b AS n FROM edges
+        UNION ALL
+        SELECT b AS v, a AS n FROM edges
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    pairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM edges e
+        JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+        UNION ALL
+        SELECT db.d AS x, da.d AS y
+        FROM edges e
+        JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+               CAST(floor(1000000.0
+                    * CAST(m * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+                    + 0.5) AS BIGINT)
+           END AS assortativity_micro
+    FROM sums
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the kNN-sparsified co-purchase graph —
+    Newman's r: the Pearson correlation of endpoint degrees over
+    directed edge stubs.  The one-number topology summary the graph
+    family was missing: hub-to-hub wiring (r > 0, social-network-like)
+    vs hub-to-leaf (r < 0, infrastructure-like) changes which
+    partitioning strategy survives at scale — disassortative graphs
+    salt their hubs, assortative ones bucket cleanly.
+
+    Each undirected edge contributes both stub orientations, so the
+    moment sums are exact BIGINTs over a deterministic pair set; r is
+    one closed-form expression per engine against two sqrts,
+    micro-quantized; degenerate regular graphs (zero degree variance)
+    emit NULL identically.  Same edge set as graph_knn_triangles
+    (localCheckpoint-truncated once), same k**2*|V| sparsification bound.
+
+    Scale: degrees broadcast onto edges; moment sums are additive
+    partials — the correlation of any subgraph rollup merges from six
+    integers."""
+    tune(spark)
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dxa"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dxb"))
+    ed = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    pairs = ed.select(
+        F.col("dxa").alias("x"), F.col("dxb").alias("y")
+    ).unionByName(ed.select(F.col("dxb").alias("x"), F.col("dxa").alias("y")))
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    j = sums.crossJoin(F.broadcast(nn))
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    vx = m * F.col("sxx") - sx * sx
+    vy = m * F.col("syy") - sy * sy
+    return j.select(
+        "n_nodes",
+        (m / 2).cast("long").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(
+                F.lit(1000000.0)
+                * (m * F.col("sxy") - sx * sy).cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("assortativity_micro"),
+    )

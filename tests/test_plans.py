@@ -1328,3 +1328,32 @@ def test_boilerplate_one_shuffle_topk(spark):
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_exists_correlated_compiles_to_semi_and_anti_join(spark):
+    """The EXISTS/NOT EXISTS pair must decorrelate into a left-semi and
+    a left-anti hash join — no per-row subquery execution, no
+    cartesian."""
+    plan = plan_of(q("sql_exists_correlated", spark), mode="simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_correlated_scalar_decorrelates_to_aggregate_join(spark):
+    """The correlated scalar average must become aggregate-then-join:
+    exactly one extra HashAggregate pair on the subquery side, joined
+    back on the correlation key."""
+    plan = plan_of(q("sql_correlated_scalar", spark), mode="simple")
+    assert "HashAggregate" in plan
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_key_skew_profiler_all_jvm_and_partial(spark):
+    """Five frequency aggregates with map-side partial aggregation;
+    nothing leaves the JVM."""
+    plan = plan_of(q("profile_key_skew", spark), mode="extended")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "EvalPython" not in plan
