@@ -2241,3 +2241,54 @@ def agg_circular_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_hour_micro"),
     )
+
+
+@query(
+    "sql_aggregate_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_high_discount,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE l_linestatus = 'F') AS BIGINT)
+               AS finished_cents,
+           CAST(COUNT(DISTINCT l_suppkey)
+                    FILTER (WHERE l_quantity >= 25) AS BIGINT)
+               AS n_bulk_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_aggregate_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard FILTER (WHERE ...) aggregate modifier — four
+    differently-filtered aggregates in ONE grouped pass, the way every
+    migrated dashboard query wants to write conditional metrics
+    (COUNT + filtered COUNT + filtered SUM + filtered COUNT DISTINCT)
+    without CASE-WHEN contortions or four self-joins.
+
+    Spark and DuckDB both speak the standard syntax, so the oracle IS
+    the same text; Catalyst compiles FILTER into the same conditional
+    aggregation as the CASE form (one exchange, map-side partials).
+    Money rides as exact cents; everything else is integer counts.
+
+    Scale: one shuffle on the group key regardless of how many
+    filtered metrics ride along — that's the point; the COUNT DISTINCT
+    adds the usual expand-or-two-phase plan Catalyst picks for mixed
+    distinct/non-distinct aggregates."""
+    tune(spark)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+                   AS n_high_discount,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                        FILTER (WHERE l_linestatus = 'F') AS BIGINT)
+                   AS finished_cents,
+               CAST(COUNT(DISTINCT l_suppkey)
+                        FILTER (WHERE l_quantity >= 25) AS BIGINT)
+                   AS n_bulk_suppliers
+        FROM sqlf_lineitem GROUP BY l_returnflag
+        """
+    )

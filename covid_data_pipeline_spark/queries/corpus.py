@@ -4380,3 +4380,354 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("skew_ratio_micro"),
     )
+
+
+@query(
+    "ts_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, t, x,
+               COUNT(*) OVER w AS nw,
+               CAST(SUM(x) OVER w AS BIGINT) AS s7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    interior AS (
+        SELECT event_type, t, x,
+               -- milli-quantized detrended value (micro overflows the
+               -- BIGINT square-sum bound at 1e3-scale daily counts)
+               CAST(1000 * x - CAST(floor(1000.0 * s7 / 7.0 + 0.5)
+                                    AS BIGINT) AS BIGINT) AS det_milli
+        FROM trended WHERE nw = 7
+    ),
+    seasonal AS (
+        SELECT event_type, t % 7 AS dow,
+               CAST(floor(CAST(SUM(det_milli) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS s_milli
+        FROM interior GROUP BY event_type, t % 7
+    ),
+    parts AS (
+        SELECT i.event_type,
+               i.det_milli,
+               CAST(i.det_milli - s.s_milli AS BIGINT) AS res_milli,
+               CAST(1000 * i.x - s.s_milli AS BIGINT) AS des_milli
+        FROM interior i
+        JOIN seasonal s ON i.event_type = s.event_type
+                       AND i.t % 7 = s.dow
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(res_milli) AS BIGINT) AS sr,
+               CAST(SUM(res_milli * res_milli) AS BIGINT) AS srr,
+               CAST(SUM(det_milli) AS BIGINT) AS sd,
+               CAST(SUM(det_milli * det_milli) AS BIGINT) AS sdd,
+               CAST(SUM(des_milli) AS BIGINT) AS se,
+               CAST(SUM(des_milli * des_milli) AS BIGINT) AS see
+        FROM parts GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN n * sdd - sd * sd > 0 THEN
+               CAST(floor(1000000.0
+                    * (CASE WHEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                  / (n * sdd - sd * sd) > 0.0
+                            THEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                  / (n * sdd - sd * sd)
+                            ELSE 0.0 END)
+                    + 0.5) AS BIGINT)
+           END AS f_seasonal_micro,
+           CASE WHEN n * see - se * se > 0 THEN
+               CAST(floor(1000000.0
+                    * (CASE WHEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                  / (n * see - se * se) > 0.0
+                            THEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                  / (n * see - se * se)
+                            ELSE 0.0 END)
+                    + 0.5) AS BIGINT)
+           END AS f_trend_micro
+    FROM sums
+    """,
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style strength-of-seasonality and strength-of-trend per
+    event type (Hyndman's F_s = max(0, 1 - Var(R)/Var(S+R)) and
+    F_t = max(0, 1 - Var(R)/Var(T+R)) recast on the additive
+    decomposition) — the single-number answer to "is this series'
+    weekly rhythm real, and is there a trend under it?" that decides
+    whether forecasting operators (ts_holt_winters, ts_croston,
+    analytics_forecast_revenue) should bother with seasonal terms.
+
+    Decomposition mirrors ts_seasonal_decompose: 7-day centered moving
+    average for trend (interior days only, nw = 7), per-dow mean of the
+    detrended values for the seasonal component.  Values are
+    MILLI-quantized (1e3) before the variance moment sums — the micro
+    quantum's squares overflow int64 at 1e3-scale daily counts
+    (bound stated; at larger scales re-center per group first) — and
+    both strength ratios evaluate one guarded expression per engine.
+
+    Scale: one daily rollup, one per-type window, one dow-grain
+    broadcast-back; moment tuples are additive partials."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "t",
+        "x",
+        F.count(F.lit(1)).over(w).alias("nw"),
+        F.sum("x").over(w).cast("long").alias("s7"),
+    )
+    interior = trended.filter(F.col("nw") == 7).select(
+        "event_type",
+        "t",
+        "x",
+        (
+            F.lit(1000) * F.col("x")
+            - F.floor(
+                F.lit(1000.0) * F.col("s7") / F.lit(7.0) + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("det_milli"),
+    )
+    seasonal = interior.groupBy(
+        "event_type", (F.col("t") % 7).alias("dow")
+    ).agg(
+        F.floor(
+            F.sum("det_milli").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_milli")
+    )
+    parts = (
+        interior.withColumn("dow", F.col("t") % 7)
+        .join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "det_milli",
+            (F.col("det_milli") - F.col("s_milli")).cast("long").alias(
+                "res_milli"
+            ),
+            (F.lit(1000) * F.col("x") - F.col("s_milli")).cast("long").alias(
+                "des_milli"
+            ),
+        )
+    )
+    sums = parts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("res_milli").cast("long").alias("sr"),
+        F.sum(F.col("res_milli") * F.col("res_milli")).cast("long").alias("srr"),
+        F.sum("det_milli").cast("long").alias("sd"),
+        F.sum(F.col("det_milli") * F.col("det_milli")).cast("long").alias("sdd"),
+        F.sum("des_milli").cast("long").alias("se"),
+        F.sum(F.col("des_milli") * F.col("des_milli")).cast("long").alias("see"),
+    )
+    n = F.col("n")
+    vres = n * F.col("srr") - F.col("sr") * F.col("sr")
+    vdet = n * F.col("sdd") - F.col("sd") * F.col("sd")
+    vdes = n * F.col("see") - F.col("se") * F.col("se")
+    strength = lambda vden: F.floor(
+        F.lit(1000000.0)
+        * F.when(
+            F.lit(1.0) - vres.cast("double") / vden > 0.0,
+            F.lit(1.0) - vres.cast("double") / vden,
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.5)
+    ).cast("long")
+    return sums.select(
+        "event_type",
+        n.alias("n_days"),
+        F.when(vdet > 0, strength(vdet)).alias("f_seasonal_micro"),
+        F.when(vdes > 0, strength(vdes)).alias("f_trend_micro"),
+    )
+
+
+@query(
+    "agg_survival_kaplan_meier",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+    ranked AS (
+        SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+               ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    users AS (
+        SELECT r1.event_type, r1.user_id,
+               CASE WHEN r2.d IS NOT NULL
+                    THEN CAST(datediff('day', r1.d, r2.d) AS BIGINT)
+               END AS dur,
+               CAST(datediff('day', r1.d, a.mx) AS BIGINT) AS cens
+        FROM (SELECT * FROM ranked WHERE rn = 1) r1
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 2) r2
+               ON r1.event_type = r2.event_type
+              AND r1.user_id = r2.user_id
+        CROSS JOIN anchor a
+    ),
+    leaves AS (
+        SELECT event_type,
+               COALESCE(dur, cens) AS day,
+               CASE WHEN dur IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM users
+    ),
+    risk AS (
+        SELECT event_type, day,
+               CAST(SUM(observed) AS BIGINT) AS d_i,
+               CAST(SUM(1 - observed) AS BIGINT) AS w_i
+        FROM leaves GROUP BY event_type, day
+    ),
+    atrisk AS (
+        SELECT event_type, day, d_i, w_i,
+               CAST(SUM(d_i + w_i) OVER (PARTITION BY event_type
+                                         ORDER BY day DESC) AS BIGINT) AS n_i
+        FROM risk
+    ),
+    terms AS (
+        SELECT event_type, day, d_i, w_i, n_i,
+               CASE WHEN d_i < n_i THEN
+                   CAST(floor(1000000.0
+                        * ln(1.0 - CAST(d_i AS DOUBLE) / n_i) + 0.5)
+                        AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS q_micro,
+               CASE WHEN d_i = n_i THEN 1 ELSE 0 END AS killed
+        FROM atrisk
+    )
+    SELECT event_type, day, n_i AS at_risk, d_i AS n_events,
+           w_i AS n_censored,
+           CASE WHEN MAX(killed) OVER wc = 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000000.0
+                     * exp(CAST(SUM(q_micro) OVER wc AS DOUBLE)
+                           / 1000000.0) + 0.5) AS BIGINT)
+           END AS survival_micro
+    FROM terms
+    WINDOW wc AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def agg_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-SECOND-event per event
+    type, right-censored at the corpus horizon — the product-limit
+    retention estimator ("what share of users who did X once have not
+    yet done it again by day t?"), the statistically honest version of
+    naive repeat-rate metrics that silently drop users who haven't had
+    time to return.
+
+    The product FORM is the float hazard: a windowed product of
+    (1 - d/n) is an ordered float reduction that can never hash-match —
+    so each hazard term's ln is micro-quantized to BIGINT, the
+    cumulative window SUMS integers, and one exp per row lands back on
+    the micro scale (the adamic-adar doctrine applied to products).
+    At-risk counts come from a DESCENDING cumulative window (everyone
+    leaves at a recorded day, so suffix sums ARE the risk set — no
+    second pass), and the d = n boundary (risk set extinguished) pins
+    survival to exactly 0 from that day via a cumulative-max flag
+    instead of evaluating ln(0), identically on both engines.
+
+    Scale: one rank window per (type, user) over the corpus, then
+    calendar-bounded arithmetic; the risk table is |types| x |days|."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    wr = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    ranked = e.select(
+        "event_type",
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    r1 = ranked.filter(F.col("rn") == 1).select(
+        "event_type", "user_id", F.col("d").alias("d1")
+    )
+    r2 = ranked.filter(F.col("rn") == 2).select(
+        "event_type", "user_id", F.col("d").alias("d2")
+    )
+    users = (
+        r1.join(r2, ["event_type", "user_id"], "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            F.when(
+                F.col("d2").isNotNull(),
+                F.datediff("d2", "d1").cast("long"),
+            ).alias("dur"),
+            F.datediff("mx", "d1").cast("long").alias("cens"),
+        )
+    )
+    leaves = users.select(
+        "event_type",
+        F.coalesce(F.col("dur"), F.col("cens")).alias("day"),
+        F.when(F.col("dur").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    risk = leaves.groupBy("event_type", "day").agg(
+        F.sum("observed").cast("long").alias("d_i"),
+        F.sum(F.lit(1) - F.col("observed")).cast("long").alias("w_i"),
+    )
+    wdesc = Window.partitionBy("event_type").orderBy(F.col("day").desc())
+    atrisk = risk.select(
+        "event_type",
+        "day",
+        "d_i",
+        "w_i",
+        F.sum(F.col("d_i") + F.col("w_i")).over(wdesc).cast("long").alias(
+            "n_i"
+        ),
+    )
+    terms = atrisk.select(
+        "event_type",
+        "day",
+        "d_i",
+        "w_i",
+        "n_i",
+        F.when(
+            F.col("d_i") < F.col("n_i"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    F.lit(1.0) - F.col("d_i").cast("double") / F.col("n_i")
+                )
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("q_micro"),
+        F.when(F.col("d_i") == F.col("n_i"), 1).otherwise(0).alias("killed"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("day")
+    return terms.select(
+        "event_type",
+        "day",
+        F.col("n_i").alias("at_risk"),
+        F.col("d_i").alias("n_events"),
+        F.col("w_i").alias("n_censored"),
+        F.when(F.max("killed").over(wc) == 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * F.exp(
+                    F.sum("q_micro").over(wc).cast("double")
+                    / F.lit(1000000.0)
+                )
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("survival_micro"),
+    )

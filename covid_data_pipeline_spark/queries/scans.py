@@ -1389,3 +1389,39 @@ def scan_nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("line.qty_cents")).cast("long").alias("qty_cents"),
         )
     )
+
+
+@query(
+    "scan_recursive_directory",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def scan_recursive_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recursiveFileLookup ingest: two disjoint halves of events land at
+    DIFFERENT directory depths (vendor drops and log shippers never
+    agree on layout), then one reader walks the whole tree ignoring
+    partition-directory semantics and the union count equals the direct
+    aggregate — files found at any depth, none double-read.
+
+    This is the opposite contract from partition discovery
+    (sink_parquet_partitioned): recursiveFileLookup=true explicitly
+    DISABLES partition inference, so directory names carry no schema —
+    the right mode for heterogeneous-layout archive trees.
+
+    Scale: file listing is driver-side metadata work — at millions of
+    files push listing into the catalog/manifest layer; the scan
+    itself parallelizes per file split as usual."""
+    tune(spark)
+    root = os.path.join(SCRATCH, "recursive_tree")
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(root, "shallow")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(root, "vendor", "2024", "deep")
+    )
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(EVENTS)
+        .parquet(root)
+    )
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

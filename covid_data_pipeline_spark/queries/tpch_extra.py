@@ -1916,3 +1916,152 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("assortativity_micro"),
     )
+
+
+@query("graph_kcore", oracle=None)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition of the kNN-sparsified co-purchase graph by
+    iterative degree peeling — the ITERATIVE-algorithm showpiece beside
+    dedup_cluster_cc's pointer jumping: repeatedly drop nodes of degree
+    < 3 (each round one aggregate + one semi-join, lineage truncated by
+    localCheckpoint) until the node set is stable.  The 3-core is the
+    standard "dense backbone" extraction before community detection or
+    influence ranking.
+
+    Driver state is O(1) per round (the surviving-node count); data
+    never collects.  Convergence is bounded by the peel depth (the
+    degeneracy ordering's layer count — single digits on sparsified
+    kNN graphs; a 50-round safety cap turns a logic bug into a loud
+    error, never an infinite loop).  Rows-only by design: recursive
+    peeling has no fixed-depth ANSI-SQL twin (DuckDB's recursive CTEs
+    are append-only and cannot express simultaneous set shrinkage);
+    correctness is pinned by an imperative Python replay test
+    (tests/test_properties.py) asserting the exact surviving set and
+    the in-core degree invariant.
+
+    Driver sees (sf0.01): 100 rows; columns (v, core_deg).
+
+    Scale: each round touches only surviving edges (monotonically
+    shrinking); at 100 TB the peel runs the same plan with the edge
+    set hash-partitioned on v — no broadcast of corpus-sized state."""
+    tune(spark)
+    k = 3
+    edges = _knn_edges(spark, sf_dir).select("a", "b").localCheckpoint(
+        eager=True
+    )
+    for _ in range(50):
+        adj = edges.select(F.col("a").alias("v")).unionByName(
+            edges.select(F.col("b").alias("v"))
+        )
+        deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("v")
+        nxt = (
+            edges.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == edges.count():
+            edges = nxt
+            break
+        edges = nxt
+    else:
+        raise RuntimeError("k-core peel failed to converge in 50 rounds")
+    adj = edges.select(F.col("a").alias("v")).unionByName(
+        edges.select(F.col("b").alias("v"))
+    )
+    return (
+        adj.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .orderBy("v")
+    )
+
+
+@query(
+    "analytics_pareto_8020",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+        SELECT nation, rev_c,
+               ROW_NUMBER() OVER w AS rk,
+               CAST(SUM(rev_c) OVER (PARTITION BY nation
+                                     ORDER BY rev_c DESC, c_custkey)
+                    AS BIGINT) AS cum_c,
+               CAST(SUM(rev_c) OVER (PARTITION BY nation) AS BIGINT)
+                   AS tot_c,
+               COUNT(*) OVER (PARTITION BY nation) AS n
+        FROM cust
+        WINDOW w AS (PARTITION BY nation ORDER BY rev_c DESC, c_custkey)
+    )
+    SELECT nation,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN 10 * cum_c >= 8 * tot_c THEN rk END)
+                AS BIGINT) AS k_80,
+           CAST(floor(1000000.0
+                * CAST(MIN(CASE WHEN 10 * cum_c >= 8 * tot_c
+                           THEN rk END) AS DOUBLE) / MAX(n) + 0.5)
+                AS BIGINT) AS k_share_micro
+    FROM ranked GROUP BY nation
+    """,
+)
+def analytics_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 point per nation: the SMALLEST number of customers
+    whose combined revenue reaches 80% of the nation's total, and the
+    share of the base they represent — the inverse question to
+    analytics_revenue_concentration's fixed-k share, and the scalar a
+    sales team actually quotes ("11% of accounts are 80% of revenue").
+
+    ALL-INTEGER threshold: 10*cum_cents >= 8*total_cents avoids any
+    share double before the single quantized k/n division; the rank
+    order ties on custkey (engine-stable, the Gini discipline); the
+    Lorenz-curve machinery (analytics_lorenz_points) is its graphical
+    twin from the same ranked pass.
+
+    Scale: one per-nation ranked pass (the Gini cost class); at
+    unbounded group size bracket the 80% point from the mergeable
+    revenue histogram instead of the exact rank."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("rev_c").desc(), "c_custkey"
+    )
+    wp = Window.partitionBy("nation")
+    ranked = cust.select(
+        "nation",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev_c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_c"),
+        F.sum("rev_c").over(wp).cast("long").alias("tot_c"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    hit = F.when(
+        F.lit(10) * F.col("cum_c") >= F.lit(8) * F.col("tot_c"),
+        F.col("rk"),
+    )
+    return ranked.groupBy("nation").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.min(hit).cast("long").alias("k_80"),
+        F.floor(
+            F.lit(1000000.0) * F.min(hit).cast("double") / F.max("n")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("k_share_micro"),
+    )

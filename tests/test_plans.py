@@ -854,6 +854,15 @@ import pytest  # noqa: E402
             2_000_000,
             lambda F, ev, o, p: ev.count(),
         ),
+        # last-touch attribution share: the partition-less SUM window
+        # runs over the channel rollup — closed event-type domain + 1
+        # ('direct'); measured 6 at sf0.1
+        (
+            "channel_grain(analytics_last_touch_attribution)",
+            100,
+            lambda F, ev, o, p: ev.select("event_type").distinct().count()
+            + 1,
+        ),
     ],
 )
 def test_global_window_cardinality_bounded(spark, site, bound, counter):

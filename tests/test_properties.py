@@ -726,3 +726,42 @@ def test_simpson_consistent_with_entropy_ordering(spark):
     for r in rows:
         assert 0 <= r["simpson_diversity_micro"] <= 1_000_000, r
         assert 0 < r["inv_simpson_micro"] <= r["n_types"] * 1_000_000, r
+
+
+def test_kcore_matches_imperative_peel_replay(spark):
+    """The Spark 3-core must equal an imperative Python peel on the
+    same edge set: identical surviving node set, identical in-core
+    degrees, and every survivor keeps >= 3 in-core neighbors."""
+    from collections import defaultdict
+
+    from covid_data_pipeline_spark.queries.tpch_extra import _knn_edges
+    from covid_data_pipeline_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.01"
+    edges = {
+        (r["a"], r["b"])
+        for r in _knn_edges(spark, sf).select("a", "b").collect()
+    }
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # imperative peel
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    got = {
+        r["v"]: r["core_deg"]
+        for r in load_all()["graph_kcore"].fn(spark, sf).collect()
+    }
+    assert set(got) == alive, (
+        len(got),
+        len(alive),
+        set(got) ^ alive,
+    )
+    for v in alive:
+        want = len(adj[v] & alive)
+        assert got[v] == want and want >= 3, (v, got[v], want)
