@@ -4731,3 +4731,201 @@ def agg_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival_micro"),
     )
+
+
+_MIX_EDGES = (500, 1000, 2000, 4000)  # n_chars bucket edges
+_MIX_TARGET_PCT = {0: 10, 1: 25, 2: 30, 3: 25, 4: 10}  # target mix
+
+
+@query(
+    "corpus_length_bucket_mix",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT source,
+               CASE WHEN n_chars < {_MIX_EDGES[0]} THEN 0
+                    WHEN n_chars < {_MIX_EDGES[1]} THEN 1
+                    WHEN n_chars < {_MIX_EDGES[2]} THEN 2
+                    WHEN n_chars < {_MIX_EDGES[3]} THEN 3
+                    ELSE 4 END AS bucket
+        FROM documents
+    ),
+    per AS (
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM bucketed GROUP BY source, bucket
+    ),
+    bucket_tot AS (
+        SELECT bucket,
+               CAST(SUM(n_docs) AS BIGINT) AS bucket_total,
+               CAST(SUM(SUM(n_docs)) OVER () AS BIGINT) AS corpus_total
+        FROM per GROUP BY bucket
+    ),
+    tgt(bucket, pct) AS (VALUES
+        {", ".join(f"({k}, {v})" for k, v in sorted(_MIX_TARGET_PCT.items()))}),
+    weights AS (
+        SELECT g.bucket,
+               CAST(floor(1000000.0 * CAST(g.bucket_total AS DOUBLE)
+                    / g.corpus_total + 0.5) AS BIGINT) AS actual_share_micro,
+               CAST(floor(1000000.0
+                    * (CAST(t.pct AS DOUBLE) / 100.0)
+                    / (CAST(g.bucket_total AS DOUBLE) / g.corpus_total)
+                    + 0.5) AS BIGINT) AS weight_micro
+        FROM bucket_tot g JOIN tgt t ON g.bucket = t.bucket
+    )
+    SELECT p.source, p.bucket, p.n_docs,
+           w.actual_share_micro, w.weight_micro
+    FROM per p JOIN weights w ON p.bucket = w.bucket
+    """,
+)
+def corpus_length_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket mixing table: document counts per (source, length
+    bucket), each bucket's actual corpus share, and the RESAMPLING
+    WEIGHT (target share / actual share) that reweights the corpus to a
+    declared length mix — the executable form of the data-mixture
+    recipe every pretraining run writes down (short-doc floods are the
+    classic quality failure this weight table corrects at ingest time,
+    next to corpus_temperature_mix's per-source temperature).
+
+    Integer counts end-to-end; the two divisions (share, weight) are
+    quantized once per BUCKET (a closed 5-value domain), never per
+    document; the bucket-grain weight table broadcasts back onto the
+    (source, bucket) breakdown.  Buckets with zero docs simply don't
+    appear — a missing target bucket is a corpus bug the dashboard
+    should show as absence, not as NULL arithmetic.
+
+    Scale: one map-side-combined aggregate to (source, bucket); the
+    weight computation is bucket-grain arithmetic.  Applying the
+    weights is a broadcast join + deterministic-hash thinning
+    (sample_stratified_hash's discipline), never a shuffle."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    nc = F.col("n_chars")
+    bucket = (
+        F.when(nc < _MIX_EDGES[0], 0)
+        .when(nc < _MIX_EDGES[1], 1)
+        .when(nc < _MIX_EDGES[2], 2)
+        .when(nc < _MIX_EDGES[3], 3)
+        .otherwise(4)
+    )
+    per = d.select("source", bucket.alias("bucket")).groupBy(
+        "source", "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    glob = per.groupBy("bucket").agg(
+        F.sum("n_docs").cast("long").alias("bucket_total")
+    )
+    wall = Window.partitionBy()
+    glob = glob.select(
+        "bucket",
+        "bucket_total",
+        F.sum("bucket_total").over(wall).cast("long").alias("corpus_total"),
+    )
+    tgt = spark.createDataFrame(
+        sorted(_MIX_TARGET_PCT.items()), "bucket int, pct int"
+    )
+    share = F.col("bucket_total").cast("double") / F.col("corpus_total")
+    weights = glob.join(F.broadcast(tgt), "bucket").select(
+        "bucket",
+        F.floor(F.lit(1000000.0) * share + F.lit(0.5))
+        .cast("long")
+        .alias("actual_share_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("pct").cast("double") / F.lit(100.0))
+            / share
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    return per.join(F.broadcast(weights), "bucket").select(
+        "source", "bucket", "n_docs", "actual_share_micro", "weight_micro"
+    )
+
+
+@query(
+    "ts_local_peaks",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, t, x,
+               COUNT(*) OVER wl AS nl,
+               CAST(MAX(x) OVER wl AS BIGINT) AS lmax,
+               COUNT(*) OVER wr AS nr,
+               CAST(MAX(x) OVER wr AS BIGINT) AS rmax,
+               CAST(MIN(x) OVER wb AS BIGINT) AS wmin
+        FROM daily
+        WINDOW wl AS (PARTITION BY event_type ORDER BY t
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+               wr AS (PARTITION BY event_type ORDER BY t
+                      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING),
+               wb AS (PARTITION BY event_type ORDER BY t
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT event_type, t AS day_idx, x, wmin,
+           CAST(floor(1000000.0 * CAST(x - wmin AS DOUBLE) / x + 0.5)
+                AS BIGINT) AS prominence_micro
+    FROM framed
+    WHERE nl = 3 AND nr = 3 AND x > lmax AND x > rmax
+    """,
+)
+def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection over each type's daily series: a day is a
+    peak when it STRICTLY exceeds every neighbor within +/-3 days
+    (full frames only), reported with a prominence score
+    (x - window_min)/x — the alert-shaping primitive between raw
+    thresholds (win_anomaly_zscore fires on level) and changepoints
+    (ts_cusum_changepoint fires on regime): peaks fire on local shape,
+    which is what "did the campaign spike traffic?" actually asks.
+
+    Strict > against integer MAXes means plateau days never double-
+    fire (a two-day tie yields NO peak — the conservative convention,
+    stated); all comparisons are exact integers and the single
+    division is quantized per emitted peak.
+
+    Scale: three frames over one per-type sort of the calendar-bounded
+    daily rollup — fused by Spark into a single window stage."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wl = Window.partitionBy("event_type").orderBy("t").rowsBetween(-3, -1)
+    wr = Window.partitionBy("event_type").orderBy("t").rowsBetween(1, 3)
+    wb = Window.partitionBy("event_type").orderBy("t").rowsBetween(-3, 3)
+    framed = daily.select(
+        "event_type",
+        "t",
+        "x",
+        F.count(F.lit(1)).over(wl).alias("nl"),
+        F.max("x").over(wl).cast("long").alias("lmax"),
+        F.count(F.lit(1)).over(wr).alias("nr"),
+        F.max("x").over(wr).cast("long").alias("rmax"),
+        F.min("x").over(wb).cast("long").alias("wmin"),
+    )
+    return framed.filter(
+        (F.col("nl") == 3)
+        & (F.col("nr") == 3)
+        & (F.col("x") > F.col("lmax"))
+        & (F.col("x") > F.col("rmax"))
+    ).select(
+        "event_type",
+        F.col("t").alias("day_idx"),
+        "x",
+        "wmin",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("x") - F.col("wmin")).cast("double")
+            / F.col("x")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("prominence_micro"),
+    )

@@ -2065,3 +2065,244 @@ def analytics_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("k_share_micro"),
     )
+
+
+@query(
+    "analytics_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(CAST(EXTRACT(year FROM o_orderdate) * 12
+                        + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT))
+                   AS m0
+        FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+        SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY m0
+    ),
+    aged AS (
+        SELECT f.m0,
+               CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                    + EXTRACT(month FROM o.o_orderdate) - 1 - f.m0
+                    AS BIGINT) AS age,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT a.m0 AS cohort_month, a.age, a.n_orders, s.cohort_size,
+           CAST(SUM(a.cents) OVER (PARTITION BY a.m0 ORDER BY a.age)
+                AS BIGINT) AS cum_cents,
+           CAST(floor(1000000.0
+                * CAST(SUM(a.cents) OVER (PARTITION BY a.m0
+                                          ORDER BY a.age) AS DOUBLE)
+                / 100.0 / s.cohort_size + 0.5) AS BIGINT)
+               AS ltv_per_customer_micro
+    FROM aged a JOIN sized s ON a.m0 = s.m0
+    """,
+)
+def analytics_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by FIRST-order
+    month, cumulative revenue per customer tracked by months-since-
+    first-order — the growth team's core artifact ("does the March
+    cohort monetize faster than January's?"), the revenue-weighted
+    sibling of win_retention_cohort's activity matrix.
+
+    Month arithmetic is pure integers (year*12 + month), revenue is
+    exact cents, the cumulative window runs over the bounded age axis
+    per cohort, and the only division is the final per-customer
+    normalization, micro-quantized.  Cohort sizes join back from the
+    firsts table, so denominators are the TRUE cohort population, not
+    just buyers active at that age (the classic LTV-inflation bug,
+    stated here because dashboards keep shipping it).
+
+    Scale: one first-order aggregate + one (cohort, age) rollup — both
+    map-side combined; the curve table is |cohorts| x |ages|."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    m = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    firsts = o.groupBy("o_custkey").agg(F.min(m).alias("m0"))
+    sized = firsts.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    aged = (
+        o.join(firsts, "o_custkey")
+        .groupBy("m0", (m - F.col("m0")).cast("long").alias("age"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    wc = Window.partitionBy("m0").orderBy("age")
+    cum = F.sum("cents").over(wc).cast("long")
+    return (
+        aged.join(F.broadcast(sized), "m0")
+        .select(
+            F.col("m0").alias("cohort_month"),
+            "age",
+            "n_orders",
+            "cohort_size",
+            cum.alias("cum_cents"),
+            F.floor(
+                F.lit(1000000.0)
+                * cum.cast("double")
+                / F.lit(100.0)
+                / F.col("cohort_size")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ltv_per_customer_micro"),
+        )
+    )
+
+
+@query(
+    "analytics_leadtime_percentiles",
+    oracle="""
+    WITH lt AS (
+        SELECT o.o_orderpriority,
+               CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS days
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+        SELECT o_orderpriority, days,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY days) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM lt
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN days END) AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN days END) AS BIGINT) AS p90_days,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN days END) AS BIGINT) AS p99_days
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def analytics_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time percentiles (p50/p90/p99 days) per order
+    priority — the fulfillment-SLA report ("URGENT orders ship in 3
+    days at p50, but p99 is 40 — the tail is the problem"), the
+    supply-chain sibling of analytics_late_orders' binary lateness.
+
+    Type-DISC order statistics on integer day counts: row_number over
+    days alone is tie-ambiguous between engines, but the VALUE at the
+    ceil(q*n)-th position is the q-th order statistic regardless of how
+    equal days are interleaved — the selected column IS the ordering
+    key (the standard order-statistic argument, relied on here instead
+    of a tiebreak).  No floats anywhere; interpolating percentiles on
+    DAYS would manufacture fractional days no warehouse can ship in.
+
+    Scale: one join + one per-priority rank window (the exact-median
+    cost class); at unbounded group size swap the exact rank for the
+    GK sketch in exact-bracket mode (agg_approx_percentile's path)."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lt = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("days")
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = lt.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    pick = lambda q: F.max(
+        F.when(
+            F.col("rn")
+            == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("days"),
+        )
+    ).cast("long")
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        pick(0.5).alias("p50_days"),
+        pick(0.9).alias("p90_days"),
+        pick(0.99).alias("p99_days"),
+    )
+
+
+@query(
+    "analytics_state_dwell_time",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dwell_us
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dwell_us) AS BIGINT) AS dwell_us_total
+        FROM iv WHERE dwell_us IS NOT NULL GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(dwell_us_total) AS BIGINT) AS t FROM agg)
+    SELECT a.event_type, a.n_intervals, a.dwell_us_total,
+           CAST(floor(1000000.0 * CAST(a.dwell_us_total AS DOUBLE) / t.t
+                + 0.5) AS BIGINT) AS share_micro
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def analytics_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State dwell-time occupancy: treating each user's latest event as
+    their current STATE, how much wall-clock time does the population
+    spend in each state?  The duration-weighted companion to
+    analytics_markov_transitions' count-weighted matrix — counts say
+    'error' is 20% of transitions; dwell time says users sit in the
+    error state 3x longer than in view, which is the actual UX pain
+    metric.  Each user's final open-ended interval is excluded (no
+    LEAD), identically on both engines.
+
+    Integer epoch-microsecond arithmetic end-to-end; the single share
+    division quantizes against a broadcast total (no partition-less
+    window).
+
+    Scale: one shuffle on user_id with a partition-local sort (the
+    sessionize cost class); the state rollup is |types|-sized."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = e.select(
+        "event_type",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "dwell_us"
+        ),
+    ).filter(F.col("dwell_us").isNotNull())
+    agg = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dwell_us").cast("long").alias("dwell_us_total"),
+    )
+    tot = agg.agg(F.sum("dwell_us_total").cast("long").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_intervals",
+        "dwell_us_total",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("dwell_us_total").cast("double")
+            / F.col("t")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("share_micro"),
+    )

@@ -863,6 +863,13 @@ import pytest  # noqa: E402
             lambda F, ev, o, p: ev.select("event_type").distinct().count()
             + 1,
         ),
+        # length-mix weights: the partition-less corpus-total window runs
+        # over the bucket rollup — a closed 5-value CASE domain
+        (
+            "bucket_grain(corpus_length_bucket_mix)",
+            5,
+            lambda F, ev, o, p: 5,
+        ),
     ],
 )
 def test_global_window_cardinality_bounded(spark, site, bound, counter):
