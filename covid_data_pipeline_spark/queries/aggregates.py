@@ -2292,3 +2292,234 @@ def sql_aggregate_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sqlf_lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "agg_ratio_metric_delta_ci",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xc) AS BIGINT) AS sx,
+               CAST(SUM(q) AS BIGINT) AS sy,
+               CAST(CAST(SUM(CAST(xc * xc AS HUGEINT)) AS DOUBLE)
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(q * q) AS BIGINT) AS syy,
+               CAST(SUM(xc * q) AS BIGINT) AS sxy
+        FROM (SELECT l_returnflag,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         AS xc,
+                     CAST(l_quantity AS BIGINT) AS q
+              FROM lineitem)
+        GROUP BY l_returnflag
+    ),
+    stats AS (
+        SELECT l_returnflag, n,
+               CAST(sx AS DOUBLE) / sy AS r,
+               (sxx / n - (CAST(sx AS DOUBLE) / n)
+                          * (CAST(sx AS DOUBLE) / n)) AS vx,
+               (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+                          * (CAST(sy AS DOUBLE) / n)) AS vy,
+               (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                          * (CAST(sy AS DOUBLE) / n)) AS cxy,
+               CAST(sy AS DOUBLE) / n AS ybar
+        FROM m WHERE n >= 2
+    )
+    SELECT l_returnflag, n,
+           CAST(floor(1000000.0 * r + 0.5) AS BIGINT) AS ratio_micro,
+           CASE WHEN (vx + r * r * vy - 2.0 * r * cxy) / (ybar * ybar) / n
+                     > 0 THEN
+               CAST(floor(1000000.0
+                    * sqrt((vx + r * r * vy - 2.0 * r * cxy)
+                           / (ybar * ybar) / n) + 0.5) AS BIGINT)
+           END AS se_micro,
+           CASE WHEN (vx + r * r * vy - 2.0 * r * cxy) / (ybar * ybar) / n
+                     > 0 THEN
+               CAST(floor(1000000.0
+                    * (r - 1.96 * sqrt((vx + r * r * vy - 2.0 * r * cxy)
+                                       / (ybar * ybar) / n)) + 0.5)
+                    AS BIGINT)
+           END AS ci_lo_micro,
+           CASE WHEN (vx + r * r * vy - 2.0 * r * cxy) / (ybar * ybar) / n
+                     > 0 THEN
+               CAST(floor(1000000.0
+                    * (r + 1.96 * sqrt((vx + r * r * vy - 2.0 * r * cxy)
+                                       / (ybar * ybar) / n)) + 0.5)
+                    AS BIGINT)
+           END AS ci_hi_micro
+    FROM stats
+    """,
+)
+def agg_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric — cents of
+    revenue per unit quantity, sum(x)/sum(y) per returnflag, with its
+    linearization standard error Var(R) ~ (Vx + R^2 Vy - 2 R Cxy) /
+    (ybar^2 n) and a 95% normal CI.  THE experimentation-platform
+    workhorse: every per-user ratio metric (revenue/session,
+    clicks/impression) needs exactly this SE, and the naive
+    var-of-the-ratio-of-totals is simply wrong (ratios of sums are not
+    means of ratios — the delta method is the fix).
+
+    The x^2 moment is the one sum that outgrows int64 (cents^2 at
+    corpus scale), so it alone rides an exact wide-integer sum
+    (HUGEINT / DECIMAL(38,0)) cast to double once — every other moment
+    is plain BIGINT; all downstream algebra is one identical IEEE
+    chain per engine, micro-quantized, with the degenerate zero-
+    variance case NULL on both.
+
+    Scale: one map-side-combined grouped pass; the six moments are
+    additive partials, so segment CIs merge without re-scanning."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    xc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    q = F.col("l_quantity").cast("long")
+    base = li.select("l_returnflag", xc.alias("xc"), q.alias("q"))
+    m = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("sx"),
+        F.sum("q").cast("long").alias("sy"),
+        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("syy"),
+        F.sum(F.col("xc") * F.col("q")).cast("long").alias("sxy"),
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    stats = m.filter(n >= 2).select(
+        "l_returnflag",
+        "n",
+        (sxd / F.col("sy")).alias("r"),
+        (F.col("sxx") / n - (sxd / n) * (sxd / n)).alias("vx"),
+        (F.col("syy").cast("double") / n - (syd / n) * (syd / n)).alias(
+            "vy"
+        ),
+        (F.col("sxy").cast("double") / n - (sxd / n) * (syd / n)).alias(
+            "cxy"
+        ),
+        (syd / n).alias("ybar"),
+    )
+    r, vx, vy, cxy, ybar = (
+        F.col("r"),
+        F.col("vx"),
+        F.col("vy"),
+        F.col("cxy"),
+        F.col("ybar"),
+    )
+    var_r = (vx + r * r * vy - F.lit(2.0) * r * cxy) / (ybar * ybar) / F.col(
+        "n"
+    )
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    return stats.select(
+        "l_returnflag",
+        "n",
+        micro(r).alias("ratio_micro"),
+        F.when(var_r > 0, micro(F.sqrt(var_r))).alias("se_micro"),
+        F.when(var_r > 0, micro(r - F.lit(1.96) * F.sqrt(var_r))).alias(
+            "ci_lo_micro"
+        ),
+        F.when(var_r > 0, micro(r + F.lit(1.96) * F.sqrt(var_r))).alias(
+            "ci_hi_micro"
+        ),
+    )
+
+
+@query(
+    "agg_tukey_fences_outliers",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY FLOOR(l_extendedprice * 100
+                                                 + 0.5)) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    q AS (
+        SELECT l_returnflag,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                        THEN cents END) AS BIGINT) AS q1,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                        THEN cents END) AS BIGINT) AS q3
+        FROM ranked GROUP BY l_returnflag
+    ),
+    flagged AS (
+        SELECT r.l_returnflag, q.n, q.q1, q.q3,
+               CAST(SUM(CASE WHEN 2 * r.cents < 5 * q.q1 - 3 * q.q3
+                              OR 2 * r.cents > 5 * q.q3 - 3 * q.q1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM ranked r JOIN q ON r.l_returnflag = q.l_returnflag
+        GROUP BY r.l_returnflag, q.n, q.q1, q.q3
+    )
+    SELECT l_returnflag, n, q1 AS q1_cents, q3 AS q3_cents,
+           CAST(q3 - q1 AS BIGINT) AS iqr_cents, n_outliers,
+           CAST(floor(1000000.0 * CAST(n_outliers AS DOUBLE) / n + 0.5)
+                AS BIGINT) AS outlier_share_micro
+    FROM flagged
+    """,
+)
+def agg_tukey_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5 IQR) outlier report per returnflag — the
+    boxplot's outlier rule, completing the robust-outlier family
+    (win_anomaly_zscore assumes normality, agg_mad_anomaly uses MAD;
+    Tukey fences are THE convention reviewers expect on skewed money
+    distributions).  Emits exact quartiles, the IQR, and the outlier
+    count + share.
+
+    ALL-INTEGER fences: x < Q1 - 1.5*IQR doubles both sides into
+    2x < 5*Q1 - 3*Q3 (and symmetrically), so the fence comparison
+    never touches a float — exact cents in, exact counts out, one
+    quantized share at the end.  Quartiles are type-DISC positional
+    order statistics (the leadtime-percentiles tie-order-invariance
+    argument).
+
+    Scale: one per-group rank window (exact-median cost class) + one
+    broadcast-back of the 3-row quartile dim; GK-bracket the quartiles
+    at unbounded group sizes."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = li.select("l_returnflag", cents.alias("cents")).select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    pick = lambda qq: F.max(
+        F.when(
+            F.col("rn") == F.ceil(F.lit(qq) * F.col("n")).cast("long"),
+            F.col("cents"),
+        )
+    ).cast("long")
+    q = ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.25).alias("q1"),
+        pick(0.75).alias("q3"),
+    )
+    j = ranked.select("l_returnflag", "cents").join(
+        F.broadcast(q), "l_returnflag"
+    )
+    out = (F.lit(2) * F.col("cents") < F.lit(5) * F.col("q1") - F.lit(3) * F.col("q3")) | (
+        F.lit(2) * F.col("cents") > F.lit(5) * F.col("q3") - F.lit(3) * F.col("q1")
+    )
+    flagged = j.groupBy("l_returnflag", "n", "q1", "q3").agg(
+        F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers")
+    )
+    return flagged.select(
+        "l_returnflag",
+        "n",
+        F.col("q1").alias("q1_cents"),
+        F.col("q3").alias("q3_cents"),
+        (F.col("q3") - F.col("q1")).cast("long").alias("iqr_cents"),
+        "n_outliers",
+        F.floor(
+            F.lit(1000000.0) * F.col("n_outliers").cast("double") / F.col("n")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("outlier_share_micro"),
+    )

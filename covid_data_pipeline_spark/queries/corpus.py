@@ -4929,3 +4929,98 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prominence_micro"),
     )
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle="""
+    WITH m AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS s1,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_docs,
+               CAST(floor(1000000.0
+                    * sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * s1 / n_docs)
+                           / (n_docs - 1)) + 0.5) AS BIGINT) AS sd_micro,
+               CAST(floor(1000000.0 * n_docs
+                    * sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * s1 / n_docs)
+                           / (n_docs - 1)) + 0.5) AS BIGINT) AS w_micro
+        FROM m WHERE n_docs >= 2
+    ),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w)
+    SELECT lang, n_docs, sd_micro,
+           CAST(floor(1000.0 * CAST(w_micro AS DOUBLE) / t.tw + 0.5)
+                AS BIGINT) AS alloc_n,
+           CAST(floor(1000000.0 * CAST(w_micro AS DOUBLE) / t.tw + 0.5)
+                AS BIGINT) AS alloc_share_micro
+    FROM w CROSS JOIN tot t
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over languages for a
+    1000-document budget: n_h proportional to N_h * S_h (stratum size
+    times stratum standard deviation of document length) — the survey-
+    statistics upgrade over sample_stratified_hash's FIXED per-stratum
+    rates: high-variance strata earn more budget, which minimizes the
+    estimator's variance at equal cost (Neyman 1934).
+
+    The stratum sd comes from exact integer (n, s1, s2) moments; each
+    stratum's weight N_h*S_h is micro-quantized to BIGINT before the
+    cross-stratum sum (a double sum over strata would be partitioning-
+    ordered), and the allocation is one quantized division per
+    stratum.  Rounded allocations may sum to 999-1001 of the 1000
+    budget — documented; largest-remainder reconciliation is a driver-
+    side O(strata) step when exactness matters.  Single-doc strata are
+    excluded (sd undefined) identically on both engines.
+
+    Scale: one map-side-combined moment aggregate; everything after is
+    strata-grain arithmetic.  EXECUTING the allocation is the
+    deterministic-hash filter with per-stratum thresholds — no
+    shuffle."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+    )
+    n = F.col("n_docs")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n)
+        / (n - 1)
+    )
+    w = m.filter(n >= 2).select(
+        "lang",
+        "n_docs",
+        F.floor(F.lit(1000000.0) * sd + F.lit(0.5)).cast("long").alias(
+            "sd_micro"
+        ),
+        F.floor(F.lit(1000000.0) * n * sd + F.lit(0.5)).cast("long").alias(
+            "w_micro"
+        ),
+    )
+    tot = w.agg(F.sum("w_micro").cast("long").alias("tw"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "sd_micro",
+        F.floor(
+            F.lit(1000.0) * F.col("w_micro").cast("double") / F.col("tw")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("alloc_n"),
+        F.floor(
+            F.lit(1000000.0) * F.col("w_micro").cast("double") / F.col("tw")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("alloc_share_micro"),
+    )

@@ -1425,3 +1425,58 @@ def scan_recursive_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(root)
     )
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "scan_aggregate_pushdown",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) + 0.0 AS min_value,
+           MAX(value) + 0.0 AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown: MIN/MAX/COUNT grouped by a partition
+    column answered ENTIRELY from parquet footer statistics — the plan
+    shows `PushedAggregation: [MIN(value), MAX(value), COUNT(*)]` and
+    `PushedGroupBy: [event_type]` (plan-asserted in tests/test_plans.py)
+    and the scan reads ZERO data pages.  At 100 TB this is the
+    difference between a dashboard tile that costs a full-corpus scan
+    and one that costs a metadata listing — the query author writes the
+    same groupBy either way.
+
+    Requires the DSv2 parquet reader (`useV1SourceList` excludes
+    parquet) plus `parquet.aggregatePushdown` — both session configs
+    are flipped inside a try/finally so the rest of the suite keeps the
+    default reader; min/max/count from footers are EXACT (footers
+    record true row min/max), so the oracle is the plain aggregate.
+
+    Pushdown silently degrades to a normal scan when rows carry NULLs
+    in the aggregated column or the grouping key isn't a partition
+    column — the plan test, not this docstring, is the contract."""
+    tune(spark)
+    path = os.path.join(SCRATCH, "agg_pushdown")
+    ev = load(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        back = spark.read.parquet(path)
+        # + 0.0 canonicalizes the IEEE signed zero: parquet footers may
+        # surface -0.0 where a row-wise MIN surfaces +0.0 (measured at
+        # sf0.1) — equal under <, different under a bit-exact hash
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.min("value") + F.lit(0.0)).alias("min_value"),
+            (F.max("value") + F.lit(0.0)).alias("max_value"),
+        )
+        # materialize the logical plan binding under the v2 reader NOW —
+        # the configs restore before the driver collects
+        out.collect()
+        return out
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")

@@ -942,3 +942,35 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "metric string, value long",
     )
+
+
+@query("stream_last_touch_state", oracle=None)  # rows-only: custom state op
+def stream_last_touch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming last-touch attribution: per-user GroupState holds
+    only the most recent non-purchase touch (two scalars), purchases
+    are credited as they arrive — the incremental twin of
+    ``analytics_last_touch_attribution``, whose batch window would need
+    the full per-user history an unbounded stream can't keep.  The
+    availableNow drain lands per-purchase attributions in a memory
+    sink; the final channel rollup here is a batch aggregate over the
+    sink.  Exact per-channel-count equivalence with the batch operator
+    is asserted in tests/test_streaming.py.
+
+    Driver sees (sf0.01): 5 rows; columns (channel, n_conversions).
+
+    Scale: state is O(2 scalars) per user with watermark-free
+    NoTimeout semantics (the 7-day lookback bounds RELEVANCE, not
+    state size — a TTL eviction at lookback age is the production
+    add-on, one line in the state update)."""
+    from ..streaming import read_events_stream, run_available_now
+
+    tune(spark)
+    # narrow state-store sharding, same rationale as stream_stateful_totals
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    sunk = run_available_now(
+        TR.stateful_last_touch(read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return sunk.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions")
+    )

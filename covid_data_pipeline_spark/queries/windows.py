@@ -1470,3 +1470,92 @@ def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ulcer_micro"),
     )
+
+
+@query(
+    "win_seasonal_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, t, x,
+               COUNT(*) OVER w AS nh,
+               CAST(SUM(x) OVER w AS BIGINT) AS s1,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type, t % 7 ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, t AS day_idx, x, nh AS n_history,
+           CASE WHEN nh >= 2
+                 AND CAST(s2 AS DOUBLE) * nh - CAST(s1 AS DOUBLE) * s1 > 0
+           THEN
+               CAST(floor(1000000.0
+                    * (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / nh)
+                    / sqrt((CAST(s2 AS DOUBLE) * nh
+                            - CAST(s1 AS DOUBLE) * s1)
+                           / (CAST(nh AS DOUBLE) * nh))
+                    + 0.5) AS BIGINT)
+           END AS seasonal_z_micro
+    FROM framed
+    """,
+)
+def win_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly score: each day's count z-scored
+    against PRIOR SAME-WEEKDAY history only — the alert
+    win_anomaly_zscore should have been on weekly-rhythmed traffic
+    (a quiet Sunday is normal FOR SUNDAYS; the global z calls every
+    weekend an anomaly and every weekday-outage normal).  Partitioning
+    the history window by (type, dow) is the entire fix.
+
+    Exact integer rolling (s1, s2) over the expanding same-dow frame
+    (strictly PRIOR rows — no self-inclusion bias), population sigma in
+    one identical IEEE chain per engine, micro-quantized; days with
+    under 2 prior observations or zero variance emit NULL identically.
+
+    Scale: one per-(type, dow) window over the calendar-bounded daily
+    rollup — seven interleaved expanding windows per type, one sort."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type", F.col("t") % 7)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    framed = daily.select(
+        "event_type",
+        "t",
+        "x",
+        F.count(F.lit(1)).over(w).alias("nh"),
+        F.sum("x").over(w).cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("s2"),
+    )
+    nh = F.col("nh")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var_num = s2d * nh - s1d * F.col("s1")
+    return framed.select(
+        "event_type",
+        F.col("t").alias("day_idx"),
+        "x",
+        nh.alias("n_history"),
+        F.when(
+            (nh >= 2) & (var_num > 0),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("x").cast("double") - s1d / nh)
+                / F.sqrt(var_num / (nh.cast("double") * nh))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("seasonal_z_micro"),
+    )

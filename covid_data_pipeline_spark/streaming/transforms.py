@@ -408,3 +408,83 @@ def stateful_spacesaving_topk(df: DataFrame, capacity: int = 8) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_last_touch(df: DataFrame) -> DataFrame:
+    """Last-touch attribution as a TRUE incremental stream: GroupState
+    holds each user's most recent NON-purchase touch (epoch-us + type);
+    every arriving purchase is credited to it when it falls inside the
+    7-day lookback, else to 'direct' — the streaming twin of
+    ``analytics_last_touch_attribution`` with O(1) state per user (two
+    scalars), the only shape that survives an unbounded event stream.
+
+    Events within one micro-batch are ordered by (ts, event_id) inside
+    the worker (the stateful_change_detect discipline), and the
+    in-batch "latest preceding non-purchase" is a vectorized
+    cumulative-max over candidate indices — no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    LOOKBACK_US = 604_800_000_000  # 7 days
+
+    def attribute(key, pdfs, state: GroupState):
+        last_us, last_type = state.get if state.exists else (None, None)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if len(pdf):
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            types = pdf["event_type"].to_numpy(dtype=object)
+            n = len(pdf)
+            mask = types != "purchase"
+            vals = np.where(mask, np.arange(n), -1)
+            cm = np.maximum.accumulate(vals)
+            prev_idx = np.empty(n, dtype=np.int64)
+            prev_idx[0] = -1
+            prev_idx[1:] = cm[:-1]
+            is_p = ~mask
+            out_ids, out_ch = [], []
+            for i in np.where(is_p)[0]:
+                j = prev_idx[i]
+                if j >= 0:
+                    ch = (
+                        types[j]
+                        if us[i] - us[j] <= LOOKBACK_US
+                        else "direct"
+                    )
+                elif last_us is not None:
+                    ch = (
+                        last_type
+                        if us[i] - last_us <= LOOKBACK_US
+                        else "direct"
+                    )
+                else:
+                    ch = "direct"
+                out_ids.append(int(pdf["event_id"].iloc[i]))
+                out_ch.append(ch)
+            nz = np.where(mask)[0]
+            if len(nz):
+                last_us = int(us[nz[-1]])
+                last_type = str(types[nz[-1]])
+            state.update((last_us, last_type))
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(out_ids), key[0], dtype=np.int64),
+                    "event_id": np.array(out_ids, dtype=np.int64),
+                    "channel": np.array(out_ch, dtype=object),
+                }
+            )
+        else:
+            state.update((last_us, last_type))
+            yield pd.DataFrame(
+                {"user_id": [], "event_id": [], "channel": []}
+            )
+
+    return df.select("user_id", "event_id", "ts", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        attribute,
+        outputStructType="user_id long, event_id long, channel string",
+        stateStructType="last_us long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -74,6 +74,17 @@ def family_of(name: str) -> str:
 # query id; the generator fails if an id here is stale or a rows-only
 # query lacks an entry — so this list can never drift from the registry.
 ROWS_ONLY_WHY = {
+    "stream_last_touch_state": (
+        "TRUE streaming run (GroupState attribution) — the memory-sink "
+        "drain is the operator. Exact per-channel count equivalence "
+        "with the batch twin asserted in tests/test_streaming.py."
+    ),
+    "graph_kcore": (
+        "iterative degree peeling to a fixpoint — recursive set "
+        "shrinkage has no fixed-depth ANSI-SQL twin (append-only "
+        "recursive CTEs cannot drop rows). Exact equality with an "
+        "imperative Python peel replay asserted in tests."
+    ),
     "stream_progress_metrics": (
         "the output IS the engine's own StreamingQueryProgress telemetry "
         "(batch counts, state rows) — no SQL twin exists by definition. "

@@ -276,6 +276,31 @@ SHOWN = (
         "never a doc-pair join.",
         False,
     ),
+    (
+        "text_bigram_lm_crossentropy",
+        "Held-out bigram LM: two (lang, gram) count shuffles with "
+        "map-side combine, vocab dim broadcast onto the corpus-sized "
+        "probability join; per-bigram log-probs quantized before the "
+        "per-lang sum.",
+        False,
+    ),
+    (
+        "agg_survival_kaplan_meier",
+        "Kaplan-Meier: ONE rank window per (type, user) is the only "
+        "corpus-sized stage; at-risk sets come from a DESCENDING "
+        "cumulative window over the calendar-bounded risk table, and "
+        "the product-limit form is a SUM of quantized hazard logs — "
+        "never a windowed float product.",
+        False,
+    ),
+    (
+        "sim_silhouette_labels",
+        "Panel-bounded silhouette: the 10% panel BROADCASTS into the "
+        "pair join (BroadcastNestedLoopJoin — the corpus is never "
+        "shuffled for pairing); norms are hoisted to one fold per row, "
+        "one dot fold per pair.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead

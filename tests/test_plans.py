@@ -1373,3 +1373,70 @@ def test_key_skew_profiler_all_jvm_and_partial(spark):
     plan = plan_of(q("profile_key_skew", spark), mode="extended")
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_aggregate_pushdown_reads_only_footers(spark):
+    """With the DSv2 reader + aggregatePushdown, the grouped
+    MIN/MAX/COUNT must appear in the scan as PushedAggregation +
+    PushedGroupBy — the whole answer comes from parquet footers.
+    Replicates the operator's config dance because the registered query
+    restores the session defaults before returning."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_ORACLE
+
+    path = os.path.join(
+        tempfile.gettempdir(), "cdp_spark_scratch", "agg_pushdown_plan"
+    )
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "event_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        out = spark.read.parquet(path).groupBy("event_type").agg(
+            F.min("value"), F.max("value"), F.count(F.lit(1))
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [MIN(value), MAX(value), COUNT(*)]" in plan, plan
+        assert "PushedGroupBy: [event_type]" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+
+
+def test_bigram_lm_broadcasts_vocab_no_python(spark):
+    """The vocab dim must broadcast onto the corpus-sized probability
+    join; the count shuffles partially aggregate; all JVM-side."""
+    plan = plan_of(q("text_bigram_lm_crossentropy", spark), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_heaps_law_windows_per_lang_no_python(spark):
+    """The growth window must partition per lang (no partition-less
+    sort over the curve), and the whole fit stays JVM-side."""
+    plan = plan_of(q("text_heaps_law", spark), mode="extended")
+    assert "windowspecdefinition(lang" in plan
+    assert "EvalPython" not in plan
+
+
+def test_ltv_curve_broadcasts_cohort_sizes(spark):
+    """Cohort sizes are a broadcast-back dim; the curve window
+    partitions per cohort month."""
+    plan = plan_of(q("analytics_cohort_ltv_curve", spark), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_silhouette_broadcasts_panel_not_corpus(spark):
+    """The panel side broadcasts into the pair join — the corpus is
+    never shuffled for pairing."""
+    plan = plan_of(q("sim_silhouette_labels", spark), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "EvalPython" not in plan

@@ -742,3 +742,26 @@ def test_progress_metrics_exact_at_fixture_scale(spark):
     assert got["n_micro_batches"] == 1
     assert got["total_input_rows"] == 1000
     assert got["state_rows_total"] == got["final_sink_rows"] > 0, got
+
+
+def test_stream_last_touch_matches_batch_attribution(spark):
+    """The streaming GroupState attribution must agree with the batch
+    window formulation exactly: identical per-channel conversion
+    counts (the batch operator's share column is derived from the same
+    counts, so counts ARE the equivalence)."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    reg = load_all()
+    stream = {
+        r["channel"]: r["n_conversions"]
+        for r in reg["stream_last_touch_state"].fn(spark, SF_ORACLE).collect()
+    }
+    batch = {
+        r["channel"]: r["n_conversions"]
+        for r in reg["analytics_last_touch_attribution"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    }
+    assert stream == batch, (stream, batch)
