@@ -5024,3 +5024,68 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_share_micro"),
     )
+
+
+@query(
+    "analytics_dow_hour_heatmap",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) % 7 AS dow,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+        FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow, c.hour, c.n,
+           CAST(floor(1000000.0 * CAST(c.n AS DOUBLE) / t.t + 0.5)
+                AS BIGINT) AS share_micro
+    FROM cells c JOIN tot t ON c.event_type = t.event_type
+    """,
+)
+def analytics_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day traffic heatmap per event type (the
+    7x24 matrix every on-call dashboard opens with) — each cell's
+    count and its share of the type's traffic.  The 2-D seasonality
+    picture that agg_circular_mean_hour summarizes to one angle and
+    win_seasonal_zscore alarms on: heatmap for the human, scalar for
+    the alert, same integer grain for all three.
+
+    Day-of-week is epoch-day % 7 (the chisq_cells convention — named
+    dow functions disagree on week starts), hour is integer EXTRACT;
+    one corpus-sized aggregate to the bounded 7x24 grid, per-type
+    totals broadcast back, one quantized share division per cell.
+
+    Scale: grid cardinality is |types| x 168 forever; the single
+    groupBy map-side combines."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long")
+            % 7
+        ).alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("t")
+    )
+    return cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "hour",
+        "n",
+        F.floor(
+            F.lit(1000000.0) * F.col("n").cast("double") / F.col("t")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("share_micro"),
+    )

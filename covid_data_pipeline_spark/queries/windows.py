@@ -1559,3 +1559,109 @@ def win_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("seasonal_z_micro"),
     )
+
+
+@query(
+    "win_xmr_control_chart",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    mr AS (
+        SELECT event_type, t, x,
+               abs(x - LAG(x) OVER (PARTITION BY event_type ORDER BY t))
+                   AS mr
+        FROM daily
+    ),
+    lims AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(mr) AS BIGINT) AS smr,
+               CAST(COUNT(mr) AS BIGINT) AS nmr
+        FROM mr GROUP BY event_type
+    )
+    SELECT m.event_type, m.t AS day_idx, m.x,
+           CAST(floor(1000000.0 * (CAST(l.sx AS DOUBLE) / l.n_days
+                + 2.66 * CAST(l.smr AS DOUBLE) / l.nmr) + 0.5) AS BIGINT)
+               AS ucl_micro,
+           CAST(floor(1000000.0 * (CAST(l.sx AS DOUBLE) / l.n_days
+                - 2.66 * CAST(l.smr AS DOUBLE) / l.nmr) + 0.5) AS BIGINT)
+               AS lcl_micro,
+           CASE WHEN 1000000 * m.x
+                     > CAST(floor(1000000.0 * (CAST(l.sx AS DOUBLE)
+                            / l.n_days + 2.66 * CAST(l.smr AS DOUBLE)
+                            / l.nmr) + 0.5) AS BIGINT)
+                  OR 1000000 * m.x
+                     < CAST(floor(1000000.0 * (CAST(l.sx AS DOUBLE)
+                            / l.n_days - 2.66 * CAST(l.smr AS DOUBLE)
+                            / l.nmr) + 0.5) AS BIGINT)
+                THEN 1 ELSE 0 END AS violation
+    FROM mr m JOIN lims l ON m.event_type = l.event_type
+    WHERE l.nmr >= 1
+    """,
+)
+def win_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart per event type —
+    the SPC classic: natural process limits at mean +/- 2.66 * mean
+    moving range, each day flagged in or out of control.  The 2.66
+    constant converts the mean 2-point range into a 3-sigma-equivalent
+    spread WITHOUT computing a variance, which makes XmR the control
+    chart of choice for short series where a sigma estimate is itself
+    noisy (Wheeler's "Understanding Variation" argument) — a different
+    robustness trade than win_anomaly_zscore (sigma) or
+    win_hampel_outliers (MAD).
+
+    Integer moving ranges (|x_t - x_{t-1}| of counts), exact BIGINT
+    sums for both means, limits computed once per type in one identical
+    IEEE chain, and the violation test compares 1e6*x (exact integer)
+    against the QUANTIZED limits so both engines flag the same days by
+    construction.
+
+    Scale: one lag window + one |types|-sized limit dim broadcast back
+    — the bollinger cost class with an O(types) second stage."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("t")
+    mr = daily.select(
+        "event_type",
+        "t",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(w)).alias("mr"),
+    )
+    lims = mr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("mr").cast("long").alias("smr"),
+        F.count("mr").cast("long").alias("nmr"),
+    )
+    center = F.col("sx").cast("double") / F.col("n_days")
+    spread = F.lit(2.66) * F.col("smr").cast("double") / F.col("nmr")
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    j = mr.join(F.broadcast(lims), "event_type").filter(F.col("nmr") >= 1)
+    ucl = micro(center + spread)
+    lcl = micro(center - spread)
+    return j.select(
+        "event_type",
+        F.col("t").alias("day_idx"),
+        "x",
+        ucl.alias("ucl_micro"),
+        lcl.alias("lcl_micro"),
+        F.when(
+            (F.lit(1000000) * F.col("x") > ucl)
+            | (F.lit(1000000) * F.col("x") < lcl),
+            1,
+        )
+        .otherwise(0)
+        .alias("violation"),
+    )
