@@ -412,3 +412,82 @@ def multimodal_blockhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("partial"))
         .alias("dup_kind"),
     )
+
+
+@query(
+    "multimodal_exact_bytes_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT -2 * doc_id - 1 AS doc_id, text
+        FROM documents WHERE doc_id % 40 = 0
+    ),
+    hashed AS (
+        -- DuckDB's sha256 takes VARCHAR; the digest of the utf-8 text
+        -- equals Spark's digest of the utf-8-encoded binary payload
+        SELECT doc_id, sha256(text) AS digest,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        FROM corpus
+    ),
+    grouped AS (
+        SELECT digest,
+               CAST(MIN(n_bytes) AS BIGINT) AS n_bytes,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+        FROM hashed GROUP BY digest
+    )
+    SELECT digest, n_bytes, n_copies, canonical_id,
+           CAST((n_copies - 1) * n_bytes AS BIGINT) AS reclaimable_bytes
+    FROM grouped WHERE n_copies >= 2
+    """,
+)
+def multimodal_exact_bytes_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level asset dedup: sha-256 the raw binary payload,
+    group, keep min-id canonical, report reclaimable bytes — STEP ONE
+    of every asset store's dedup ladder (before block hashes catch
+    partials and perceptual hashes catch re-encodes, content
+    addressing catches the literal re-uploads, which in practice is
+    most of the savings).  No codec involved — raw bytes by design, so
+    the whole operator is codegen and oracle-checked.
+
+    Fixture honesty (the multimodal_blockhash_dedup doctrine): the raw
+    corpus has no byte-identical payloads, so every doc_id % 40 == 0
+    payload is mirrored into the disjoint negative id space -2k-1 —
+    the duplicate branch is then witnessed at every scale factor, and
+    canonical ids (the positive originals) are asserted by the min-id
+    rule.
+
+    Scale: one map-side hash + one shuffle on the digest — group sizes
+    bounded by true duplication; the digest table IS the
+    content-addressed index a production store keeps hot."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    mirror = (
+        d.filter(F.col("doc_id") % 40 == 0)
+        .select(
+            (F.lit(-2) * F.col("doc_id") - 1).alias("doc_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+    )
+    corpus = base.unionByName(mirror)
+    hashed = corpus.select(
+        "doc_id",
+        F.sha2("payload", 256).alias("digest"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    grouped = hashed.groupBy("digest").agg(
+        F.min("n_bytes").cast("long").alias("n_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("canonical_id"),
+    )
+    return grouped.filter(F.col("n_copies") >= 2).select(
+        "digest",
+        "n_bytes",
+        "n_copies",
+        "canonical_id",
+        ((F.col("n_copies") - 1) * F.col("n_bytes"))
+        .cast("long")
+        .alias("reclaimable_bytes"),
+    )

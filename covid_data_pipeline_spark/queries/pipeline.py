@@ -1482,3 +1482,67 @@ def analytics_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("long")
         .alias("share_micro"),
     )
+
+
+@query(
+    "quality_freshness_report",
+    oracle="""
+    WITH anchor AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+    per AS (
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(epoch_us(e.ts)) AS BIGINT) AS last_us,
+               CAST(a.now_us - MAX(epoch_us(e.ts)) AS BIGINT) AS stale_us
+        FROM events e CROSS JOIN anchor a
+        GROUP BY e.event_type, a.now_us
+    )
+    SELECT event_type, n_events, last_us, stale_us,
+           CAST(floor(CAST(stale_us AS DOUBLE) / 60000000.0) AS BIGINT)
+               AS stale_minutes,
+           CASE WHEN stale_us > 3600000000 THEN 1 ELSE 0 END
+               AS breach_1h
+    FROM per
+    """,
+)
+def quality_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA report per event stream: last-seen timestamp,
+    staleness against the corpus watermark (the max event time — the
+    deterministic stand-in for wall-clock now), and a 1-hour-breach
+    flag — the monitor that catches a SILENT feed (a dead producer
+    emits no errors, only absence; every other quality check here
+    needs rows to judge, this one alarms on their disappearance).
+
+    Integer epoch-microsecond arithmetic against a broadcast anchor;
+    the breach threshold compares exact integers, so both engines flag
+    identically.  In production the anchor is wall-clock now() — the
+    fixture pins it to the corpus max so the report is reproducible
+    (the anchor-discipline used by analytics_rfm_segmentation's
+    recency).
+
+    Scale: one map-side-combined aggregate per stream; the report is
+    |streams|-sized.  The streaming twin is stream_progress_metrics'
+    telemetry — this is the BATCH audit you run over the lake to catch
+    what the pipeline's own metrics can't see: feeds that stopped
+    ARRIVING."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    per = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type", "now_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.unix_micros("ts")).cast("long").alias("last_us"),
+        )
+    )
+    stale = (F.col("now_us") - F.col("last_us")).cast("long")
+    return per.select(
+        "event_type",
+        "n_events",
+        "last_us",
+        stale.alias("stale_us"),
+        F.floor(stale.cast("double") / F.lit(60000000.0))
+        .cast("long")
+        .alias("stale_minutes"),
+        F.when(stale > 3600000000, 1).otherwise(0).alias("breach_1h"),
+    )
