@@ -5089,3 +5089,59 @@ def analytics_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_micro"),
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle=f"""
+    WITH sized AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    ),
+    k AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM sized),
+    ranked AS (
+        SELECT label, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY (vec_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD},
+                            vec_id) AS rn
+        FROM embeddings
+    )
+    SELECT r.label, r.vec_id
+    FROM ranked r CROSS JOIN k
+    WHERE r.rn <= k.k
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: every label keeps exactly
+    min-class-count members, chosen by a DETERMINISTIC hash-order
+    pseudo-shuffle (Knuth multiplicative on vec_id, vec_id tiebreak) —
+    the standard prep before training a classifier on skewed labels,
+    done the reproducible way: re-running on the same corpus keeps the
+    SAME members, and adding documents to one class never reshuffles
+    another class's picks (hash order is stable under insertion,
+    unlike rand() or global shuffles).
+
+    All-integer: class sizes, the global min, hash ranks; no floats
+    anywhere.  The balanced-output invariant (every label emits
+    exactly k rows) is asserted in tests.
+
+    Scale: one rank window per label over the embeddings table plus a
+    broadcast scalar; at unbounded class sizes swap the exact rank for
+    a hash-threshold filter (keep if hash < k/n * MOD — the
+    sample_stratified_hash shape) and accept +-sqrt noise in k."""
+    tune(spark)
+    e = load(spark, sf_dir, "embeddings").select("label", "vec_id")
+    sized = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    k = sized.agg(F.min("n").cast("long").alias("k"))
+    w = Window.partitionBy("label").orderBy(
+        (F.col("vec_id") * _SAMPLE_MULT) % _SAMPLE_MOD, "vec_id"
+    )
+    ranked = e.select(
+        "label", "vec_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("label", "vec_id")
+    )

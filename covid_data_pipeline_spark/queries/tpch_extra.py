@@ -2306,3 +2306,129 @@ def analytics_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_micro"),
     )
+
+
+@query(
+    "analytics_priority_mix_shift",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m,
+               o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT m, CAST(SUM(n) AS BIGINT) AS t FROM monthly GROUP BY m
+    ),
+    shares AS (
+        SELECT mo.m, mo.pri, mo.n, t.t,
+               CAST(floor(1000000.0 * CAST(mo.n AS DOUBLE) / t.t + 0.5)
+                    AS BIGINT) AS share_micro
+        FROM monthly mo JOIN tot t ON mo.m = t.m
+    ),
+    paired AS (
+        SELECT cur.m, cur.pri,
+               cur.share_micro AS p,
+               COALESCE(prev.share_micro, 0) AS q
+        FROM shares cur
+        LEFT JOIN shares prev ON prev.m = cur.m - 1
+                             AND prev.pri = cur.pri
+    ),
+    terms AS (
+        SELECT m, pri, p, q,
+               -- JS divergence cell terms, micro-quantized before the sum
+               CAST(CASE WHEN p > 0 THEN
+                   CAST(floor(0.5 * p
+                        * ln(2.0 * CAST(p AS DOUBLE) / (p + q)) + 0.5)
+                        AS BIGINT)
+               ELSE 0 END
+               + CASE WHEN q > 0 THEN
+                   CAST(floor(0.5 * q
+                        * ln(2.0 * CAST(q AS DOUBLE) / (p + q)) + 0.5)
+                        AS BIGINT)
+               ELSE 0 END AS BIGINT) AS js_term_micro
+        FROM paired pa
+        WHERE EXISTS (SELECT 1 FROM tot t2 WHERE t2.m = pa.m - 1)
+    )
+    SELECT m AS month_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_priorities,
+           CAST(SUM(js_term_micro) AS BIGINT) AS js_divergence_micro
+    FROM terms GROUP BY m
+    """,
+)
+def analytics_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order-priority MIX-SHIFT alarm: the
+    Jensen-Shannon divergence between each month's priority share
+    vector and the previous month's — the composition-drift detector
+    volume metrics can't see (total orders flat while the urgent share
+    doubles is a supply-chain fire with a quiet dashboard).  The
+    temporal sibling of quality_distribution_drift (which compares
+    value distributions) applied at the categorical-mix grain.
+
+    Shares are quantized to micro BIGINT first, each JS cell term
+    0.5*p*ln(2p/(p+q)) is quantized BEFORE the cross-priority sum
+    (already micro-scaled — the terms carry the 1e6 share scale), and
+    first-month rows (no predecessor) are excluded via an engine-
+    identical EXISTS.  A priority absent one month enters with q = 0
+    and its p-side term still contributes (JS is finite on disjoint
+    support — why JS, not KL, is the right alarm).
+
+    Scale: one monthly aggregate, month-grain self-join on (m-1, pri)
+    — calendar-bounded; the alarm table is |months|-sized."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    monthly = o.groupBy(
+        m.alias("m"), F.col("o_orderpriority").alias("pri")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = monthly.groupBy("m").agg(F.sum("n").cast("long").alias("t"))
+    shares = monthly.join(F.broadcast(tot), "m").select(
+        "m",
+        "pri",
+        F.floor(
+            F.lit(1000000.0) * F.col("n").cast("double") / F.col("t")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("share_micro"),
+    )
+    prev = shares.select(
+        (F.col("m") + 1).alias("m"),
+        F.col("pri").alias("pri"),
+        F.col("share_micro").alias("q"),
+    )
+    months = tot.select((F.col("m") + 1).alias("m"))
+    paired = (
+        shares.withColumnRenamed("share_micro", "p")
+        .join(prev, ["m", "pri"], "left")
+        .join(months, "m", "left_semi")
+        .select("m", "pri", "p", F.coalesce(F.col("q"), F.lit(0)).alias("q"))
+    )
+    p, q = F.col("p"), F.col("q")
+    term = (
+        F.when(
+            p > 0,
+            F.floor(
+                F.lit(0.5)
+                * p
+                * F.log(F.lit(2.0) * p.cast("double") / (p + q))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+        + F.when(
+            q > 0,
+            F.floor(
+                F.lit(0.5)
+                * q
+                * F.log(F.lit(2.0) * q.cast("double") / (p + q))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return paired.select(
+        "m", "pri", term.alias("js_term_micro")
+    ).groupBy(F.col("m").alias("month_idx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_priorities"),
+        F.sum("js_term_micro").cast("long").alias("js_divergence_micro"),
+    )

@@ -765,3 +765,30 @@ def test_kcore_matches_imperative_peel_replay(spark):
     for v in alive:
         want = len(adj[v] & alive)
         assert got[v] == want and want >= 3, (v, got[v], want)
+
+
+def test_balanced_classes_exact_and_stable(spark):
+    """Every label emits exactly min-class-count rows, members are a
+    subset of that label's population, and the pick is stable across
+    runs (hash order, not rand)."""
+    from collections import Counter
+
+    from covid_data_pipeline_spark.io import load as load_table
+    from covid_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    fn = load_all()["sample_balanced_classes"].fn
+    rows1 = sorted(map(tuple, fn(spark, SF_ORACLE).collect()))
+    rows2 = sorted(map(tuple, fn(spark, SF_ORACLE).collect()))
+    assert rows1 == rows2, "hash-order pick must be run-stable"
+    pop = Counter(
+        r["label"]
+        for r in load_table(spark, SF_ORACLE, "embeddings")
+        .select("label")
+        .collect()
+    )
+    k = min(pop.values())
+    got = Counter(lbl for lbl, _ in rows1)
+    assert set(got) == set(pop)
+    assert all(v == k for v in got.values()), got
