@@ -1546,3 +1546,95 @@ def quality_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("stale_minutes"),
         F.when(stale > 3600000000, 1).otherwise(0).alias("breach_1h"),
     )
+
+
+@query(
+    "quality_calendar_coverage",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t
+        FROM events
+    ),
+    span AS (
+        SELECT CAST(MIN(t) AS BIGINT) AS lo, CAST(MAX(t) AS BIGINT) AS hi
+        FROM daily
+    ),
+    gaps AS (
+        SELECT event_type, t,
+               t - LAG(t) OVER (PARTITION BY event_type ORDER BY t) - 1
+                   AS gap
+        FROM daily
+    )
+    SELECT g.event_type,
+           CAST(s.hi - s.lo + 1 AS BIGINT) AS expected_days,
+           CAST(COUNT(*) AS BIGINT) AS present_days,
+           CAST(s.hi - s.lo + 1 - COUNT(*) AS BIGINT) AS missing_days,
+           CAST(floor(1000000.0 * CAST(COUNT(*) AS DOUBLE)
+                / (s.hi - s.lo + 1) + 0.5) AS BIGINT) AS coverage_micro,
+           CAST(COALESCE(MAX(g.gap), 0) AS BIGINT) AS longest_gap_days
+    FROM gaps g CROSS JOIN span s
+    GROUP BY g.event_type, s.lo, s.hi
+    """,
+)
+def quality_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-coverage audit per event stream: expected days over the
+    corpus span, present days, missing days, coverage share, and the
+    LONGEST consecutive gap — the completeness twin of
+    quality_freshness_report (freshness asks "did it stop?"; coverage
+    asks "were there holes?", which backfills hide from last-seen
+    checks).  The gap length distinguishes one flaky day from a
+    week-long outage at equal missing-day counts.
+
+    Integer day arithmetic against the shared corpus span (the
+    source_calendar_spine anchor discipline); gaps from one lag window
+    over the distinct-day rollup; the coverage share is the single
+    quantized division.  Streams missing their leading or trailing
+    days still count them as missing because the span is GLOBAL —
+    stated, since a per-stream span would hide exactly the outages at
+    stream start/end.
+
+    Scale: one distinct-day dedup (map-side combined) feeds both the
+    span scalar and the per-type gap window; the report is
+    |streams|-sized."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).distinct()
+    span = daily.agg(
+        F.min("t").cast("long").alias("lo"),
+        F.max("t").cast("long").alias("hi"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    gaps = daily.select(
+        "event_type",
+        "t",
+        (F.col("t") - F.lag("t").over(w) - 1).alias("gap"),
+    )
+    j = gaps.crossJoin(F.broadcast(span))
+    expected = (F.col("hi") - F.col("lo") + 1).cast("long")
+    return j.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("present_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias(
+            "longest_gap_days"
+        ),
+    ).select(
+        "event_type",
+        expected.alias("expected_days"),
+        "present_days",
+        (expected - F.col("present_days")).cast("long").alias("missing_days"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("present_days").cast("double")
+            / (F.col("hi") - F.col("lo") + 1)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("coverage_micro"),
+        "longest_gap_days",
+    )
