@@ -5145,3 +5145,178 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("k"))
         .select("label", "vec_id")
     )
+
+
+@query(
+    "ts_stl_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, t, x,
+               COUNT(*) OVER w AS nw,
+               CAST(SUM(x) OVER w AS BIGINT) AS s7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    interior AS (
+        SELECT event_type, t, x,
+               CAST(1000 * x - CAST(floor(1000.0 * s7 / 7.0 + 0.5)
+                                    AS BIGINT) AS BIGINT) AS det_milli
+        FROM trended WHERE nw = 7
+    ),
+    seasonal AS (
+        SELECT event_type, t % 7 AS dow,
+               CAST(floor(CAST(SUM(det_milli) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS s_milli
+        FROM interior GROUP BY event_type, t % 7
+    ),
+    resid AS (
+        SELECT i.event_type, i.t, i.x,
+               CAST(i.det_milli - s.s_milli AS BIGINT) AS res_milli
+        FROM interior i
+        JOIN seasonal s ON i.event_type = s.event_type
+                       AND i.t % 7 = s.dow
+    ),
+    ranked AS (
+        SELECT event_type, t, x, res_milli,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY abs(res_milli)) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM resid
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN abs(res_milli) END) AS BIGINT) AS mad_milli
+        FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type, r.t AS day_idx, r.x, r.res_milli, m.mad_milli,
+           CASE WHEN m.mad_milli > 0
+                 AND 10000 * abs(r.res_milli) > 44478 * m.mad_milli
+                THEN 1 ELSE 0 END AS is_anomaly,
+           CASE WHEN m.mad_milli > 0 THEN
+               CAST(floor(1000000.0 * abs(r.res_milli)
+                    / (1.4826 * m.mad_milli) + 0.5) AS BIGINT)
+           END AS score_micro
+    FROM resid r JOIN mad m ON r.event_type = m.event_type
+    """,
+)
+def ts_stl_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-aware robust anomaly detection: remove trend
+    (7-day centered MA) and weekly seasonality (per-dow means of the
+    detrended series), then flag days whose RESIDUAL exceeds 3 robust
+    sigmas (1.4826 * MAD) — the best-practice alarm that neither fires
+    on every Sunday (win_anomaly_zscore's failure on rhythmic traffic)
+    nor misses a weekday outage hidden inside normal weekly swing.
+    Every interior day is emitted with its flag and a robust z score,
+    so the detector is auditable, not just its positives.
+
+    The milli-quantized decomposition is ts_seasonality_strength's;
+    MAD is a positional median of |residual| (tie-order-invariant);
+    and the 3-sigma fence is EXACT INTEGER: 1e4*|res| > 44478*MAD
+    encodes 3*1.4826 with no float comparison, so both engines flag
+    identical days by construction (the XmR discipline).
+
+    Scale: one daily rollup, one per-type trend window, a dow-grain
+    broadcast-back, and one per-type rank window over <= 24 interior
+    days — calendar-bounded throughout."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("t").rowsBetween(-3, 3)
+    trended = daily.select(
+        "event_type",
+        "t",
+        "x",
+        F.count(F.lit(1)).over(w).alias("nw"),
+        F.sum("x").over(w).cast("long").alias("s7"),
+    )
+    interior = trended.filter(F.col("nw") == 7).select(
+        "event_type",
+        "t",
+        "x",
+        (
+            F.lit(1000) * F.col("x")
+            - F.floor(
+                F.lit(1000.0) * F.col("s7") / F.lit(7.0) + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("det_milli"),
+    )
+    seasonal = interior.groupBy(
+        "event_type", (F.col("t") % 7).alias("dow")
+    ).agg(
+        F.floor(
+            F.sum("det_milli").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_milli")
+    )
+    resid = (
+        interior.withColumn("dow", F.col("t") % 7)
+        .join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "t",
+            "x",
+            (F.col("det_milli") - F.col("s_milli")).cast("long").alias(
+                "res_milli"
+            ),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs(F.col("res_milli")))
+    wp = Window.partitionBy("event_type")
+    ranked = resid.select(
+        "event_type",
+        F.abs(F.col("res_milli")).alias("ares"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mad = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                F.col("ares"),
+            )
+        )
+        .cast("long")
+        .alias("mad_milli")
+    )
+    j = resid.join(F.broadcast(mad), "event_type")
+    ares = F.abs(F.col("res_milli"))
+    return j.select(
+        "event_type",
+        F.col("t").alias("day_idx"),
+        "x",
+        "res_milli",
+        "mad_milli",
+        F.when(
+            (F.col("mad_milli") > 0)
+            & (F.lit(10000) * ares > F.lit(44478) * F.col("mad_milli")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
+        F.when(
+            F.col("mad_milli") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * ares
+                / (F.lit(1.4826) * F.col("mad_milli"))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("score_micro"),
+    )
