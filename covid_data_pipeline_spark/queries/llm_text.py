@@ -2886,3 +2886,135 @@ def text_bigram_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_micro"),
         )
     )
+
+
+@query(
+    "analytics_qq_length_table",
+    oracle="""
+    WITH per AS (
+        SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+        SELECT source, n_chars,
+               CAST(SUM(c) OVER (PARTITION BY source
+                                 ORDER BY n_chars) AS BIGINT) AS cc,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM per
+    ),
+    pooled AS (
+        SELECT n_chars,
+               CAST(SUM(c) OVER (ORDER BY n_chars) AS BIGINT) AS cc,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM (SELECT n_chars, CAST(SUM(c) AS BIGINT) AS c
+              FROM per GROUP BY n_chars)
+    ),
+    deciles(q) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)),
+    src_q AS (
+        SELECT c.source, d.q,
+               CAST(MIN(CASE WHEN 10 * c.cc >= d.q * c.n
+                        THEN c.n_chars END) AS BIGINT) AS src_val
+        FROM cum c CROSS JOIN deciles d
+        GROUP BY c.source, d.q
+    ),
+    ref_q AS (
+        SELECT d.q,
+               CAST(MIN(CASE WHEN 10 * p.cc >= d.q * p.n
+                        THEN p.n_chars END) AS BIGINT) AS ref_val
+        FROM pooled p CROSS JOIN deciles d
+        GROUP BY d.q
+    )
+    SELECT s.source, s.q AS decile, s.src_val, r.ref_val,
+           CASE WHEN r.ref_val > 0 THEN
+               CAST(floor(1000000.0 * CAST(s.src_val AS DOUBLE)
+                    / r.ref_val + 0.5) AS BIGINT)
+           END AS ratio_micro
+    FROM src_q s JOIN ref_q r ON s.q = r.q
+    """,
+)
+def analytics_qq_length_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q table of document length per source against the pooled
+    corpus at the nine deciles — the distribution-comparison artifact
+    behind quantile normalization ("does source X write short docs, or
+    does it just have fewer of them?"): src_val/ref_val hugging 1e6
+    micro means a source matches the corpus shape; a bowed curve is a
+    mixture problem corpus_length_bucket_mix's coarse buckets can't
+    localize.
+
+    EXACT type-disc quantiles with NO ranked pass over documents: both
+    sides cumulate (value, count) tables over the bounded distinct-
+    length domain (the quality_distribution_drift value-grain
+    argument), and the decile pick is the smallest value with
+    10*cum >= q*n — all-integer, tie-free by construction.  One
+    quantized ratio per cell.
+
+    Scale: one (source, n_chars) aggregate; the pooled side reuses the
+    same table re-aggregated; the value-grain windows are bounded by
+    the length domain, never the corpus."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars")
+    wsp = Window.partitionBy("source")
+    cum = per.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(ws).cast("long").alias("cc"),
+        F.sum("c").over(wsp).cast("long").alias("n"),
+    )
+    pooled_counts = per.groupBy("n_chars").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    wp = Window.orderBy("n_chars")
+    wall = Window.partitionBy()
+    pooled = pooled_counts.select(
+        "n_chars",
+        F.sum("c").over(wp).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("long").alias("q"))
+    src_q = (
+        cum.crossJoin(F.broadcast(deciles))
+        .groupBy("source", "q")
+        .agg(
+            F.min(
+                F.when(
+                    F.lit(10) * F.col("cc") >= F.col("q") * F.col("n"),
+                    F.col("n_chars"),
+                )
+            )
+            .cast("long")
+            .alias("src_val")
+        )
+    )
+    ref_q = (
+        pooled.crossJoin(F.broadcast(deciles))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    F.lit(10) * F.col("cc") >= F.col("q") * F.col("n"),
+                    F.col("n_chars"),
+                )
+            )
+            .cast("long")
+            .alias("ref_val")
+        )
+    )
+    return src_q.join(F.broadcast(ref_q), "q").select(
+        "source",
+        F.col("q").alias("decile"),
+        "src_val",
+        "ref_val",
+        F.when(
+            F.col("ref_val") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("src_val").cast("double")
+                / F.col("ref_val")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("ratio_micro"),
+    )

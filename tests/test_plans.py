@@ -870,6 +870,19 @@ import pytest  # noqa: E402
             5,
             lambda F, ev, o, p: 5,
         ),
+        # Q-Q table: the pooled-side cumulative window runs over the
+        # distinct document-length domain (value-grain, the
+        # quality_distribution_drift argument; measured ~3.4k at sf0.1)
+        (
+            "length_grain(analytics_qq_length_table)",
+            50_000,
+            lambda F, ev, o, p: __import__("pyspark").sql.SparkSession
+            .getActiveSession()
+            .read.parquet("/root/testdata/sf0.1/documents.parquet")
+            .select("n_chars")
+            .distinct()
+            .count(),
+        ),
     ],
 )
 def test_global_window_cardinality_bounded(spark, site, bound, counter):
