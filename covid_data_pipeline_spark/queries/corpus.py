@@ -4068,15 +4068,21 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily GROUP BY dow
     ),
     tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM daily),
+    grid AS (
+        SELECT rt.event_type, rt.r, ct.dow, ct.c,
+               COALESCE(d.o, CAST(0 AS BIGINT)) AS o
+        FROM rowt rt
+        CROSS JOIN colt ct
+        LEFT JOIN daily d
+               ON d.event_type = rt.event_type AND d.dow = ct.dow
+    ),
     cells AS (
         SELECT CAST(floor(1000000.0
-                    * (CAST(d.o * t.n - rt.r * ct.c AS DOUBLE)
-                       * CAST(d.o * t.n - rt.r * ct.c AS DOUBLE))
-                    / (CAST(t.n AS DOUBLE) * rt.r * ct.c)
+                    * (CAST(g.o * t.n - g.r * g.c AS DOUBLE)
+                       * CAST(g.o * t.n - g.r * g.c AS DOUBLE))
+                    / (CAST(t.n AS DOUBLE) * g.r * g.c)
                     + 0.5) AS BIGINT) AS contrib_micro
-        FROM daily d
-        JOIN rowt rt USING (event_type)
-        JOIN colt ct USING (dow)
+        FROM grid g
         CROSS JOIN tot t
     ),
     dims AS (
@@ -4110,8 +4116,13 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebraically-cleared form (o*N - r*c)^2 / (N*r*c) before the
     cross-cell sum (the chisq_cells doctrine: no aggregated floats),
     then V = sqrt(chisq / (N * min(r-1, c-1))) evaluates once per
-    engine.  Single-row output; degenerate 1xC / Rx1 tables emit NULL V
-    on both engines.
+    engine.  The contingency table is the FULL row-total x col-total
+    grid (rowt CROSS JOIN colt, observed counts left-joined with o
+    coalesced to 0), so zero-observed cells contribute their expected
+    count r*c/N to chi-square exactly as the textbook statistic
+    requires — on sparse data a present-cells-only sum would
+    understate chi2 and V (round-7 advisor fix).  Single-row output;
+    degenerate 1xC / Rx1 tables emit NULL V on both engines.
 
     Scale: one corpus-sized aggregate to the |types| x 7 grid, then
     grid-sized arithmetic; row/col/grand totals broadcast back."""
@@ -4131,11 +4142,18 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     colt = daily.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
     tot = daily.agg(F.sum("o").cast("long").alias("n"))
-    j = (
-        daily.join(F.broadcast(rowt), "event_type")
-        .join(F.broadcast(colt), "dow")
-        .crossJoin(F.broadcast(tot))
+    grid = (
+        rowt.crossJoin(F.broadcast(colt))
+        .join(F.broadcast(daily), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
     )
+    j = grid.crossJoin(F.broadcast(tot))
     num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
     cells = j.select(
         F.floor(
@@ -5319,4 +5337,509 @@ def ts_stl_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.5)
             ).cast("long"),
         ).alias("score_micro"),
+    )
+
+
+@query(
+    "agg_wilcoxon_signed",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT cur.event_type, cur.x - prv.x AS d
+        FROM daily cur JOIN daily prv
+          ON prv.event_type = cur.event_type AND prv.t = cur.t - 7
+        WHERE cur.x - prv.x <> 0
+    ),
+    ranked AS (
+        SELECT event_type, d,
+               CAST(RANK() OVER w
+                    + (COUNT(*) OVER (PARTITION BY event_type, abs(d)) - 1)
+                    + RANK() OVER w AS BIGINT) AS r2
+        FROM pairs
+        WINDOW w AS (PARTITION BY event_type ORDER BY abs(d))
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+                   AS w_plus_x2
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n_pairs, w_plus_x2,
+           CASE WHEN n_pairs > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(w_plus_x2 AS DOUBLE) / 2.0
+                       - CAST(n_pairs * (n_pairs + 1) AS DOUBLE) / 4.0)
+                    / sqrt(CAST(n_pairs * (n_pairs + 1)
+                                * (2 * n_pairs + 1) AS DOUBLE) / 24.0)
+                    + 0.5) AS BIGINT)
+           END AS z_micro
+    FROM agg
+    """,
+)
+def agg_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test per event type on WEEK-OVER-WEEK
+    paired daily counts (day t vs day t-7) — the PAIRED twin of
+    agg_mannwhitney_u, completing the nonparametric battery: is this
+    week's traffic shifted vs the same weekday last week, without
+    assuming normality?  Pairing on the same weekday removes the dow
+    seasonality that would swamp an unpaired test.
+
+    The agg_mannwhitney_u integer doctrine: zero differences are
+    dropped (the standard Wilcoxon convention), |d| tie mid-ranks are
+    DOUBLED (2*RANK + tie_size - 1) to stay exact BIGINT, W+ doubled is
+    an exact integer sum, and the normal approximation
+    z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24) evaluates ONE identical
+    IEEE expression shape per engine, micro-quantized.  No tie
+    correction in the variance (the textbook basic form — stated
+    convention, matched in both engines).  Empty pair sets emit NULL z.
+
+    Scale: one corpus-sized daily aggregate; the 7-day self-join and
+    rank window live on the calendar-bounded daily table."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    prv = daily.select(
+        "event_type", (F.col("t") + 7).alias("t"), F.col("x").alias("px")
+    )
+    pairs = (
+        daily.join(prv, ["event_type", "t"])
+        .select("event_type", (F.col("x") - F.col("px")).alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    w = Window.partitionBy("event_type").orderBy(F.abs("d"))
+    wt = Window.partitionBy("event_type", F.abs("d"))
+    ranked = pairs.select(
+        "event_type",
+        "d",
+        (F.rank().over(w) + (F.count(F.lit(1)).over(wt) - 1) + F.rank().over(w))
+        .cast("long")
+        .alias("r2"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("w_plus_x2"),
+    )
+    n = F.col("n_pairs")
+    z = F.when(
+        n > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.col("w_plus_x2").cast("double") / F.lit(2.0)
+                - (n * (n + 1)).cast("double") / F.lit(4.0)
+            )
+            / F.sqrt((n * (n + 1) * (2 * n + 1)).cast("double") / F.lit(24.0))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return agg.select("event_type", "n_pairs", "w_plus_x2", z.alias("z_micro"))
+
+
+@query(
+    "agg_chi2_gof",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS n FROM daily
+        GROUP BY event_type
+    ),
+    grid AS (
+        SELECT t.event_type, t.n, g.dow, COALESCE(d.o, CAST(0 AS BIGINT)) AS o
+        FROM tot t
+        CROSS JOIN (SELECT unnest(range(7)) AS dow) g
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.dow = g.dow
+    )
+    SELECT event_type, ANY_VALUE(n) AS n, CAST(6 AS BIGINT) AS dof,
+           CAST(SUM(CAST(floor(1000000.0
+                * CAST((7 * o - n) * (7 * o - n) AS DOUBLE) / (7.0 * n)
+                + 0.5) AS BIGINT)) AS BIGINT) AS chisq_micro
+    FROM grid GROUP BY event_type
+    """,
+)
+def agg_chi2_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square GOODNESS-OF-FIT per event type: is traffic uniform
+    across the seven days of week?  The one-sample sibling of
+    agg_cramers_v (which tests type x dow INDEPENDENCE) — this tests
+    each type's dow profile against the uniform null, the standard
+    'is there any weekly seasonality at all' gate before fitting
+    seasonal models.
+
+    The full 7-dow grid is generated so absent cells contribute their
+    expected n/7 (the agg_cramers_v round-7 convention); each cell's
+    contribution uses the algebraically-cleared exact-integer form
+    (o - n/7)^2 / (n/7) = (7o - n)^2 / (7n), micro-quantized BEFORE
+    the cross-cell sum.  df = 7 - 1 = 6 always (the grid pins it).
+
+    Scale: one corpus aggregate to |types| x 7 cells, then grid-sized
+    arithmetic."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long")
+            % 7
+        ).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    tot = daily.groupBy("event_type").agg(F.sum("o").cast("long").alias("n"))
+    dows = spark.range(7).select(F.col("id").cast("long").alias("dow"))
+    grid = (
+        tot.crossJoin(F.broadcast(dows))
+        .join(F.broadcast(daily), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "n",
+            "dow",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    num = 7 * F.col("o") - F.col("n")
+    contrib = F.floor(
+        F.lit(1000000.0) * (num * num).cast("double") / (F.lit(7.0) * F.col("n"))
+        + F.lit(0.5)
+    ).cast("long")
+    return grid.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.lit(6).cast("long").alias("dof"),
+        F.sum(contrib).cast("long").alias("chisq_micro"),
+    )
+
+
+@query(
+    "agg_binomial_ztest",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN CAST(datediff('day', DATE '2024-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) % 7 IN (5, 6)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, k AS k_weekend,
+           CASE WHEN n > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(k AS DOUBLE) - n * (2.0 / 7.0))
+                    / sqrt(n * (2.0 / 7.0) * (5.0 / 7.0))
+                    + 0.5) AS BIGINT)
+           END AS z_micro
+    FROM c
+    """,
+)
+def agg_binomial_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample binomial PROPORTION z-test per event type: is the
+    weekend share of events consistent with the null p0 = 2/7 (uniform
+    traffic across days)?  The parametric fast-path companion to
+    agg_chi2_gof — one proportion instead of the full dow profile,
+    which is the form product dashboards actually alarm on.
+
+    z = (k - n*p0) / sqrt(n*p0*(1-p0)) with p0 spelled 2.0/7.0 in BOTH
+    engines (one identical IEEE expression shape), micro-quantized;
+    empty types emit NULL.  Exact integer inputs (k, n) make the only
+    float work the final expression.
+
+    Scale: one map-side-combined aggregate per type; the z arithmetic
+    runs on |types| rows."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        % 7
+    )
+    c = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(dow.isin(5, 6), 1).otherwise(0)).cast("long").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    p0 = F.lit(2.0) / F.lit(7.0)
+    q0 = F.lit(5.0) / F.lit(7.0)
+    z = F.when(
+        n > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * (k.cast("double") - n * p0)
+            / F.sqrt(n * p0 * q0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return c.select("event_type", "n", k.alias("k_weekend"), z.alias("z_micro"))
+
+
+@query(
+    "agg_poisson_rate_ratio",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t
+        FROM events
+    ),
+    days AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN t % 7 IN (5, 6) THEN t END)
+                    AS BIGINT) AS d1,
+               CAST(COUNT(DISTINCT CASE WHEN t % 7 NOT IN (5, 6) THEN t END)
+                    AS BIGINT) AS d2
+        FROM tagged
+    ),
+    k AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN t % 7 IN (5, 6) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN t % 7 NOT IN (5, 6) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k2
+        FROM tagged GROUP BY event_type
+    )
+    SELECT event_type, k1 AS k_weekend, k2 AS k_weekday,
+           d1 AS days_weekend, d2 AS days_weekday,
+           CASE WHEN k2 > 0 AND d1 > 0 AND d2 > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(k1 AS DOUBLE) / d1) / (CAST(k2 AS DOUBLE) / d2)
+                    + 0.5) AS BIGINT)
+           END AS rate_ratio_micro,
+           CASE WHEN k1 + k2 > 0 AND d1 > 0 AND d2 > 0 THEN
+               CAST(floor(1000000.0
+                    * (CAST(k1 AS DOUBLE) / d1 - CAST(k2 AS DOUBLE) / d2)
+                    / sqrt(CAST(k1 AS DOUBLE) / (d1 * d1)
+                           + CAST(k2 AS DOUBLE) / (d2 * d2))
+                    + 0.5) AS BIGINT)
+           END AS z_micro
+    FROM k CROSS JOIN days
+    """,
+)
+def agg_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson RATE comparison per event type: weekend vs
+    weekday events-per-day, exposure-corrected — the test
+    agg_binomial_ztest can't do, because it compares COUNTS while this
+    compares RATES under unequal exposure (8 weekend days vs 22
+    weekday days in the fixture span).  The delta-method z on the rate
+    difference, var(k/d) = k/d^2 (Poisson), is the standard
+    incident-rate comparison in ops monitoring.
+
+    Exposures are the GLOBAL distinct observed days per bucket (the
+    quality_calendar_coverage global-span convention — a type silent
+    all weekend still has weekend exposure).  All inputs exact BIGINT;
+    the rate ratio and z each evaluate one identical IEEE expression
+    shape per engine, micro-quantized; degenerate denominators emit
+    NULL on both.
+
+    Scale: two corpus-sized aggregates (per-type counts + one global
+    day census, broadcast back); arithmetic on |types| rows."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    t = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    tagged = e.select("event_type", t.alias("t"))
+    is_wk = (F.col("t") % 7).isin(5, 6)
+    days = tagged.agg(
+        F.count_distinct(F.when(is_wk, F.col("t"))).cast("long").alias("d1"),
+        F.count_distinct(F.when(~is_wk, F.col("t"))).cast("long").alias("d2"),
+    )
+    k = tagged.groupBy("event_type").agg(
+        F.sum(F.when(is_wk, 1).otherwise(0)).cast("long").alias("k1"),
+        F.sum(F.when(~is_wk, 1).otherwise(0)).cast("long").alias("k2"),
+    )
+    j = k.crossJoin(F.broadcast(days))
+    k1, k2, d1, d2 = F.col("k1"), F.col("k2"), F.col("d1"), F.col("d2")
+    rr = F.when(
+        (k2 > 0) & (d1 > 0) & (d2 > 0),
+        F.floor(
+            F.lit(1000000.0)
+            * (k1.cast("double") / d1)
+            / (k2.cast("double") / d2)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    z = F.when(
+        (k1 + k2 > 0) & (d1 > 0) & (d2 > 0),
+        F.floor(
+            F.lit(1000000.0)
+            * (k1.cast("double") / d1 - k2.cast("double") / d2)
+            / F.sqrt(
+                k1.cast("double") / (d1 * d1) + k2.cast("double") / (d2 * d2)
+            )
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return j.select(
+        "event_type",
+        k1.alias("k_weekend"),
+        k2.alias("k_weekday"),
+        d1.alias("days_weekend"),
+        d2.alias("days_weekday"),
+        rr.alias("rate_ratio_micro"),
+        z.alias("z_micro"),
+    )
+
+
+@query(
+    "analytics_ab_srm",
+    oracle=f"""
+    WITH arms AS (
+        SELECT CASE WHEN (user_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} % 100 < 50
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM arms
+    )
+    SELECT a + b AS n_users, a AS n_arm_a, b AS n_arm_b,
+           CASE WHEN a + b > 0 THEN
+               CAST(floor(1000000.0
+                    * CAST((a - b) * (a - b) AS DOUBLE) / (a + b)
+                    + 0.5) AS BIGINT)
+           END AS chisq_micro,
+           CAST(CASE WHEN 1000000 * (a - b) * (a - b) > 3841459 * (a + b)
+                THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM c
+    """,
+)
+def analytics_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test SAMPLE-RATIO-MISMATCH check — the first gate every
+    experimentation platform runs before reading a metric: users are
+    assigned to arms by the deterministic Knuth bucket (the
+    corpus_split_hash assignment, 50/50 here), and the observed split
+    is tested against the designed ratio with the 1-df chi-square
+    (a-b)^2/(a+b).  An SRM means the assignment or logging is broken
+    and every downstream metric is untrustworthy.
+
+    The flag is EXACT INTEGER arithmetic: chi2 > 3.841459 (the 5%
+    critical value) is cross-multiplied to
+    1e6*(a-b)^2 > 3841459*(a+b) in BIGINT — no float boundary can flip
+    it on either engine; the reported statistic is micro-quantized
+    from exact integer inputs.
+
+    Scale: one distinct-user dedup (the analytics_dau_mau shuffle),
+    then a single 2-cell aggregate — the check is free next to any
+    experiment readout."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    arm = F.when(
+        (F.col("user_id") * _SAMPLE_MULT) % _SAMPLE_MOD % 100 < 50, "a"
+    ).otherwise("b")
+    arms = e.select("user_id").distinct().select(arm.alias("arm"))
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("arm") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    chisq = F.when(
+        a + b > 0,
+        F.floor(
+            F.lit(1000000.0) * ((a - b) * (a - b)).cast("double") / (a + b)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    flag = (
+        F.when(
+            F.lit(1000000) * (a - b) * (a - b) > F.lit(3841459) * (a + b), 1
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return c.select(
+        (a + b).alias("n_users"),
+        a.alias("n_arm_a"),
+        b.alias("n_arm_b"),
+        chisq.alias("chisq_micro"),
+        flag.alias("srm_flag"),
+    )
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH staged AS (
+        SELECT doc_id, lang,
+               CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS tokens,
+               CASE WHEN n_chars < 200 THEN 1
+                    WHEN n_chars < 500 THEN 2 ELSE 3 END AS phase_idx,
+               CASE WHEN n_chars < 200 THEN 'short'
+                    WHEN n_chars < 500 THEN 'medium' ELSE 'long' END AS phase,
+               (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} AS h
+        FROM documents
+    )
+    SELECT CAST(phase_idx AS BIGINT) AS phase_idx, phase, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+           CAST(arg_min(doc_id, h) AS BIGINT) AS first_doc_id,
+           CAST(arg_max(doc_id, h) AS BIGINT) AS last_doc_id
+    FROM staged GROUP BY phase_idx, phase, lang
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM scheduling audit — length-staged training order
+    (short documents first, long-context last: the standard curriculum
+    for context-window ramping) with a DETERMINISTIC shuffle inside
+    each phase: the global training order is the sort key (phase_idx,
+    knuth_hash(doc_id)), so the schedule is reproducible row-for-row
+    on any engine and any partitioning, resumable mid-epoch, and
+    append-stable — exactly why corpus_split_hash banned rand() for
+    splits, applied to ORDERING.
+
+    The operator emits the per-(phase, lang) audit a training run logs
+    before starting: doc and token volumes per phase plus the first
+    and last document each (phase, lang) stream will see (arg_min /
+    min_by over the hash — the hash is a bijection mod 2^32 for odd
+    multipliers, so first/last are unique and the tie question never
+    arises).
+
+    Scale: map-side phase/hash computation + one skinny aggregate —
+    the schedule itself is never materialized, only its contract; the
+    trainer re-derives any shard's order locally from (phase_idx,
+    hash) without coordination."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    phase_idx = (
+        F.when(F.col("n_chars") < 200, 1)
+        .when(F.col("n_chars") < 500, 2)
+        .otherwise(3)
+    )
+    phase = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 500, "medium")
+        .otherwise("long")
+    )
+    staged = d.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.col("n_chars").cast("double") / 4).cast("long").alias("tokens"),
+        phase_idx.cast("long").alias("phase_idx"),
+        phase.alias("phase"),
+        ((F.col("doc_id") * _SAMPLE_MULT) % _SAMPLE_MOD).alias("h"),
+    )
+    return staged.groupBy("phase_idx", "phase", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("n_tokens"),
+        F.min_by("doc_id", "h").cast("long").alias("first_doc_id"),
+        F.max_by("doc_id", "h").cast("long").alias("last_doc_id"),
     )

@@ -1638,3 +1638,263 @@ def quality_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("coverage_micro"),
         "longest_gap_days",
     )
+
+
+@query(
+    "quality_null_profile",
+    oracle="""
+    WITH seeded AS (
+        SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value,
+               CASE WHEN event_id % 17 = 0 THEN '' ELSE props END AS props,
+               CASE WHEN event_id % 19 = 0 THEN NULL ELSE user_id END
+                   AS user_id
+        FROM events
+    ),
+    wide AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(value) AS BIGINT) AS null_value,
+               CAST(COUNT(*) - COUNT(props) AS BIGINT) AS null_props,
+               CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_user,
+               CAST(SUM(CASE WHEN props = '' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS blank_props
+        FROM seeded
+    )
+    SELECT col_name, n_rows, n_null, n_blank,
+           CASE WHEN n_rows > 0 THEN
+               CAST(floor(1000000.0 * CAST(n_null + n_blank AS DOUBLE)
+                    / n_rows + 0.5) AS BIGINT)
+           END AS missing_pct_micro
+    FROM (
+        SELECT 'value' AS col_name, n_rows, null_value AS n_null,
+               CAST(0 AS BIGINT) AS n_blank FROM wide
+        UNION ALL
+        SELECT 'props', n_rows, null_props, blank_props FROM wide
+        UNION ALL
+        SELECT 'user_id', n_rows, null_user, CAST(0 AS BIGINT) FROM wide
+    )
+    """,
+)
+def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column MISSINGNESS profile — the first tab of every data-
+    quality dashboard: null count, blank-string count, and a combined
+    missing-rate per column.  The fixture carries no natural nulls
+    (TESTDATA.md), so deterministic missingness is INJECTED first
+    (value nulled on event_id % 13, props blanked on % 17, user_id
+    nulled on % 19 — the cast_try_permissive fixture-honesty seeding
+    doctrine: the operator is exercised on all three missingness
+    kinds, reproducibly, at every sf).
+
+    One wide aggregate computes every column's counters in a single
+    corpus pass (COUNT(col) vs COUNT(*) — no per-column scans), then
+    unpivots to the per-column report; the rate micro-quantizes from
+    exact integers.
+
+    Scale: ONE map-side-combined aggregate regardless of column count
+    — at 100 TB this is the cheapest full-corpus audit there is; the
+    unpivot runs on a 1-row frame."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    seeded = e.select(
+        F.when(F.col("event_id") % 13 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 17 == 0, "")
+        .otherwise(F.col("props"))
+        .alias("props"),
+        F.when(F.col("event_id") % 19 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    wide = seeded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).cast("long").alias("null_value"),
+        (F.count(F.lit(1)) - F.count("props")).cast("long").alias("null_props"),
+        (F.count(F.lit(1)) - F.count("user_id")).cast("long").alias("null_user"),
+        F.sum(F.when(F.col("props") == "", 1).otherwise(0))
+        .cast("long")
+        .alias("blank_props"),
+    )
+    zero = F.lit(0).cast("long")
+    rows = (
+        wide.select(
+            F.lit("value").alias("col_name"),
+            "n_rows",
+            F.col("null_value").alias("n_null"),
+            zero.alias("n_blank"),
+        )
+        .unionByName(
+            wide.select(
+                F.lit("props").alias("col_name"),
+                "n_rows",
+                F.col("null_props").alias("n_null"),
+                F.col("blank_props").alias("n_blank"),
+            )
+        )
+        .unionByName(
+            wide.select(
+                F.lit("user_id").alias("col_name"),
+                "n_rows",
+                F.col("null_user").alias("n_null"),
+                zero.alias("n_blank"),
+            )
+        )
+    )
+    pct = F.when(
+        F.col("n_rows") > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n_null") + F.col("n_blank")).cast("double")
+            / F.col("n_rows")
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return rows.select(
+        "col_name", "n_rows", "n_null", "n_blank",
+        pct.alias("missing_pct_micro"),
+    )
+
+
+@query(
+    "pipeline_quality_report",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dups,
+               CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS negatives,
+               CAST(MAX(datediff('day', DATE '2024-01-01',
+                        CAST(ts AS DATE)))
+                    - MIN(datediff('day', DATE '2024-01-01',
+                          CAST(ts AS DATE))) + 1
+                    - COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS gap_days
+        FROM events
+    ),
+    od AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dups
+        FROM orders
+    ),
+    orphan_o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    ),
+    li AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+    orphan_l AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    dc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS dups,
+               CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS empties
+        FROM documents
+    )
+    SELECT CAST(0 AS BIGINT) AS check_idx, 'row_count' AS checked,
+           'events' AS entity, n FROM ev
+    UNION ALL SELECT 0, 'row_count', 'orders', n FROM od
+    UNION ALL SELECT 0, 'row_count', 'lineitem', n FROM li
+    UNION ALL SELECT 0, 'row_count', 'documents', n FROM dc
+    UNION ALL SELECT 1, 'dup_primary_key', 'events', dups FROM ev
+    UNION ALL SELECT 1, 'dup_primary_key', 'orders', dups FROM od
+    UNION ALL SELECT 1, 'dup_primary_key', 'documents', dups FROM dc
+    UNION ALL SELECT 2, 'orphan_fk', 'orders->customer', n FROM orphan_o
+    UNION ALL SELECT 2, 'orphan_fk', 'lineitem->orders', n FROM orphan_l
+    UNION ALL SELECT 3, 'calendar_gap_days', 'events', gap_days FROM ev
+    UNION ALL SELECT 4, 'negative_value', 'events', negatives FROM ev
+    UNION ALL SELECT 5, 'empty_text', 'documents', empties FROM dc
+    """,
+)
+def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAKE-WIDE data-quality dashboard as ONE fused plan — the
+    quality-side composition showpiece beside pipeline_corpus_build:
+    row counts for four tables, primary-key duplicate counts,
+    referential-integrity orphan counts (orders without a customer,
+    lineitems without an order — LEFT-ANTI joins), the events calendar
+    gap census, negative-value and empty-text checks, all unioned into
+    one (check_idx, checked, entity, n) report.
+
+    Every check value is an EXACT integer — counts, count-distinct
+    deltas, day arithmetic — so the report hash-compares with no float
+    anywhere (the pipeline_corpus_build funnel doctrine, applied to
+    quality auditing).  On healthy fixtures most checks read 0; the
+    point is the PLAN — a team extends it by unioning one more
+    aggregate, and Catalyst still runs each table's checks in a single
+    pass over that table.
+
+    Scale: one aggregate pass per table (events/orders/documents each
+    compute ALL their checks in one wide agg), two anti-join counts
+    whose build sides are the smaller key columns; the report is
+    O(checks) rows.  No stage collects; AQE picks broadcast for the
+    anti joins when the key side fits."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    d = load(spark, sf_dir, "documents")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    ev = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id"))
+        .cast("long")
+        .alias("dups"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("negatives"),
+        (
+            F.max(day) - F.min(day) + 1
+            - F.count_distinct(F.col("ts").cast("date"))
+        )
+        .cast("long")
+        .alias("gap_days"),
+    )
+    od = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("dups"),
+    )
+    orphan_o = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lin = li.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    orphan_l = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dc = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id"))
+        .cast("long")
+        .alias("dups"),
+        F.sum(F.when(F.length(F.trim("text")) == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("empties"),
+    )
+
+    def row(src: DataFrame, idx: int, check: str, entity: str, col: str):
+        return src.select(
+            F.lit(idx).cast("long").alias("check_idx"),
+            F.lit(check).alias("checked"),
+            F.lit(entity).alias("entity"),
+            F.col(col).cast("long").alias("n"),
+        )
+
+    return (
+        row(ev, 0, "row_count", "events", "n")
+        .unionByName(row(od, 0, "row_count", "orders", "n"))
+        .unionByName(row(lin, 0, "row_count", "lineitem", "n"))
+        .unionByName(row(dc, 0, "row_count", "documents", "n"))
+        .unionByName(row(ev, 1, "dup_primary_key", "events", "dups"))
+        .unionByName(row(od, 1, "dup_primary_key", "orders", "dups"))
+        .unionByName(row(dc, 1, "dup_primary_key", "documents", "dups"))
+        .unionByName(row(orphan_o, 2, "orphan_fk", "orders->customer", "n"))
+        .unionByName(row(orphan_l, 2, "orphan_fk", "lineitem->orders", "n"))
+        .unionByName(row(ev, 3, "calendar_gap_days", "events", "gap_days"))
+        .unionByName(row(ev, 4, "negative_value", "events", "negatives"))
+        .unionByName(row(dc, 5, "empty_text", "documents", "empties"))
+    )

@@ -1455,7 +1455,17 @@ def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pushdown silently degrades to a normal scan when rows carry NULLs
     in the aggregated column or the grouping key isn't a partition
-    column — the plan test, not this docstring, is the contract."""
+    column — the plan test, not this docstring, is the contract.
+
+    Cost note (round-7 advisor): the in-function `out.collect()` binds
+    the pushed-down physical plan while the v2-reader configs are
+    live; the DataFrame returned to the driver re-plans AFTER the
+    finally block restores the default reader, so the driver-measured
+    execution is the ordinary aggregate, run a second time.  Results
+    are identical either way (footer min/max are exact; +0.0
+    canonicalizes the signed zero), so correctness is unaffected; the
+    pushed-down-plan contract lives in tests/test_plans.py, and bench
+    timing for this id includes the deliberate double execution."""
     tune(spark)
     path = os.path.join(SCRATCH, "agg_pushdown")
     ev = load(spark, sf_dir, "events").select("event_id", "value", "event_type")

@@ -2327,13 +2327,16 @@ def analytics_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS share_micro
         FROM monthly mo JOIN tot t ON mo.m = t.m
     ),
+    prevs AS (
+        SELECT m + 1 AS m, pri, share_micro FROM shares
+    ),
     paired AS (
-        SELECT cur.m, cur.pri,
-               cur.share_micro AS p,
-               COALESCE(prev.share_micro, 0) AS q
+        SELECT COALESCE(cur.m, pv.m) AS m,
+               COALESCE(cur.pri, pv.pri) AS pri,
+               COALESCE(cur.share_micro, 0) AS p,
+               COALESCE(pv.share_micro, 0) AS q
         FROM shares cur
-        LEFT JOIN shares prev ON prev.m = cur.m - 1
-                             AND prev.pri = cur.pri
+        FULL OUTER JOIN prevs pv ON pv.m = cur.m AND pv.pri = cur.pri
     ),
     terms AS (
         SELECT m, pri, p, q,
@@ -2350,6 +2353,7 @@ def analytics_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 0 END AS BIGINT) AS js_term_micro
         FROM paired pa
         WHERE EXISTS (SELECT 1 FROM tot t2 WHERE t2.m = pa.m - 1)
+          AND EXISTS (SELECT 1 FROM tot t3 WHERE t3.m = pa.m)
     )
     SELECT m AS month_idx,
            CAST(COUNT(*) AS BIGINT) AS n_priorities,
@@ -2370,9 +2374,13 @@ def analytics_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5*p*ln(2p/(p+q)) is quantized BEFORE the cross-priority sum
     (already micro-scaled — the terms carry the 1e6 share scale), and
     first-month rows (no predecessor) are excluded via an engine-
-    identical EXISTS.  A priority absent one month enters with q = 0
-    and its p-side term still contributes (JS is finite on disjoint
-    support — why JS, not KL, is the right alarm).
+    identical EXISTS.  The month pair is a FULL OUTER join on (m, pri)
+    over the union support (round-7 advisor fix): a priority APPEARING
+    in month m enters with q = 0, and one VANISHING after month m-1
+    enters with p = 0 — both directions contribute their finite JS
+    term (JS, unlike KL, is finite on disjoint support — why it's the
+    right alarm).  n_priorities therefore counts the union support of
+    the two months, not just the current month's.
 
     Scale: one monthly aggregate, month-grain self-join on (m-1, pri)
     — calendar-bounded; the alarm table is |months|-sized."""
@@ -2398,12 +2406,19 @@ def analytics_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pri").alias("pri"),
         F.col("share_micro").alias("q"),
     )
-    months = tot.select((F.col("m") + 1).alias("m"))
+    months_with_prev = tot.select((F.col("m") + 1).alias("m"))
+    months_present = tot.select("m")
     paired = (
         shares.withColumnRenamed("share_micro", "p")
-        .join(prev, ["m", "pri"], "left")
-        .join(months, "m", "left_semi")
-        .select("m", "pri", "p", F.coalesce(F.col("q"), F.lit(0)).alias("q"))
+        .join(prev, ["m", "pri"], "full")
+        .join(months_with_prev, "m", "left_semi")
+        .join(months_present, "m", "left_semi")
+        .select(
+            "m",
+            "pri",
+            F.coalesce(F.col("p"), F.lit(0)).alias("p"),
+            F.coalesce(F.col("q"), F.lit(0)).alias("q"),
+        )
     )
     p, q = F.col("p"), F.col("q")
     term = (
@@ -2432,3 +2447,222 @@ def analytics_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_priorities"),
         F.sum("js_term_micro").cast("long").alias("js_divergence_micro"),
     )
+
+
+@query(
+    "analytics_shift_share",
+    oracle="""
+    WITH rev AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS y,
+               n.n_name AS nation,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT y, CAST(SUM(r) AS BIGINT) AS total FROM rev GROUP BY y),
+    paired AS (
+        SELECT cur.y, cur.nation,
+               prv.r AS prev_cents, cur.r AS cur_cents,
+               pt.total AS prev_total, ct.total AS cur_total
+        FROM rev cur
+        JOIN rev prv ON prv.nation = cur.nation AND prv.y = cur.y - 1
+        JOIN tot ct ON ct.y = cur.y
+        JOIN tot pt ON pt.y = cur.y - 1
+    )
+    SELECT y, nation, prev_cents, cur_cents,
+           cur_cents - prev_cents AS delta_cents,
+           CASE WHEN prev_total > 0 THEN
+               CAST(floor(prev_cents
+                    * (CAST(cur_total AS DOUBLE) / prev_total - 1.0)
+                    + 0.5) AS BIGINT)
+           END AS national_effect_cents,
+           CASE WHEN prev_total > 0 THEN
+               CAST((cur_cents - prev_cents)
+                    - CAST(floor(prev_cents
+                          * (CAST(cur_total AS DOUBLE) / prev_total - 1.0)
+                          + 0.5) AS BIGINT) AS BIGINT)
+           END AS competitive_effect_cents
+    FROM paired
+    """,
+)
+def analytics_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-SHARE decomposition of year-over-year nation revenue — the
+    regional-economics classic (Dunn 1960) every BI team reinvents:
+    each nation's revenue change splits into the NATIONAL effect (what
+    the nation would have gained had it merely tracked total growth:
+    prev * (T_y/T_{y-1} - 1)) and the COMPETITIVE effect (the residual
+    — how much the nation out- or under-performed the tide).  The two
+    effects sum exactly to the observed delta by construction, which
+    makes the report self-auditing.
+
+    Money is exact cents BIGINT end-to-end; the only float is the
+    single national-growth ratio, applied in ONE identical IEEE
+    expression shape per engine and rounded to whole cents
+    (floor(x+0.5)) so the competitive residual is again exact integer
+    subtraction.  First year has no predecessor and emits no row
+    (inner join on y-1).
+
+    Scale: one fact-table aggregate to (year, nation) grain — the
+    dims broadcast; everything after is |years x nations| arithmetic."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(cents).cast("long").alias("r"))
+    )
+    tot = rev.groupBy("y").agg(F.sum("r").cast("long").alias("total"))
+    prv = rev.select(
+        (F.col("y") + 1).alias("y"), "nation", F.col("r").alias("prev_cents")
+    )
+    ct = tot.select("y", F.col("total").alias("cur_total"))
+    pt = tot.select((F.col("y") + 1).alias("y"), F.col("total").alias("prev_total"))
+    paired = (
+        rev.withColumnRenamed("r", "cur_cents")
+        .join(prv, ["y", "nation"])
+        .join(F.broadcast(ct), "y")
+        .join(F.broadcast(pt), "y")
+    )
+    prev_c, cur_c = F.col("prev_cents"), F.col("cur_cents")
+    nat = F.when(
+        F.col("prev_total") > 0,
+        F.floor(
+            prev_c
+            * (F.col("cur_total").cast("double") / F.col("prev_total") - F.lit(1.0))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return paired.select(
+        "y",
+        "nation",
+        prev_c,
+        cur_c,
+        (cur_c - prev_c).alias("delta_cents"),
+        nat.alias("national_effect_cents"),
+        F.when(F.col("prev_total") > 0, (cur_c - prev_c) - nat)
+        .cast("long")
+        .alias("competitive_effect_cents"),
+    )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH sc AS (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    proj AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+        FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT s1 AS src, s2 AS dst, shared FROM proj
+        UNION ALL
+        SELECT s2 AS src, s1 AS dst, shared FROM proj
+    ),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY shared DESC, dst) AS rn
+            FROM directed
+        ) WHERE rn <= {_KNN_K}
+    ),
+    edges AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM knn
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+        ) GROUP BY v
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_per_node AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y AS v FROM tri
+            UNION ALL SELECT z AS v FROM tri
+        ) GROUP BY v
+    )
+    SELECT deg.v AS node_id, deg.d AS degree,
+           COALESCE(t.t, CAST(0 AS BIGINT)) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+               CAST(floor(1000000.0
+                    * CAST(2 * COALESCE(t.t, 0) AS DOUBLE)
+                    / (deg.d * (deg.d - 1))
+                    + 0.5) AS BIGINT)
+           END AS local_coeff_micro
+    FROM deg LEFT JOIN tri_per_node t ON deg.v = t.v
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node on the kNN-sparsified
+    co-purchase graph — the per-node drill-down of
+    graph_knn_triangles' global census: c_v = 2*t_v / (d_v*(d_v-1)),
+    the fraction of each supplier's partner pairs that also partner
+    with each other (Watts & Strogatz 1998).  High-degree, low-c nodes
+    are the BROKERS between communities; high-c nodes sit inside
+    cliques — the standard community-structure signal.
+
+    Per-node triangle counts come from the same oriented a<b
+    edge^3 join as the census, with each triangle credited to all
+    three corners via a 3-way union; degrees and triangle counts are
+    exact integers and the coefficient is the only float, one
+    identical expression shape per engine, micro-quantized
+    (degree-<2 nodes emit NULL on both).
+
+    Scale: identical to graph_knn_triangles — the sparsified graph
+    bounds the triangle join at O(k^2) per node; the per-node rollup
+    adds two skinny aggregates.  Output is |V|-sized."""
+    tune(spark)
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tpn = (
+        tri.select(F.col("x").alias("v"))
+        .unionByName(tri.select(F.col("y").alias("v")))
+        .unionByName(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    j = deg.join(tpn, "v", "left").select(
+        F.col("v").alias("node_id"),
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            F.floor(
+                F.lit(1000000.0)
+                * (2 * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("local_coeff_micro"),
+    )
+    return j

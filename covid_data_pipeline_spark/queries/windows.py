@@ -1665,3 +1665,87 @@ def win_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("violation"),
     )
+
+
+@query(
+    "win_vwap",
+    oracle="""
+    WITH t AS (
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM lineitem
+    )
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey,
+           qty, price_cents,
+           CAST(floor(1000000.0
+                * CAST(SUM(price_cents * qty) OVER w AS DOUBLE)
+                / SUM(qty) OVER w
+                + 0.5) AS BIGINT) AS vwap_micro_cents
+    FROM t
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+                          price_cents, qty
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running VOLUME-WEIGHTED average price per supplier — the
+    finance-window classic (VWAP) the moving-average family can't
+    express: the running mean must weight each price by its traded
+    quantity, i.e. cum(price*qty)/cum(qty), not avg(price).  Execution
+    desks benchmark fills against it; here it's each supplier's
+    volume-weighted realized price over shipment history.
+
+    Money doctrine end-to-end: price to exact cents BIGINT, quantity
+    to BIGINT via floor(q+0.5) (NOT a bare cast — DuckDB CAST rounds
+    where Spark truncates), so both cumulative sums are exact integers
+    under any partial-aggregation order; the single ratio micro-
+    quantizes from integer inputs.  The synthetic fixture does NOT
+    keep (orderkey, linenumber) unique (measured: one full tie on
+    (suppkey, shipdate, orderkey, linenumber) at sf0.1), so the window
+    order tiebreaks through partkey, price and qty — rows still tied
+    after that are byte-identical, and identical rows produce the same
+    output MULTISET under either internal order, which is what the
+    driver's order-insensitive hash compares.
+
+    Scale: ONE window shuffle on l_suppkey, sort within — the
+    win_running_sum cost shape; both cumulative sums share the same
+    frame so Spark computes them in one pass."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+            "price_cents", "qty",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vwap = F.floor(
+        F.lit(1000000.0)
+        * F.sum(F.col("price_cents") * F.col("qty")).over(w).cast("double")
+        / F.sum("qty").over(w)
+        + F.lit(0.5)
+    ).cast("long")
+    return t.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "qty",
+        "price_cents",
+        vwap.alias("vwap_micro_cents"),
+    )

@@ -73,66 +73,66 @@ _loaded = False
 # driver ever samples differently, the local preflight remains the
 # source of truth.
 #
-# Round-7 window (gen_showcase.py): after r6, exactly 19 oracle-backed
-# ids (the r6 additions, landed after the r6 window locked) and 18
-# rows-only ids had never been driver-sampled.  5 flagship re-witness
-# slots + 19 never-witnessed oracle-backed + 18 never-witnessed
-# rows-only (the driver records rows>0 + schema for these — a weaker
-# but real external witness, per the r6 judge's "every registered id
-# has at least one external row by end of r8") leaves 8 free slots:
-# join_bloom_runtime (dropped from the r6 window, last r1) plus the 7
-# stalest r1-only witnesses.
+# Round-8 window (gen_showcase.py + VERDICT r7 item 1): after r7,
+# exactly 87 oracle-backed ids (the r7 additions) and 3 rows-only ids
+# had never been driver-sampled — a two-round backlog at 50/round.
+# This window: 5 flagship re-witness slots + pipeline_corpus_build
+# (the round-8 flagship composition, slotted per VERDICT r7 item 4) +
+# 44 of the 90 never-witnessed ids, fronted by the verdict-named
+# priorities (the statistical-test battery, the SQL-surface ids, the
+# graph/ts families) and the 3 never-witnessed rows-only ids; the
+# remaining ~46 rotate in at r9.
 SHOWCASE = (
     "agg_groupby",  # flagship re-witness
     "join_inner",  # flagship re-witness
     "dedup_exact",  # flagship re-witness
     "dedup_near_jaccard",  # flagship re-witness
     "sim_topk_neighbors",  # flagship re-witness
-    "scan_fixed_width",  # never witnessed
-    "source_calendar_spine",  # never witnessed
-    "join_spatial_grid",  # never witnessed
-    "agg_moments_exact",  # never witnessed
-    "agg_winsorized_mean",  # never witnessed
-    "win_hampel_outliers",  # never witnessed
-    "win_week_over_week",  # never witnessed
-    "win_bollinger_exact",  # never witnessed
-    "cast_try_permissive",  # never witnessed
-    "dedup_exact_normalized",  # never witnessed
-    "stream_dedup_ttl",  # never witnessed
-    "analytics_skyline_pareto",  # never witnessed
-    "text_zipf_fit",  # never witnessed
-    "text_langid_confusion",  # never witnessed
-    "multimodal_blockhash_dedup",  # never witnessed
-    "ts_twa",  # never witnessed
-    "ts_croston",  # never witnessed
-    "ts_lttb_downsample",  # never witnessed
-    "sample_bottomk_sketch",  # never witnessed
-    "sink_compact_small_files",  # never witnessed (rows-only)
-    "profile_parquet_footers",  # never witnessed (rows-only)
-    "agg_sliding_sketch_union",  # never witnessed (rows-only)
-    "stream_stateful_totals",  # never witnessed (rows-only)
-    "stream_change_detect",  # never witnessed (rows-only)
-    "dedup_minhash_lsh",  # never witnessed (rows-only)
-    "dedup_containment_lsh",  # never witnessed (rows-only)
-    "stream_spacesaving_topk",  # never witnessed (rows-only)
-    "sim_ann_bucketed",  # never witnessed (rows-only)
-    "sim_ann_ivf",  # never witnessed (rows-only)
-    "sim_pq_adc_rerank",  # never witnessed (rows-only)
-    "dedup_semdedup_kmeans",  # never witnessed (rows-only)
-    "text_bpe_train",  # never witnessed (rows-only)
-    "text_bpe_compression",  # never witnessed (rows-only)
-    "text_bpe_encode",  # never witnessed (rows-only)
-    "text_compression_ratio",  # never witnessed (rows-only)
-    "sim_kmeans_lloyd",  # never witnessed (rows-only)
-    "sim_pca_project",  # never witnessed (rows-only)
-    "join_bloom_runtime",  # last r1
-    "select_distinct",  # last r1
-    "agg_having",  # last r1
-    "agg_rollup",  # last r1
-    "agg_cube",  # last r1
-    "agg_stats",  # last r1
-    "agg_quantiles",  # last r1
-    "reshape_unpivot",  # last r1
+    "pipeline_corpus_build",  # round-8 flagship composition, new
+    "agg_ks_test",  # never witnessed
+    "agg_welch_ttest",  # never witnessed
+    "agg_mannwhitney_u",  # never witnessed
+    "agg_jarque_bera",  # never witnessed
+    "agg_anova_oneway",  # never witnessed
+    "agg_spearman_rho",  # never witnessed
+    "agg_cramers_v",  # never witnessed
+    "sql_correlated_scalar",  # never witnessed
+    "sql_exists_correlated",  # never witnessed
+    "sql_window_named_clause",  # never witnessed
+    "sql_star_except",  # never witnessed
+    "sql_group_by_all",  # never witnessed
+    "sql_aggregate_filter_clause",  # never witnessed
+    "graph_adamic_adar",  # never witnessed
+    "graph_degree_assortativity",  # never witnessed
+    "graph_kcore",  # never witnessed (rows-only)
+    "ts_cross_correlation",  # never witnessed
+    "ts_ljung_box",  # never witnessed
+    "ts_local_peaks",  # never witnessed
+    "ts_mann_kendall",  # never witnessed
+    "ts_runs_test",  # never witnessed
+    "ts_seasonality_strength",  # never witnessed
+    "ts_stl_anomalies",  # never witnessed
+    "ts_theil_sen",  # never witnessed
+    "stream_progress_metrics",  # never witnessed (rows-only)
+    "stream_last_touch_state",  # never witnessed (rows-only)
+    "sink_csv_quoted_escapes",  # never witnessed
+    "scan_parquet_file_metadata",  # never witnessed
+    "scan_csv_gz_codec",  # never witnessed
+    "scan_nested_struct_roundtrip",  # never witnessed
+    "scan_recursive_directory",  # never witnessed
+    "scan_aggregate_pushdown",  # never witnessed
+    "join_spatial_nearest",  # never witnessed
+    "join_scd2_point_in_time",  # never witnessed
+    "agg_percentile_cont_exact",  # never witnessed
+    "agg_benford_deviation",  # never witnessed
+    "agg_string_agg_ordered",  # never witnessed
+    "agg_trimmed_mean",  # never witnessed
+    "agg_geo_harmonic_means",  # never witnessed
+    "agg_circular_mean_hour",  # never witnessed
+    "agg_ratio_metric_delta_ci",  # never witnessed
+    "agg_tukey_fences_outliers",  # never witnessed
+    "agg_cvar_expected_shortfall",  # never witnessed
+    "win_rsi",  # never witnessed
 )
 
 

@@ -225,3 +225,102 @@ def test_lttb_empty_buckets_carry_anchor_and_drop_seed(spark, tmp_path):
     real = {(0, 2), (1, 5), (2, 1), (3, 4), (4, 2)}
     got_pts = {(r["day_idx"] - 31, r["day_value"]) for r in rows}
     assert got_pts <= real, got_pts
+
+
+def test_cramers_v_includes_zero_observed_cells(spark, tmp_path):
+    """r7 ADVICE: agg_cramers_v must chi-square over the FULL
+    types x dow grid — a type observed on a single day has six
+    zero-observed cells, each contributing its expected count r*c/N.
+    The real fixtures cover every cell, so a doctored corpus adds a
+    one-day type; both engines must agree (full-grid SQL vs full-grid
+    plan) and the statistic must exceed the present-cells-only sum."""
+    import datetime
+
+    extra = spark.createDataFrame(
+        [
+            (
+                9_000_001 + i,
+                datetime.datetime(2024, 1, 3, 12, 0, 0),
+                9_000_001,
+                "zz-oneday",
+                1.0,
+                "{}",
+            )
+            for i in range(3)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = _doctored_dir(tmp_path, spark, "events", extra)
+    spec = load_all()["agg_cramers_v"]
+    con = _doctored_duck(d)
+    run_compare("agg_cramers_v", spec, spark, con, d)
+    # present-cells-only chi-square (the pre-fix formulation) computed
+    # in DuckDB on the same doctored corpus
+    present_only = con.sql(
+        """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) % 7 AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        rowt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+                 FROM daily GROUP BY event_type),
+        colt AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c
+                 FROM daily GROUP BY dow),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM daily)
+        SELECT CAST(SUM(CAST(floor(1000000.0
+                 * (CAST(d.o * t.n - rt.r * ct.c AS DOUBLE)
+                    * CAST(d.o * t.n - rt.r * ct.c AS DOUBLE))
+                 / (CAST(t.n AS DOUBLE) * rt.r * ct.c)
+                 + 0.5) AS BIGINT)) AS BIGINT)
+        FROM daily d JOIN rowt rt USING (event_type)
+        JOIN colt ct USING (dow) CROSS JOIN tot t
+        """
+    ).fetchone()[0]
+    con.close()
+    got = spec.fn(spark, d).collect()[0]
+    assert got["n_rows"] == 6  # the doctored type joined the grid
+    assert got["chisq_micro"] > present_only, (
+        "zero-observed cells contributed nothing — full-grid fix regressed"
+    )
+
+
+def test_priority_mix_shift_counts_vanished_categories(spark, tmp_path):
+    """r7 ADVICE: analytics_priority_mix_shift must FULL-OUTER pair
+    month shares so a priority present in month m-1 but absent in m
+    enters with p = 0 (the vanished direction).  TPC-H's 5 priorities
+    are always present, so a doctored orders table adds a priority
+    that exists only in 1995-03; 1995-04's pairing must then hold 6
+    priorities, and both engines must agree on the JS divergence."""
+    import datetime
+
+    extra = spark.createDataFrame(
+        [
+            (
+                9_000_001 + i,
+                1 + i,
+                "O",
+                1000.0,
+                datetime.date(1995, 3, 10 + i),
+                "9-ZZVANISH",
+            )
+            for i in range(3)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    d = _doctored_dir(tmp_path, spark, "orders", extra)
+    spec = load_all()["analytics_priority_mix_shift"]
+    con = _doctored_duck(d)
+    run_compare("analytics_priority_mix_shift", spec, spark, con, d)
+    con.close()
+    got = {r["month_idx"]: r for r in spec.fn(spark, d).collect()}
+    m_mar = 1995 * 12 + 3 - 1  # the month the priority exists
+    assert got[m_mar]["n_priorities"] == 6  # appearing direction (q=0)
+    assert got[m_mar + 1]["n_priorities"] == 6  # vanished direction (p=0)
+    # a control month far from the doctoring still has the 5 TPC-H
+    # priorities on both sides
+    assert got[m_mar + 3]["n_priorities"] == 5

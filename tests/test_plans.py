@@ -1453,3 +1453,58 @@ def test_silhouette_broadcasts_panel_not_corpus(spark):
     plan = plan_of(q("sim_silhouette_labels", spark), mode="simple")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_corpus_build_is_one_plan_no_intermediate_action(spark):
+    """pipeline_corpus_build (the round-8 LLM flagship composition) must
+    stay ONE declarative Catalyst DAG: building the DataFrame runs NO
+    Spark jobs (no hidden collect/checkpoint between stages), the plan
+    is a single Union over the per-stage funnel aggregates, and the
+    whole build stays JVM-side."""
+    from covid_data_pipeline_spark.registry import load_all as _la
+    from pyspark.sql import DataFrame as _DF
+
+    called = []
+    orig = _DF.collect
+    _DF.collect = lambda self: (called.append(1), orig(self))[1]
+    try:
+        df = _la()["pipeline_corpus_build"].fn(spark, SF_ORACLE)
+    finally:
+        _DF.collect = orig
+    assert not called, "stage boundary used collect() — not one fused plan"
+    plan = plan_of(df, mode="simple")
+    assert "Union" in plan, plan
+    assert "EvalPython" not in plan, "composition must stay JVM-side"
+    # every funnel stage contributes an aggregate branch to the union:
+    # 6 stage rows + pack + split rows >= 8 HashAggregate subtrees
+    assert plan.count("HashAggregate") >= 8, plan
+
+
+def test_vwap_both_cumsums_share_one_window(spark):
+    """win_vwap's two cumulative sums use the same frame, so the plan
+    holds exactly ONE Window operator (one shuffle + one sort per
+    supplier) and stays JVM-side."""
+    plan = plan_of(q("win_vwap", spark), mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_quality_report_one_wide_agg_per_table_and_anti_joins(spark):
+    """pipeline_quality_report computes each table's checks in wide
+    aggregates and the FK orphan checks as anti joins — no Python, no
+    cartesian products, and the events scans stay bounded (one per
+    events-sourced check branch, each a partial aggregate)."""
+    plan = plan_of(q("pipeline_quality_report", spark), mode="simple")
+    assert "EvalPython" not in plan
+    assert plan.count("LeftAnti") == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_srm_exact_integer_flag_no_float_compare(spark):
+    """analytics_ab_srm's 5%-critical flag must be the cross-multiplied
+    integer comparison, never a float threshold — assert the doubled
+    literal appears in the analyzed plan and the flag column is int."""
+    df = q("analytics_ab_srm", spark)
+    plan = plan_of(df, mode="extended")
+    assert "3841459" in plan
+    assert dict(df.dtypes)["srm_flag"] == "int"
