@@ -296,17 +296,42 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_change_detect", oracle=None)  # rows-only: custom state op
+@query(
+    "stream_change_detect",
+    oracle="""
+    WITH h AS (
+        SELECT user_id AS source_key, event_id, ts,
+               sha256(props) AS content_hash
+        FROM events
+    )
+    SELECT source_key, event_id, content_hash,
+           CASE WHEN prev IS NULL THEN 'new'
+                WHEN content_hash <> prev THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM (
+        SELECT source_key, event_id, content_hash,
+               LAG(content_hash) OVER (PARTITION BY source_key
+                                       ORDER BY ts, event_id) AS prev
+        FROM h
+    )
+    """,
+)
 def stream_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's change-detection loop as a TRUE incremental
     stream: per-source last-hash in GroupState (applyInPandasWithState),
     each snapshot classified new/changed/unchanged as it arrives.
-    Equivalence with the windowed batch formulation
+    Exact per-row equivalence with the windowed batch formulation
     (win_lag_change_detect) is asserted in tests/test_streaming.py.
 
-    Driver sees (sf0.01): 10000 rows; columns (source_key, event_id,
-    content_hash, status).
-    """
+    ORACLE-BACKED (round-8 promotion from rows-only): the availableNow
+    drain sees the single events parquet as ONE micro-batch, the
+    transform sorts each batch by (ts, event_id), and every output
+    column is a string/integer (sha2 hex digests — DuckDB sha256 over
+    the same VARCHAR yields the identical hex), so a genuine streaming
+    run hash-checks against the batch LAG-window SQL at every sf.  The
+    multi-batch case (the production shape) keeps determinism via the
+    carried GroupState hash — witnessed separately by
+    test_stateful_change_detect_carries_hash_across_batches."""
     from ..streaming import read_events_stream, run_available_now
 
     tune(spark)
@@ -944,7 +969,29 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_last_touch_state", oracle=None)  # rows-only: custom state op
+@query(
+    "stream_last_touch_state",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER w AS last_touch_us,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS last_touch_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN last_touch_us IS NOT NULL
+                 AND epoch_us(ts) - last_touch_us <= 604800000000
+                THEN last_touch_type ELSE 'direct' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM ordered WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
 def stream_last_touch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming last-touch attribution: per-user GroupState holds
     only the most recent non-purchase touch (two scalars), purchases
@@ -956,7 +1003,12 @@ def stream_last_touch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink.  Exact per-channel-count equivalence with the batch operator
     is asserted in tests/test_streaming.py.
 
-    Driver sees (sf0.01): 5 rows; columns (channel, n_conversions).
+    ORACLE-BACKED (round-8 promotion from rows-only, with
+    stream_change_detect): the single-file availableNow drain is one
+    micro-batch, the transform sorts it by (ts, event_id), and the
+    rollup is all strings + exact counts — so the genuine streaming
+    run hash-checks against the batch twin's LAST_VALUE-window SQL
+    (minus its share column) at every sf.
 
     Scale: state is O(2 scalars) per user with watermark-free
     NoTimeout semantics (the 7-day lookback bounds RELEVANCE, not

@@ -80,7 +80,9 @@ _loaded = False
 # (the round-8 flagship composition, slotted per VERDICT r7 item 4) +
 # 44 of the 90 never-witnessed ids, fronted by the verdict-named
 # priorities (the statistical-test battery, the SQL-surface ids, the
-# graph/ts families) and the 3 never-witnessed rows-only ids; the
+# graph/ts families) and the 3 never-witnessed ids that were rows-only
+# at r7 close (stream_last_touch_state was promoted to oracle-backed
+# mid-r8); the
 # remaining ~46 rotate in at r9.
 SHOWCASE = (
     "agg_groupby",  # flagship re-witness
@@ -114,7 +116,7 @@ SHOWCASE = (
     "ts_stl_anomalies",  # never witnessed
     "ts_theil_sen",  # never witnessed
     "stream_progress_metrics",  # never witnessed (rows-only)
-    "stream_last_touch_state",  # never witnessed (rows-only)
+    "stream_last_touch_state",  # never witnessed (r8-promoted to oracle-backed)
     "sink_csv_quoted_escapes",  # never witnessed
     "scan_parquet_file_metadata",  # never witnessed
     "scan_csv_gz_codec",  # never witnessed

@@ -74,11 +74,6 @@ def family_of(name: str) -> str:
 # query id; the generator fails if an id here is stale or a rows-only
 # query lacks an entry — so this list can never drift from the registry.
 ROWS_ONLY_WHY = {
-    "stream_last_touch_state": (
-        "TRUE streaming run (GroupState attribution) — the memory-sink "
-        "drain is the operator. Exact per-channel count equivalence "
-        "with the batch twin asserted in tests/test_streaming.py."
-    ),
     "graph_kcore": (
         "iterative degree peeling to a fixpoint — recursive set "
         "shrinkage has no fixed-depth ANSI-SQL twin (append-only "
@@ -133,11 +128,6 @@ ROWS_ONLY_WHY = {
     "agg_sliding_sketch_union": (
         "window over DataSketches HLL sketches — engine-specific. 5% "
         "agreement vs exact sliding distinct asserted day-by-day in tests."
-    ),
-    "stream_change_detect": (
-        "custom GroupState operator on a TRUE incremental stream; emission "
-        "set depends on micro-batch boundaries. Equivalence with the batch "
-        "win_lag_change_detect asserted in tests/test_streaming.py."
     ),
     "stream_stateful_totals": (
         "applyInPandasWithState custom operator (update-mode emissions). "

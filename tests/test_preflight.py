@@ -132,8 +132,9 @@ def test_survey_and_registry_stay_in_sync():
     # r6/r7 judges twice found §2 rows with MISSING CELLS (3 cells in a
     # 5-column table — VERDICT r7 item 1): assert every query row in a
     # §2.1–§2.10 table has the same cell count as its section's header,
-    # killing the drift class.  Cells are counted by splitting on
-    # unescaped pipes; inline code never contains `|` in these tables.
+    # killing the drift class.  Cell separators are UNESCAPED pipes —
+    # in-cell code may carry `\|` (e.g. §2.2's `(a&b)\|c`).
+    sep = re.compile(r"(?<!\\)\|")
     for sec, body in zip(
         re.split(r"^### (2\.\d+)", survey, flags=re.M)[1::2],
         re.split(r"^### (2\.\d+)", survey, flags=re.M)[2::2],
@@ -143,9 +144,9 @@ def test_survey_and_registry_stay_in_sync():
         lines = [ln for ln in body.splitlines() if ln.startswith("|")]
         if not lines:
             continue
-        width = lines[0].count("|") - 1  # header row defines the width
+        width = len(sep.findall(lines[0])) - 1  # header defines the width
         for ln in lines:
-            got = ln.count("|") - 1
+            got = len(sep.findall(ln)) - 1
             rid = re.match(r"\| `([a-z0-9_]+)`", ln)
             assert got == width, (
                 f"§{sec} row {rid.group(1) if rid else ln[:40]!r} has "
