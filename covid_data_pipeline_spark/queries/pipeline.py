@@ -1898,3 +1898,181 @@ def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(ev, 4, "negative_value", "events", "negatives"))
         .unionByName(row(dc, 5, "empty_text", "documents", "empties"))
     )
+
+
+# Knuth multiplicative hash (the corpus_split_hash / analytics_ab_srm
+# assignment) — never rand(): reproducible on any engine, any partitioning.
+_AB_MULT = 2654435761
+_AB_MOD = 1 << 32
+
+
+@query(
+    "pipeline_experiment_readout",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+               CASE WHEN (user_id * {_AB_MULT}) % {_AB_MOD} % 100 < 50
+                    THEN 1 ELSE 0 END AS arm_a
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(SUM(arm_a) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN arm_a = 1 THEN x ELSE 0 END) AS BIGINT)
+                   AS s1,
+               CAST(SUM(CASE WHEN arm_a = 1 THEN x * x ELSE 0 END) AS BIGINT)
+                   AS ss1,
+               CAST(SUM(1 - arm_a) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN arm_a = 0 THEN x ELSE 0 END) AS BIGINT)
+                   AS s2,
+               CAST(SUM(CASE WHEN arm_a = 0 THEN x * x ELSE 0 END) AS BIGINT)
+                   AS ss2
+        FROM per_user
+    ),
+    mv AS (
+        SELECT n1, n2, s1, s2,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(s2 AS DOUBLE) / n2 AS m2,
+               (CAST(ss1 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / n1)
+                   / (n1 - 1) AS v1,
+               (CAST(ss2 AS DOUBLE) - CAST(s2 * s2 AS DOUBLE) / n2)
+                   / (n2 - 1) AS v2
+        FROM arms WHERE n1 >= 2 AND n2 >= 2
+    )
+    SELECT n1 AS n_users_a, n2 AS n_users_b,
+           CAST(floor(1000000.0
+                * CAST((n1 - n2) * (n1 - n2) AS DOUBLE) / (n1 + n2)
+                + 0.5) AS BIGINT) AS srm_chisq_micro,
+           CAST(CASE WHEN 1000000 * (n1 - n2) * (n1 - n2)
+                          > 3841459 * (n1 + n2)
+                THEN 1 ELSE 0 END AS INT) AS srm_flag,
+           CAST(floor(1000000.0 * m1 + 0.5) AS BIGINT) AS mean_a_micro,
+           CAST(floor(1000000.0 * m2 + 0.5) AS BIGINT) AS mean_b_micro,
+           CASE WHEN v1 / n1 + v2 / n2 > 0 THEN
+               CAST(floor(1000000.0 * (m2 - m1) / sqrt(v1 / n1 + v2 / n2)
+                    + 0.5) AS BIGINT)
+           END AS t_micro,
+           CASE WHEN (v1 / n1) * (v1 / n1) / (n1 - 1)
+                     + (v2 / n2) * (v2 / n2) / (n2 - 1) > 0 THEN
+               CAST(floor(1000000.0
+                    * ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                    / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                       + (v2 / n2) * (v2 / n2) / (n2 - 1))
+                    + 0.5) AS BIGINT)
+           END AS df_micro,
+           CASE WHEN m1 > 0 THEN
+               CAST(floor(1000000.0 * (m2 - m1) / m1 + 0.5) AS BIGINT)
+           END AS lift_micro,
+           CASE WHEN m1 > 0 THEN
+               CAST(floor(1000000.0
+                    * ((m2 - m1) / m1
+                       - 1.96 * sqrt(v2 / n2 / (m1 * m1)
+                                     + (m2 * m2) * (v1 / n1)
+                                       / (m1 * m1 * m1 * m1)))
+                    + 0.5) AS BIGINT)
+           END AS lift_ci_lo_micro,
+           CASE WHEN m1 > 0 THEN
+               CAST(floor(1000000.0
+                    * ((m2 - m1) / m1
+                       + 1.96 * sqrt(v2 / n2 / (m1 * m1)
+                                     + (m2 * m2) * (v1 / n1)
+                                       / (m1 * m1 * m1 * m1)))
+                    + 0.5) AS BIGINT)
+           END AS lift_ci_hi_micro
+    FROM mv
+    """,
+)
+def pipeline_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full A/B EXPERIMENT READOUT as one fused plan — the third
+    composition showpiece (beside pipeline_corpus_build and
+    pipeline_quality_report), wiring the round-8 stats battery into the
+    report an experimentation platform actually ships: deterministic
+    Knuth 50/50 user assignment -> the SRM validity gate
+    (analytics_ab_srm's exact-integer chi-square flag) -> per-user
+    engagement metric (event count — an exact integer, so the per-arm
+    moment sums never drift) -> Welch's t and Satterthwaite df
+    (agg_welch_ttest's raw->central identity on integer power sums) ->
+    relative lift with a delta-method 95% CI
+    (agg_ratio_metric_delta_ci's technique on the mean ratio).
+
+    One corpus pass to (user, x, arm), ONE 6-integer rollup row, then
+    pure single-row arithmetic: every float expression evaluates once
+    per engine in an identical IEEE shape, micro-quantized; degenerate
+    arms (n < 2) emit zero rows, zero control mean NULLs the lift
+    family, zero pooled variance NULLs t/df — all engine-identical.
+
+    Reading it: srm_flag != 0 means STOP — the split is broken and
+    nothing below the flag is trustworthy (why the gate rides in the
+    same plan: a readout without it invites cherry-picking).
+
+    Scale: the readout is two shuffles total (user rollup, arm rollup)
+    no matter the corpus size; the six per-arm integers are additive
+    partials, so shards merge by addition — the same property that
+    makes agg_welch_ttest 1000x-safe applies end-to-end."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    arm_a = F.when(
+        (F.col("user_id") * _AB_MULT) % _AB_MOD % 100 < 50, 1
+    ).otherwise(0)
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    ).select("user_id", "x", arm_a.alias("arm_a"))
+    a = F.col("arm_a")
+    x = F.col("x")
+    arms = per_user.agg(
+        F.sum(a).cast("long").alias("n1"),
+        F.sum(F.when(a == 1, x).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(a == 1, x * x).otherwise(0)).cast("long").alias("ss1"),
+        F.sum(1 - a).cast("long").alias("n2"),
+        F.sum(F.when(a == 0, x).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(a == 0, x * x).otherwise(0)).cast("long").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("s1"), F.col("s2")
+    mv = arms.filter((n1 >= 2) & (n2 >= 2)).select(
+        "n1",
+        "n2",
+        (s1.cast("double") / n1).alias("m1"),
+        (s2.cast("double") / n2).alias("m2"),
+        (
+            (F.col("ss1").cast("double") - (s1 * s1).cast("double") / n1)
+            / (n1 - 1)
+        ).alias("v1"),
+        (
+            (F.col("ss2").cast("double") - (s2 * s2).cast("double") / n2)
+            / (n2 - 1)
+        ).alias("v2"),
+    )
+    m1, m2, v1, v2 = F.col("m1"), F.col("m2"), F.col("v1"), F.col("v2")
+    micro = lambda c: F.floor(F.lit(1000000.0) * c + F.lit(0.5)).cast("long")
+    se = F.sqrt(v1 / n1 + v2 / n2)
+    dfn = (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+    dfd = (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    lift = (m2 - m1) / m1
+    lift_se = F.sqrt(
+        v2 / n2 / (m1 * m1) + (m2 * m2) * (v1 / n1) / (m1 * m1 * m1 * m1)
+    )
+    return mv.select(
+        n1.alias("n_users_a"),
+        n2.alias("n_users_b"),
+        micro(((n1 - n2) * (n1 - n2)).cast("double") / (n1 + n2)).alias(
+            "srm_chisq_micro"
+        ),
+        F.when(
+            F.lit(1000000) * (n1 - n2) * (n1 - n2) > F.lit(3841459) * (n1 + n2),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("srm_flag"),
+        micro(m1).alias("mean_a_micro"),
+        micro(m2).alias("mean_b_micro"),
+        F.when(v1 / n1 + v2 / n2 > 0, micro((m2 - m1) / se)).alias("t_micro"),
+        F.when(dfd > 0, micro(dfn / dfd)).alias("df_micro"),
+        F.when(m1 > 0, micro(lift)).alias("lift_micro"),
+        F.when(m1 > 0, micro(lift - F.lit(1.96) * lift_se)).alias(
+            "lift_ci_lo_micro"
+        ),
+        F.when(m1 > 0, micro(lift + F.lit(1.96) * lift_se)).alias(
+            "lift_ci_hi_micro"
+        ),
+    )

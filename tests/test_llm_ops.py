@@ -8,7 +8,7 @@ import pytest
 
 from covid_data_pipeline_spark.registry import load_all
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 
 def _pairs(df, a="a_id", b="b_id"):
@@ -775,3 +775,52 @@ def test_compression_ratio_pure_python_replay(spark):
         # zlib's fixed header overhead (short docs can exceed 1.0)
         if r["n_bytes"] >= 200:
             assert r["ratio_micro"] < 1_000_000, dict(r.asDict())
+
+
+def test_corpus_build_funnel_invariants(spark):
+    """pipeline_corpus_build's funnel must be internally consistent:
+    docs surviving each gate stage never increase (0..5 monotone
+    non-increasing in both units and tokens), the packer reorders but
+    never drops tokens (stage 6 tokens == stage 5 tokens), and the
+    three splits partition the near-dedup survivors exactly."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    rows = {
+        int(r["stage_idx"]): r
+        for r in load_all()["pipeline_corpus_build"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    for i in range(1, 6):
+        assert rows[i]["n_units"] <= rows[i - 1]["n_units"], (i, rows)
+        assert rows[i]["n_tokens"] <= rows[i - 1]["n_tokens"], (i, rows)
+    assert rows[6]["n_tokens"] == rows[5]["n_tokens"]  # packer never drops
+    assert rows[6]["n_units"] >= 1  # at least one bin exists
+    split_units = sum(rows[i]["n_units"] for i in (7, 8, 9) if i in rows)
+    split_tokens = sum(rows[i]["n_tokens"] for i in (7, 8, 9) if i in rows)
+    assert split_units == rows[5]["n_units"]
+    assert split_tokens == rows[5]["n_tokens"]
+
+
+def test_quality_report_clean_on_pristine_fixture(spark):
+    """pipeline_quality_report must read all-zeros for the integrity
+    checks on the pristine fixtures (dups, orphans, negatives, empty
+    text) while the row counts match the tables — the report's value
+    is that any nonzero is actionable."""
+    from covid_data_pipeline_spark.io import load as _load
+    from covid_data_pipeline_spark.registry import load_all
+
+    rows = {
+        (r["checked"], r["entity"]): r["n"]
+        for r in load_all()["pipeline_quality_report"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert rows[("row_count", "events")] == _load(spark, SF_SMOKE, "events").count()
+    assert rows[("dup_primary_key", "events")] == 0
+    assert rows[("dup_primary_key", "orders")] == 0
+    assert rows[("orphan_fk", "orders->customer")] == 0
+    assert rows[("orphan_fk", "lineitem->orders")] == 0
+    assert rows[("negative_value", "events")] == 0
+    assert rows[("empty_text", "documents")] == 0
+    assert rows[("calendar_gap_days", "events")] == 0

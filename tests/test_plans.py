@@ -1508,3 +1508,15 @@ def test_srm_exact_integer_flag_no_float_compare(spark):
     plan = plan_of(df, mode="extended")
     assert "3841459" in plan
     assert dict(df.dtypes)["srm_flag"] == "int"
+
+
+def test_experiment_readout_single_scan_all_jvm(spark):
+    """pipeline_experiment_readout reads events exactly ONCE (the whole
+    readout hangs off one per-user rollup), keeps the SRM gate as the
+    exact-integer comparison, and stays JVM-side."""
+    df = q("pipeline_experiment_readout", spark)
+    plan = plan_of(df, mode="extended")
+    assert "EvalPython" not in plan
+    assert "3841459" in plan
+    simple = plan_of(df, mode="simple")
+    assert simple.count("Scan parquet") == 1, simple
