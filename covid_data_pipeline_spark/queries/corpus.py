@@ -5843,3 +5843,173 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "h").cast("long").alias("first_doc_id"),
         F.max_by("doc_id", "h").cast("long").alias("last_doc_id"),
     )
+
+
+@query(
+    "agg_fisher_exact",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM daily GROUP BY event_type
+    ),
+    cells AS (
+        SELECT d.event_type, t.n,
+               CAST(SUM(CASE WHEN d.t % 7 IN (5, 6) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN d.x * t.n > t.s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN d.t % 7 IN (5, 6) AND d.x * t.n > t.s
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a
+        FROM daily d JOIN tot t USING (event_type)
+        GROUP BY d.event_type, t.n
+    ),
+    ks AS (
+        SELECT event_type, n, c1, r1, a, k
+        FROM cells,
+             LATERAL (SELECT unnest(generate_series(
+                 greatest(CAST(0 AS BIGINT), c1 - (n - r1)),
+                 least(r1, c1))) AS k)
+    ),
+    nums AS (
+        SELECT event_type, n, c1, r1, a, k,
+               list_reduce(list_prepend(CAST(1 AS BIGINT),
+                   [CAST(i AS BIGINT) FOR i IN generate_series(1, k)
+                    IF k > 0]),
+                   (acc, i) -> (acc * (r1 - k + i)) // i)
+               * list_reduce(list_prepend(CAST(1 AS BIGINT),
+                   [CAST(i AS BIGINT) FOR i IN generate_series(1, c1 - k)
+                    IF c1 - k > 0]),
+                   (acc, i) -> (acc * ((n - r1) - (c1 - k) + i)) // i)
+                   AS num
+        FROM ks
+    ),
+    obs AS (
+        SELECT event_type, MAX(CASE WHEN k = a THEN num END) AS a_num,
+               CAST(SUM(num) AS BIGINT) AS denom
+        FROM nums GROUP BY event_type
+    )
+    SELECT n.event_type,
+           ANY_VALUE(n.n) AS n_days,
+           ANY_VALUE(n.c1) AS n_weekend_days,
+           ANY_VALUE(n.r1) AS n_above_avg_days,
+           ANY_VALUE(n.a) AS a_obs,
+           CAST(floor(1000000.0
+                * CAST(SUM(CASE WHEN n.num <= o.a_num THEN n.num ELSE 0 END)
+                       AS DOUBLE)
+                / o.denom + 0.5) AS BIGINT) AS p_two_sided_micro
+    FROM nums n JOIN obs o USING (event_type)
+    GROUP BY n.event_type, o.denom
+    """,
+)
+def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT test per event type on the 2x2 table
+    (weekend day?) x (above-average-traffic day?) — the test you reach
+    for when chi-square's large-count approximation is invalid, which
+    at DAY grain (n = 30 cells) it always is.  Completes the
+    independence ladder: agg_cramers_v (effect size),
+    analytics_chisq_cells (which cell), agg_chi2_gof (vs uniform),
+    this (exact small-n inference).
+
+    The showcase property: the ENTIRE hypergeometric computation is
+    EXACT 64-bit INTEGER arithmetic.  Day counts classify by the
+    exact-integer above-mean test (x*n > S — no float mean); each
+    C(m, k) evaluates by the multiplicative formula folded LEFT with
+    stepwise integer division (acc*(m-k+i)) div i, exact at every step
+    because each prefix is itself a binomial coefficient — both
+    engines fold ordered lists (F.aggregate / list_reduce), so there
+    is no order ambiguity and nothing to quantize; margins <= 30 keep
+    every intermediate below C(30,15)*30 << 2^63.  pmf comparisons for
+    the two-sided 'as or more extreme' sum are integer numerator
+    comparisons (shared denominator); the ONLY float is the final
+    p = extreme_sum / total_sum ratio, micro-quantized.
+
+    Scale: one corpus-sized daily aggregate; the combinatorics run on
+    |types| x <=9 candidate tables — constant work at any corpus size
+    (the margins are calendar days, not rows)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    is_wk = (F.col("t") % 7).isin(5, 6)
+    above = F.col("x") * F.col("n") > F.col("s")
+    cells = (
+        daily.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(F.when(is_wk, 1).otherwise(0)).cast("long").alias("c1"),
+            F.sum(F.when(above, 1).otherwise(0)).cast("long").alias("r1"),
+            F.sum(F.when(is_wk & above, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+        )
+    )
+    ks = cells.select(
+        "event_type",
+        "n",
+        "c1",
+        "r1",
+        "a",
+        F.explode(
+            F.expr(
+                "sequence(greatest(CAST(0 AS BIGINT), c1 - (n - r1)),"
+                " least(r1, c1))"
+            )
+        ).alias("k"),
+    )
+    # C(m, j) by the stepwise-exact multiplicative fold; j = 0 -> 1
+    nums = ks.withColumn(
+        "num",
+        F.expr(
+            """
+            aggregate(CASE WHEN k > 0 THEN sequence(CAST(1 AS BIGINT), k)
+                           ELSE array() END,
+                      CAST(1 AS BIGINT),
+                      (acc, i) -> (acc * (r1 - k + i)) DIV i)
+            * aggregate(CASE WHEN c1 - k > 0
+                             THEN sequence(CAST(1 AS BIGINT), c1 - k)
+                             ELSE array() END,
+                        CAST(1 AS BIGINT),
+                        (acc, i) -> (acc * ((n - r1) - (c1 - k) + i)) DIV i)
+            """
+        ).cast("long"),
+    )
+    obs = nums.groupBy("event_type").agg(
+        F.max(F.when(F.col("k") == F.col("a"), F.col("num"))).alias("a_num"),
+        F.sum("num").cast("long").alias("denom"),
+    )
+    j = nums.join(F.broadcast(obs), "event_type")
+    return j.groupBy("event_type", "denom").agg(
+        F.any_value("n").alias("n_days"),
+        F.any_value("c1").alias("n_weekend_days"),
+        F.any_value("r1").alias("n_above_avg_days"),
+        F.any_value("a").alias("a_obs"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(
+                F.when(F.col("num") <= F.col("a_num"), F.col("num")).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.col("denom")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("p_two_sided_micro"),
+    ).drop("denom")

@@ -3018,3 +3018,135 @@ def analytics_qq_length_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("ratio_micro"),
     )
+
+
+@query(
+    "text_keyness_loglik",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    st AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+        FROM tok GROUP BY source, term
+    ),
+    termtot AS (
+        SELECT term, CAST(SUM(a) AS BIGINT) AS ct FROM st GROUP BY term
+    ),
+    srctot AS (
+        SELECT source, CAST(SUM(a) AS BIGINT) AS ns FROM st GROUP BY source
+    ),
+    grand AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM st),
+    cells AS (
+        SELECT st.source, st.term, st.a,
+               tt.ct - st.a AS b,
+               so.ns - st.a AS c,
+               g.n - tt.ct - so.ns + st.a AS d,
+               tt.ct, so.ns, g.n
+        FROM st JOIN termtot tt USING (term)
+        JOIN srctot so USING (source)
+        CROSS JOIN grand g
+    ),
+    scored AS (
+        SELECT source, term, a, ct, ns,
+               CAST(floor(1000000.0 * 2.0 * (
+                   CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * n
+                        / (CAST(ns AS DOUBLE) * ct)) ELSE 0.0 END
+                 + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE) * n
+                        / (CAST(n - ns AS DOUBLE) * ct)) ELSE 0.0 END
+                 + CASE WHEN c > 0 THEN c * ln(CAST(c AS DOUBLE) * n
+                        / (CAST(ns AS DOUBLE) * (n - ct))) ELSE 0.0 END
+                 + CASE WHEN d > 0 THEN d * ln(CAST(d AS DOUBLE) * n
+                        / (CAST(n - ns AS DOUBLE) * (n - ct))) ELSE 0.0 END
+               ) + 0.5) AS BIGINT) AS g2_micro,
+               CASE WHEN a * CAST(n AS DOUBLE)
+                         > CAST(ns AS DOUBLE) * ct
+                    THEN 1 ELSE 0 END AS overused
+        FROM cells
+    )
+    SELECT source, term, a AS term_count, g2_micro, rk FROM (
+        SELECT source, term, a, g2_micro,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY g2_micro DESC, term) AS rk
+        FROM scored WHERE overused = 1
+    ) WHERE rk <= 10
+    """,
+)
+def text_keyness_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD EXTRACTION by corpus keyness — Dunning's (1993)
+    log-likelihood G2 of each term's source-vs-rest 2x2 contingency,
+    the standard 'what is this source ABOUT, relative to everything
+    else' statistic (raw TF surfaces corpus-wide stopwords; tf-idf
+    ranks within a document; keyness ranks a SUBCORPUS signature).
+    Top-10 OVERUSED terms per source (expected < observed — the
+    one-sided filter is the exact integer cross-multiplication
+    a*N > ns*ct, no float boundary).
+
+    Each G2 is per-row IEEE arithmetic from exact integer cells (one
+    identical 4-term expression shape per engine — per-row floats need
+    no quantization, the _helpers doctrine), then micro-quantized ONCE
+    so the rank order and the hash are integer-deterministic; ties
+    break on the term.
+
+    Scale: one (source, term) aggregate (the closed fixture vocabulary
+    bounds it; natural corpora bound it with a min-count filter), term
+    and source totals broadcast back, one top-k window per source."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    st = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    termtot = st.groupBy("term").agg(F.sum("a").cast("long").alias("ct"))
+    srctot = st.groupBy("source").agg(F.sum("a").cast("long").alias("ns"))
+    grand = st.agg(F.sum("a").cast("long").alias("n"))
+    cells = (
+        st.join(termtot, "term")
+        .join(F.broadcast(srctot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "term",
+            "a",
+            (F.col("ct") - F.col("a")).alias("b"),
+            (F.col("ns") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("ct") - F.col("ns") + F.col("a")).alias("d"),
+            "ct",
+            "ns",
+            "n",
+        )
+    )
+    a, b, c, dd = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    ns, ct, n = F.col("ns"), F.col("ct"), F.col("n")
+
+    def cell(o, row_tot, col_tot):
+        return F.when(
+            o > 0,
+            o
+            * F.log(
+                o.cast("double") * n / (row_tot.cast("double") * col_tot)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    g2 = F.floor(
+        F.lit(1000000.0)
+        * F.lit(2.0)
+        * (
+            cell(a, ns, ct)
+            + cell(b, n - ns, ct)
+            + cell(c, ns, n - ct)
+            + cell(dd, n - ns, n - ct)
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    overused = a * n.cast("double") > ns.cast("double") * ct
+    scored = cells.select(
+        "source", "term", "a", g2.alias("g2_micro"), overused.alias("over")
+    ).filter(F.col("over"))
+    w = Window.partitionBy("source").orderBy(F.col("g2_micro").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "term", F.col("a").alias("term_count"), "g2_micro", "rk")
+    )

@@ -324,3 +324,48 @@ def test_priority_mix_shift_counts_vanished_categories(spark, tmp_path):
     # a control month far from the doctoring still has the 5 TPC-H
     # priorities on both sides
     assert got[m_mar + 3]["n_priorities"] == 5
+
+
+def test_fisher_exact_matches_pure_python_hypergeometric(spark):
+    """agg_fisher_exact's stepwise-integer-division binomials and
+    two-sided tail must equal an independent math.comb reference
+    exactly (same integers, so no tolerance)."""
+    import math
+
+    from covid_data_pipeline_spark.io import load as load_table
+    import pyspark.sql.functions as F
+
+    got = {
+        r["event_type"]: r
+        for r in load_all()["agg_fisher_exact"].fn(spark, SF_SMOKE).collect()
+    }
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("t"),
+        )
+        .count()
+        .collect()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append((r["t"], r["count"]))
+    for et, rows in by_type.items():
+        n = len(rows)
+        s = sum(x for _, x in rows)
+        c1 = sum(1 for t, _ in rows if t % 7 in (5, 6))
+        r1 = sum(1 for _, x in rows if x * n > s)
+        a = sum(1 for t, x in rows if t % 7 in (5, 6) and x * n > s)
+        lo, hi = max(0, c1 - (n - r1)), min(r1, c1)
+        nums = {
+            k: math.comb(r1, k) * math.comb(n - r1, c1 - k)
+            for k in range(lo, hi + 1)
+        }
+        denom = sum(nums.values())
+        p = sum(v for v in nums.values() if v <= nums[a]) / denom
+        want = math.floor(1_000_000.0 * p + 0.5)
+        assert got[et]["n_days"] == n and got[et]["a_obs"] == a
+        assert got[et]["p_two_sided_micro"] == want, (et, got[et], want)
