@@ -2666,3 +2666,96 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("local_coeff_micro"),
     )
     return j
+
+
+@query(
+    "analytics_price_elasticity",
+    oracle="""
+    WITH pts AS (
+        SELECT p.p_type,
+               CAST(floor(10000.0 * ln(1.0 - l.l_discount) + 0.5) AS BIGINT)
+                   AS x4,
+               CAST(floor(10000.0 * ln(l.l_quantity) + 0.5) AS BIGINT) AS y4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_discount < 1.0 AND l.l_quantity > 0
+    ),
+    sums AS (
+        SELECT p_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x4) AS BIGINT) AS sx,
+               CAST(SUM(y4) AS BIGINT) AS sy,
+               CAST(SUM(x4 * x4) AS BIGINT) AS sxx,
+               CAST(SUM(x4 * y4) AS BIGINT) AS sxy
+        FROM pts GROUP BY p_type
+    )
+    SELECT p_type, n,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST(floor(1000000.0
+                    * CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    + 0.5) AS BIGINT)
+           END AS elasticity_micro
+    FROM sums
+    """,
+)
+def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY of demand per part type — the log-log OLS slope
+    of ln(quantity) on ln(effective price factor 1 - discount), the
+    textbook elasticity estimate (a slope of -2 means a 1% discount
+    deepening moves volume +2%).  The economics twin of ts_theil_sen's
+    robust slope, on the discount-response axis pricing teams actually
+    tune.
+
+    Doctrine: the per-row logs are quantized to 1e-4 BIGINT BEFORE any
+    cross-row summation (floats never aggregate), so the five OLS power
+    sums are exact integers and the slope is ONE final ratio of exact
+    integers, micro-quantized.  Degenerate groups (zero x-variance —
+    e.g. a type sold only at one discount) emit NULL on both engines.
+
+    Scale: one fact scan with the part dim broadcast, map-side-combined
+    integer sums per type.  Int64 envelope: |x4| <= 1.1e3, |y4| <=
+    3.9e4, so n*sxy stays under 2^63 through ~2e8 rows per type (~30x
+    this fixture at sf1); past that, shard the power sums by month and
+    merge — they are additive partials, the agg_welch_ttest recipe."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    pts = (
+        li.filter((F.col("l_discount") < 1.0) & (F.col("l_quantity") > 0))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_type",
+            F.floor(
+                F.lit(10000.0) * F.log(F.lit(1.0) - F.col("l_discount"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("x4"),
+            F.floor(
+                F.lit(10000.0) * F.log(F.col("l_quantity")) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("y4"),
+        )
+    )
+    sums = pts.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x4").cast("long").alias("sx"),
+        F.sum("y4").cast("long").alias("sy"),
+        F.sum(F.col("x4") * F.col("x4")).cast("long").alias("sxx"),
+        F.sum(F.col("x4") * F.col("y4")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    den = n * F.col("sxx") - sx * sx
+    num = n * F.col("sxy") - sx * sy
+    return sums.select(
+        "p_type",
+        "n",
+        F.when(
+            den > 0,
+            F.floor(
+                F.lit(1000000.0) * num.cast("double") / den.cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("elasticity_micro"),
+    )
