@@ -1828,7 +1828,18 @@ def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute ALL their checks in one wide agg), two anti-join counts
     whose build sides are the smaller key columns; the report is
     O(checks) rows.  No stage collects; AQE picks broadcast for the
-    anti joins when the key side fits."""
+    anti joins when the key side fits.
+
+    Plan-shape note (round-8 audit): each table's check rows are
+    EXPLODED from its single wide-agg row, not unioned as separate
+    branches — a union branch per check re-instantiates the table's
+    aggregate subtree in the plan (measured: 4 events scans, 0 runtime
+    ReusedExchange before the rewrite; 1 after), and at 100 TB a
+    redundant full-table scan per check is exactly the waste this
+    report exists to prevent.  Pinned by
+    tests/test_plans.py::test_quality_report_one_wide_agg_per_table
+    _and_anti_joins (one scan of events/documents; orders/lineitem
+    twice — own agg + FK-orphan probe)."""
     tune(spark)
     e = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
@@ -1876,27 +1887,55 @@ def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("empties"),
     )
 
-    def row(src: DataFrame, idx: int, check: str, entity: str, col: str):
-        return src.select(
+    def check(idx: int, name: str, entity: str, col):
+        return F.struct(
             F.lit(idx).cast("long").alias("check_idx"),
-            F.lit(check).alias("checked"),
+            F.lit(name).alias("checked"),
             F.lit(entity).alias("entity"),
-            F.col(col).cast("long").alias("n"),
+            col.cast("long").alias("n"),
         )
 
+    def emit(src: DataFrame, *checks) -> DataFrame:
+        # one exploded struct-array per table: every check row comes out
+        # of the SAME wide-agg row, so the table's aggregate subtree
+        # appears ONCE in the plan (a union branch per check would
+        # re-instantiate it — the round-8 plan-audit finding)
+        return src.select(
+            F.explode(F.array(*checks)).alias("r")
+        ).select("r.check_idx", "r.checked", "r.entity", "r.n")
+
     return (
-        row(ev, 0, "row_count", "events", "n")
-        .unionByName(row(od, 0, "row_count", "orders", "n"))
-        .unionByName(row(lin, 0, "row_count", "lineitem", "n"))
-        .unionByName(row(dc, 0, "row_count", "documents", "n"))
-        .unionByName(row(ev, 1, "dup_primary_key", "events", "dups"))
-        .unionByName(row(od, 1, "dup_primary_key", "orders", "dups"))
-        .unionByName(row(dc, 1, "dup_primary_key", "documents", "dups"))
-        .unionByName(row(orphan_o, 2, "orphan_fk", "orders->customer", "n"))
-        .unionByName(row(orphan_l, 2, "orphan_fk", "lineitem->orders", "n"))
-        .unionByName(row(ev, 3, "calendar_gap_days", "events", "gap_days"))
-        .unionByName(row(ev, 4, "negative_value", "events", "negatives"))
-        .unionByName(row(dc, 5, "empty_text", "documents", "empties"))
+        emit(
+            ev,
+            check(0, "row_count", "events", F.col("n")),
+            check(1, "dup_primary_key", "events", F.col("dups")),
+            check(3, "calendar_gap_days", "events", F.col("gap_days")),
+            check(4, "negative_value", "events", F.col("negatives")),
+        )
+        .unionByName(
+            emit(
+                od,
+                check(0, "row_count", "orders", F.col("n")),
+                check(1, "dup_primary_key", "orders", F.col("dups")),
+            )
+        )
+        .unionByName(
+            emit(lin, check(0, "row_count", "lineitem", F.col("n")))
+        )
+        .unionByName(
+            emit(
+                dc,
+                check(0, "row_count", "documents", F.col("n")),
+                check(1, "dup_primary_key", "documents", F.col("dups")),
+                check(5, "empty_text", "documents", F.col("empties")),
+            )
+        )
+        .unionByName(
+            emit(orphan_o, check(2, "orphan_fk", "orders->customer", F.col("n")))
+        )
+        .unionByName(
+            emit(orphan_l, check(2, "orphan_fk", "lineitem->orders", F.col("n")))
+        )
     )
 
 

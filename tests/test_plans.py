@@ -1490,14 +1490,21 @@ def test_vwap_both_cumsums_share_one_window(spark):
 
 
 def test_quality_report_one_wide_agg_per_table_and_anti_joins(spark):
-    """pipeline_quality_report computes each table's checks in wide
-    aggregates and the FK orphan checks as anti joins — no Python, no
-    cartesian products, and the events scans stay bounded (one per
-    events-sourced check branch, each a partial aggregate)."""
+    """pipeline_quality_report computes each table's checks in ONE wide
+    aggregate whose row explodes into the check rows — so each table is
+    scanned exactly once for its own checks (plus one extra scan of
+    orders/lineitem as FK-orphan probes), with no Python and no
+    cartesian products.  The union-branch-per-check shape this replaced
+    re-instantiated the aggregate subtree per check (4 events scans,
+    round-8 plan audit)."""
     plan = plan_of(q("pipeline_quality_report", spark), mode="simple")
     assert "EvalPython" not in plan
     assert plan.count("LeftAnti") == 2, plan
     assert "CartesianProduct" not in plan
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 3, plan  # agg + orphan probe + lineitem-orphan build
+    assert plan.count("lineitem.parquet") == 2, plan  # agg + orphan probe
 
 
 def test_srm_exact_integer_flag_no_float_compare(spark):
