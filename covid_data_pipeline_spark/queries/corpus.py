@@ -6013,3 +6013,192 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_two_sided_micro"),
     ).drop("denom")
+
+
+_PERM_REPS = 199  # standard K for a 0.005-resolution permutation p-value
+
+
+@query(
+    "agg_permutation_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    obs AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN t % 7 IN (5, 6) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN t % 7 IN (5, 6) THEN x ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN t % 7 NOT IN (5, 6) THEN x ELSE 0 END)
+                    AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    ),
+    perms AS (
+        SELECT d.event_type, d.t, d.x, r.rep,
+               ((d.t * 2654435761 + r.rep * 40503) % 2147483648)
+                   * 2654435761 % 4294967296 AS h
+        FROM daily d
+        CROSS JOIN (SELECT unnest(range(1, {_PERM_REPS} + 1)) AS rep) r
+    ),
+    labeled AS (
+        SELECT p.event_type, p.rep, p.x,
+               ROW_NUMBER() OVER (PARTITION BY p.event_type, p.rep
+                                  ORDER BY p.h, p.t) <= o.n1 AS pseudo_wk
+        FROM perms p JOIN obs o USING (event_type)
+    ),
+    rep_stats AS (
+        SELECT l.event_type, l.rep,
+               CAST(SUM(CASE WHEN l.pseudo_wk THEN l.x ELSE 0 END)
+                    AS BIGINT) AS s1r,
+               CAST(SUM(CASE WHEN l.pseudo_wk THEN 0 ELSE l.x END)
+                    AS BIGINT) AS s2r
+        FROM labeled l GROUP BY l.event_type, l.rep
+    ),
+    scored AS (
+        SELECT r.event_type,
+               CASE WHEN abs(CAST(floor(1000000.0
+                        * (CAST(r.s1r AS DOUBLE) / o.n1
+                           - CAST(r.s2r AS DOUBLE) / (o.n - o.n1))
+                        + 0.5) AS BIGINT))
+                    >= abs(CAST(floor(1000000.0
+                        * (CAST(o.s1 AS DOUBLE) / o.n1
+                           - CAST(o.s2 AS DOUBLE) / (o.n - o.n1))
+                        + 0.5) AS BIGINT))
+                    THEN 1 ELSE 0 END AS extreme
+        FROM rep_stats r JOIN obs o USING (event_type)
+        WHERE o.n1 > 0 AND o.n - o.n1 > 0
+    )
+    SELECT o.event_type, o.n AS n_days, o.n1 AS n_weekend_days,
+           CAST(floor(1000000.0
+                * (CAST(o.s1 AS DOUBLE) / o.n1
+                   - CAST(o.s2 AS DOUBLE) / (o.n - o.n1))
+                + 0.5) AS BIGINT) AS d_obs_micro,
+           CAST({_PERM_REPS} AS BIGINT) AS k_reps,
+           CAST(SUM(s.extreme) AS BIGINT) AS n_extreme,
+           CAST(floor(1000000.0
+                * CAST(1 + SUM(s.extreme) AS DOUBLE) / (1 + {_PERM_REPS})
+                + 0.5) AS BIGINT) AS p_micro
+    FROM obs o JOIN scored s USING (event_type)
+    WHERE o.n1 > 0 AND o.n - o.n1 > 0
+    GROUP BY o.event_type, o.n, o.n1, o.s1, o.s2
+    """,
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION (randomization) test per event type on the
+    weekend-vs-weekday daily-mean difference — the RESAMPLING member
+    completing the inference family (agg_welch_ttest assumes
+    normal-ish; agg_mannwhitney_u assumes exchangeable ranks;
+    agg_fisher_exact needs a 2x2; this assumes ONLY exchangeability of
+    the raw values).  K = 199 label permutations; p = (1 + #extreme) /
+    (1 + K), the standard add-one randomization p-value (Davison &
+    Hinkley 1997).
+
+    DETERMINISTIC permutations with EXACT group sizes: rep r's
+    pseudo-weekend is the n1 days with the smallest Knuth-style hash
+    h(t, r) (rank window per (type, rep), h then t tiebreak) — never
+    rand(), so every engine, partitioning, and re-run draws the SAME
+    199 permutations; the hash arithmetic is kept inside int64 by a
+    2^31 pre-mod.  Both the observed and each permuted difference
+    micro-quantize BEFORE the |.| >= |.| comparison, so 'extreme' is
+    an exact integer predicate on both engines.
+
+    Scale: the permutation table is |types| x n_days x K rows —
+    calendar x constant, NOT corpus-sized (30 x 199 x 5 ~ 30k rows
+    here), built AFTER the one corpus-sized daily rollup; the rank
+    windows partition per (type, rep).  Raising K to 9999 scales the
+    small table linearly and the corpus cost not at all."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    is_wk = (F.col("t") % 7).isin(5, 6)
+    obs = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(is_wk, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(is_wk, F.col("x")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(~is_wk, F.col("x")).otherwise(0)).cast("long").alias("s2"),
+    )
+    reps = spark.range(1, _PERM_REPS + 1).select(
+        F.col("id").cast("long").alias("rep")
+    )
+    h = (
+        (F.col("t") * 2654435761 + F.col("rep") * 40503) % 2147483648
+    ) * 2654435761 % 4294967296
+    perms = daily.crossJoin(F.broadcast(reps)).select(
+        "event_type", "t", "x", "rep", h.alias("h")
+    )
+    w = Window.partitionBy("event_type", "rep").orderBy("h", "t")
+    labeled = perms.join(
+        F.broadcast(obs.select("event_type", "n", "n1", "s1", "s2")),
+        "event_type",
+    ).select(
+        "event_type",
+        "rep",
+        "x",
+        "n",
+        "n1",
+        "s1",
+        "s2",
+        (F.row_number().over(w) <= F.col("n1")).alias("pseudo_wk"),
+    )
+    rep_stats = labeled.groupBy(
+        "event_type", "rep", "n", "n1", "s1", "s2"
+    ).agg(
+        F.sum(F.when(F.col("pseudo_wk"), F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s1r"),
+        F.sum(F.when(F.col("pseudo_wk"), 0).otherwise(F.col("x")))
+        .cast("long")
+        .alias("s2r"),
+    )
+    n, n1, s1, s2 = F.col("n"), F.col("n1"), F.col("s1"), F.col("s2")
+
+    def dmicro(sa, sb):
+        return F.floor(
+            F.lit(1000000.0)
+            * (sa.cast("double") / n1 - sb.cast("double") / (n - n1))
+            + F.lit(0.5)
+        ).cast("long")
+
+    scored = rep_stats.filter((n1 > 0) & (n - n1 > 0)).select(
+        "event_type",
+        "n",
+        "n1",
+        "s1",
+        "s2",
+        F.when(
+            F.abs(dmicro(F.col("s1r"), F.col("s2r")))
+            >= F.abs(dmicro(s1, s2)),
+            1,
+        )
+        .otherwise(0)
+        .alias("extreme"),
+    )
+    return scored.groupBy("event_type", "n", "n1", "s1", "s2").agg(
+        F.sum("extreme").cast("long").alias("n_extreme")
+    ).select(
+        "event_type",
+        n.alias("n_days"),
+        n1.alias("n_weekend_days"),
+        dmicro(s1, s2).alias("d_obs_micro"),
+        F.lit(_PERM_REPS).cast("long").alias("k_reps"),
+        "n_extreme",
+        F.floor(
+            F.lit(1000000.0)
+            * (1 + F.col("n_extreme")).cast("double")
+            / (1 + _PERM_REPS)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("p_micro"),
+    )
