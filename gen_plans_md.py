@@ -301,6 +301,25 @@ SHOWN = (
         "one dot fold per pair.",
         False,
     ),
+    (
+        "pipeline_corpus_build",
+        "The whole pretraining build is ONE Union DAG with no "
+        "intermediate action: the clean/langid/quality gates collapse "
+        "into scan-side filters, the exact-dedup window and the PPJoin "
+        "candidate join appear once, and AQE deduplicates the shared "
+        "shuffle subtrees at runtime (16 ReusedExchange in the final "
+        "adaptive plan).",
+        True,
+    ),
+    (
+        "pipeline_quality_report",
+        "Each table's checks EXPLODE from one wide-aggregate row "
+        "(events/documents scanned exactly once; orders/lineitem twice "
+        "— own agg + FK-orphan anti-join probe).  The branch-per-check "
+        "union it replaced re-instantiated the aggregate subtree per "
+        "check: 4 events scans, zero runtime reuse.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead
