@@ -136,6 +136,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests against the exact count (rsd=0.02).
 
     Driver sees (sf0.01): 5 rows; columns (event_type, approx_users).
+
+    Rows-only (irreducibly): HyperLogLog++ estimate — implementation-
+    defined value with no DuckDB twin. Accuracy vs exact
+    COUNT(DISTINCT) asserted in tests.
     """
     tune(spark)
     ev = load(spark, sf_dir, "events")
@@ -403,6 +407,10 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_llm_ops.py.
 
     Driver sees (sf0.01): 31 rows; columns (scope, est_users).
+
+    Rows-only (irreducibly): DataSketches HLL binary sketches + union —
+    engine-specific representation. Union-vs-direct agreement and
+    accuracy asserted in tests.
     """
     tune(spark)
     ev = load(spark, sf_dir, "events")
@@ -560,6 +568,10 @@ def agg_sliding_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by construction (same justification as win_moving_avg).
 
     Driver sees (sf0.01): 30 rows; columns (day, users_7d).
+
+    Rows-only (irreducibly): window over DataSketches HLL sketches —
+    engine-specific. 5% agreement vs exact sliding distinct asserted
+    day-by-day in tests.
     """
     tune(spark)
     ev = load(spark, sf_dir, "events")

@@ -208,6 +208,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 12668 rows; columns (a_id, b_id,
     jaccard_est).
+
+    Rows-only (irreducibly): LSH is approximate BY DESIGN (recall < 1);
+    an exact oracle would assert the wrong contract. Recall >= 0.8 vs
+    the exact Jaccard twin asserted in tests/test_llm_ops.py.
     """
     tune(spark)
     d = load(spark, sf_dir, "documents")
@@ -1243,6 +1247,11 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 31 rows; columns (a_id, b_id, lang,
     containment).
+
+    Rows-only (irreducibly): LSH candidate generation is approximate BY
+    DESIGN; precision is exact (candidates are verified) but recall <
+    1. Recall >= 0.9 and pair-subset precision vs the exact containment
+    twin asserted in tests/test_llm_ops.py.
     """
     tune(spark)
     sh = _containment_shingles(spark, sf_dir)

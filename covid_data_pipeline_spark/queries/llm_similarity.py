@@ -161,6 +161,10 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 50 rows; columns (query_id, neighbor_id,
     cosine, rn).
+
+    Rows-only (irreducibly): approximate nearest neighbours — bucket
+    boundaries decide the result set. Recall vs brute-force top-k
+    asserted in tests.
     """
     tune(spark)
     e = load(spark, sf_dir, "embeddings").select(
@@ -213,9 +217,12 @@ _DUP_OFFSET_1 = 1_000_000
 _DUP_OFFSET_2 = 2_000_000
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
+# Shared by dedup_embedding_cosine AND dedup_semdedup_kmeans: on this
+# fixture the learned-blocking (k-means) variant provably emits the
+# IDENTICAL pair set as the label-blocked exact variant (equality
+# asserted in tests/test_llm_ops.py; see the semdedup docstring for the
+# margin argument), so the exact twin's SQL serves as both oracles.
+_EMB_DEDUP_ORACLE = f"""
     WITH base AS (
         SELECT vec_id, label,
                [CAST(x AS DOUBLE) FOR x IN embedding] AS vec
@@ -240,8 +247,10 @@ _DUP_OFFSET_2 = 2_000_000
     )
     SELECT b_id AS dup_id, MIN(a_id) AS canon_id
     FROM pairs GROUP BY b_id
-    """,
-)
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (semantic dedup): vectors within a label
     block whose cosine exceeds 0.9 collapse onto the lowest vec_id as
@@ -345,6 +354,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 50 rows; columns (query_id, neighbor_id,
     cosine, rn).
+
+    Rows-only (irreducibly): approximate (nprobe-bounded cell search).
+    Recall vs brute force asserted in tests.
     """
     tune(spark)
     e = load(spark, sf_dir, "embeddings").select(
@@ -657,6 +669,11 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 50 rows; columns (query_id, neighbor_id,
     cosine, rn).
+
+    Rows-only (irreducibly): iterative Lloyd codebook training + model-
+    state collect — the driver-contract category exempt from SQL twins.
+    Determinism and recall@5 >= 0.7 vs the brute-force twin asserted in
+    tests.
     """
     tune(spark)
     e = load(spark, sf_dir, "embeddings").select(
@@ -794,7 +811,7 @@ _SEM_K = 16        # clusters (the SemDeDup blocking dial)
 _SEM_ITERS = 2     # Lloyd rounds
 
 
-@query("dedup_semdedup_kmeans", oracle=None)  # rows-only: learned blocking
+@query("dedup_semdedup_kmeans", oracle=_EMB_DEDUP_ORACLE)
 def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup where the blocking
     key is LEARNED — k-means clusters over normalized embeddings — so
@@ -816,7 +833,15 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled copies have cosine 1.0 with their source, so they share its
     nearest centroid; no non-seeded pair anywhere reaches 0.9).
 
-    Driver sees (sf0.01): 100 rows; columns (dup_id, canon_id).
+    ORACLE-BACKED (round-9 promotion from rows-only): because that
+    equality holds by the margin argument above — seeded pairs sit at
+    cosine ~1.0, every non-seeded pair below 0.51, and exact copies
+    cannot be split across centroids — the exact twin's SQL
+    (_EMB_DEDUP_ORACLE) IS this query's oracle, turning the fixture
+    equality assertion into a per-round external hash check.  On a real
+    corpus the two variants diverge by design (learned blocking trades
+    recall for never needing labels); the fixture is constructed so
+    they cannot.
     """
     tune(spark)
     base = load(spark, sf_dir, "embeddings").select(

@@ -1087,6 +1087,10 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 8 rows; columns (rank, left, right, merged,
     wcount).
+
+    Rows-only (irreducibly): iterative merge training with per-round
+    model-state argmax — no SQL twin. Exact equality with an
+    independent pure-Python BPE replay asserted in tests.
     """
     tune(spark)
     merges, _, _vocab = _bpe_train(spark, sf_dir)
@@ -1112,6 +1116,10 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 9 rows; columns (round, merged,
     corpus_tokens, tokens_saved, ratio_vs_chars).
+
+    Rows-only (irreducibly): per-round corpus token counts from the
+    iterative trainer — no SQL twin. The pure-Python replay asserts the
+    curve exactly in tests.
     """
     tune(spark)
     merges, curve, _vocab = _bpe_train(spark, sf_dir, track_corpus_tokens=True)
@@ -1156,6 +1164,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 500 rows; columns (doc_id, n_words, n_tokens,
     n_chars).
+
+    Rows-only (irreducibly): applies the iteratively-trained merge
+    table — no SQL twin for the training half. Per-doc token counts
+    equal a pure-Python train+apply replay exactly in tests.
     """
     tune(spark)
     _merges, _curve, vocab = _bpe_train(spark, sf_dir)
@@ -1851,6 +1863,10 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 500 rows; columns (doc_id, lang, n_bytes,
     comp_bytes, ratio_micro).
+
+    Rows-only (irreducibly): zlib runs only in the Python workers — no
+    DuckDB twin. Exact equality with a driver-side pure-Python zlib
+    replay asserted in tests/test_llm_ops.py.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

@@ -371,6 +371,11 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 1 rows; columns (files_before, files_after,
     n_rows).
+
+    Rows-only (irreducibly): output is a FILE-COUNT audit of a
+    filesystem rewrite; DuckDB has no view of Spark's task file layout.
+    Row preservation is proven by the in-query count; layout collapse
+    asserted in tests/test_corpus.py.
     """
     import glob
 
@@ -995,6 +1000,11 @@ def profile_parquet_footers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 5 rows; columns (event_type, n_files,
     n_rows, n_row_groups).
+
+    Rows-only (irreducibly): audits the PHYSICAL file/row-group layout
+    of a Spark write in a fresh scratch dir; DuckDB has no view of that
+    filesystem state. Row counts cross-checked against the logical
+    groupBy and layout asserted in tests/test_corpus.py.
     """
     import glob as _glob
 

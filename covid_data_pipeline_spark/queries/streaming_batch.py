@@ -266,7 +266,16 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, output_mode="complete")
 
 
-@query("stream_stateful_totals", oracle=None)  # rows-only: custom state op
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 1000000 AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming run of the applyInPandasWithState custom operator
     (per-user running totals in GroupState, update mode): drain the
@@ -275,9 +284,14 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the plain batch aggregation is asserted in
     tests/test_streaming.py.
 
-    Driver sees (sf0.01): 150 rows; columns (user_id, n_events,
-    sum_value).
-    """
+    ORACLE-BACKED (round-9 promotion from rows-only, the
+    stream_change_detect precedent): the state carries the value total
+    as EXACT integer micro-units (order-free addition — see
+    streaming/transforms.py), so the final per-user emission equals the
+    batch SUM over quantized values bit-for-bit regardless of
+    micro-batch split, and a genuine streaming run hash-checks against
+    plain batch SQL at every sf.  Multi-batch state carry is witnessed
+    separately by test_stateful_totals_carry_state_across_batches."""
     from ..streaming import read_events_stream, run_available_now
 
     tune(spark)
@@ -726,6 +740,12 @@ def stream_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver sees (sf0.01): 40 rows; columns (event_type, user_id,
     est_count, n_seen).
+
+    Rows-only (irreducibly): custom GroupState operator on a TRUE
+    incremental stream; the sketch state evolves per micro-batch. Exact
+    Space-Saving invariants (sum(est) == n_seen, no undercount, <=
+    capacity counters) asserted vs batch truth in
+    tests/test_streaming.py.
     """
     from ..streaming import read_events_stream, run_available_now
 
@@ -926,7 +946,13 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: progress metrics are O(1) per micro-batch regardless of
     data volume — the monitoring plane is free; ship them to the
-    metrics sink via a StreamingQueryListener in production."""
+    metrics sink via a StreamingQueryListener in production.
+
+    Rows-only (irreducibly): the output IS the engine's own
+    StreamingQueryProgress telemetry (batch counts, state rows) — no
+    SQL twin exists by definition. Exact expected values at fixture
+    scale asserted in tests/test_streaming.py.
+    """
     import uuid
 
     from ..streaming import read_events_stream

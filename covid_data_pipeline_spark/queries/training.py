@@ -358,33 +358,49 @@ def kmeans_lloyd(
     best = None
     for _ in range(iters):
         cdf = spark.createDataFrame(cents, "cid int, c array<double>")
-        d2 = F.aggregate(
-            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
+        # squared L2 QUANTIZED per dimension to integer 1e-12 units
+        # (floor(t*1e12 + 0.5) — floor of a double is exact) and summed
+        # as int64: integer addition is order-free, so the distance —
+        # and therefore every assignment, tie-break, and cost — is
+        # bit-identical at any partitioning AND across engines (the
+        # graph_pagerank quantized-iteration idiom, round-9 promotion).
+        d2q = F.aggregate(
+            F.zip_with(
+                "v",
+                "c",
+                lambda x, y: F.floor((x - y) * (x - y) * F.lit(1e12) + F.lit(0.5)),
+            ),
+            F.lit(0).cast("long"),
             lambda a, x: a + x,
         )
         cand = e.crossJoin(F.broadcast(cdf)).select(
-            "vec_id", "v", "cid", d2.alias("d2")
+            "vec_id", "v", "cid", d2q.alias("d2q")
         )
         if best is not None:
             best.unpersist()
-        # nearest centroid via min(struct(d2, cid)) hash-aggregate — a
+        # nearest centroid via min(struct(d2q, cid)) hash-aggregate — a
         # map-side-combinable agg (no sort, shuffles one row per vector)
         # instead of a row_number window; ties break on cid exactly like
-        # an ORDER BY d2, cid window would.  v is constant per vec_id so
+        # an ORDER BY d2q, cid window would.  v is constant per vec_id so
         # any() is deterministic.  Persisted: the cost action and the
         # means action both consume the assignment — without this each
         # iteration recomputes the distance cross product twice.
         best = (
             cand.groupBy("vec_id")
             .agg(
-                F.min(F.struct("d2", "cid")).alias("s"),
+                F.min(F.struct("d2q", "cid")).alias("s"),
                 F.any_value("v").alias("v"),
             )
-            .select("vec_id", "v", F.col("s.cid").alias("cid"), F.col("s.d2").alias("d2"))
+            .select(
+                "vec_id", "v", F.col("s.cid").alias("cid"), F.col("s.d2q").alias("d2q")
+            )
             .persist()
         )
-        costs.append(best.agg(dsum("d2").alias("c")).collect()[0]["c"])
+        costs.append(
+            best.agg(
+                (F.sum("d2q").cast("double") / F.lit(1e12)).alias("c")
+            ).collect()[0]["c"]
+        )
         means = (
             best.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -396,7 +412,8 @@ def kmeans_lloyd(
             by_cid.setdefault(r["cid"], [0.0] * 64)[r["pos"]] = r["m"]
         cents = [(cid, vec) for cid, vec in sorted(by_cid.items())]
     summary = best.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_members"), dsum("d2").alias("cost")
+        F.count(F.lit(1)).alias("n_members"),
+        (F.sum("d2q").cast("double") / F.lit(1e12)).alias("cost"),
     )
     # localize the k-row summary so both caches (corpus projection + last
     # assignment) can be RELEASED — the session is shared with ~160 other
@@ -409,19 +426,95 @@ def kmeans_lloyd(
     return spark.createDataFrame(rows, schema), costs
 
 
-@query("sim_kmeans_lloyd", oracle=None)  # rows-only: iterative algorithm
+# Static unroll of kmeans_lloyd's 3 Lloyd rounds (the graph_pagerank /
+# ts_pacf idiom): every cross-engine float hazard is removed by
+# construction — per-dimension squared deltas quantized to integer
+# 1e-12 units (order-free BIGINT sums decide assignments and ties),
+# centroid means as DECIMAL(28,6)-exact sums over RAW corpus doubles
+# (never over computed floats) followed by one IEEE division.  Identical
+# inputs + identical IEEE ops per round => bit-identical assignments,
+# centroids, and costs on both engines.
+_KM_K = 10
+_KM_ITERS = 3
+
+
+def _km_oracle() -> str:
+    it = """
+    a{k} AS (
+        SELECT vec_id, v, cid, d2q
+        FROM (
+            SELECT vv.vec_id, vv.v, cc.cid,
+                   CAST(list_sum(
+                       [CAST(floor((vv.v[i] - cc.c[i]) * (vv.v[i] - cc.c[i])
+                                   * 1e12 + 0.5) AS BIGINT)
+                        FOR i IN range(1, 65)]) AS BIGINT) AS d2q
+            FROM v vv CROSS JOIN c{k} cc
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d2q, cid) = 1
+    ),
+    c{k1} AS (
+        SELECT cid, list(m ORDER BY pos) AS c
+        FROM (
+            SELECT cid, pos,
+                   CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(x) AS m
+            FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+                         unnest(v) AS x
+                  FROM a{k})
+            GROUP BY cid, pos
+        )
+        GROUP BY cid
+    )"""
+    iters = ",".join(it.format(k=k, k1=k + 1) for k in range(_KM_ITERS - 1))
+    last = _KM_ITERS - 1
+    return f"""
+    WITH v AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(vec_id AS INT) AS cid, v AS c
+        FROM v ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    {iters},
+    a{last} AS (
+        SELECT vec_id, cid, d2q
+        FROM (
+            SELECT vv.vec_id, cc.cid,
+                   CAST(list_sum(
+                       [CAST(floor((vv.v[i] - cc.c[i]) * (vv.v[i] - cc.c[i])
+                                   * 1e12 + 0.5) AS BIGINT)
+                        FOR i IN range(1, 65)]) AS BIGINT) AS d2q
+            FROM v vv CROSS JOIN c{last} cc
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d2q, cid) = 1
+    )
+    SELECT cid, COUNT(*) AS n_members,
+           CAST(CAST(SUM(d2q) AS BIGINT) AS DOUBLE) / 1e12 AS cost
+    FROM a{last} GROUP BY cid
+    """
+
+
+@query("sim_kmeans_lloyd", oracle=_km_oracle())
 def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering (3 Lloyd iterations, k=10) over embeddings —
-    the genuinely iterative algorithm of the suite (the category the
-    driver contract exempts from SQL oracles) and the real trainer for
-    the IVF coarse quantizer that sim_ann_ivf fakes with labels.
+    the genuinely iterative algorithm of the suite and the real trainer
+    for the IVF coarse quantizer that sim_ann_ivf fakes with labels.
     Per-cluster member counts + within-cluster cost; convergence
     (non-increasing cost) and exactness properties are asserted in
     tests/test_llm_ops.py.  See :func:`kmeans_lloyd` for the
     distributed shape.
 
-    Driver sees (sf0.01): 10 rows; columns (cid, n_members, cost).
-    """
+    ORACLE-BACKED (round-9 promotion from rows-only): the three rounds
+    are statically unrolled into DuckDB CTEs (_km_oracle), legal because
+    the iteration was made cross-engine exact — integer-quantized
+    distances decide assignments (order-free sums, deterministic
+    dist-then-cid ties) and centroid means are decimal-exact over raw
+    corpus values only.  The Spark side keeps its iterative
+    driver-coordinated shape (the honest 100 TB form); the oracle proves
+    the arithmetic, not the orchestration."""
     summary, _ = kmeans_lloyd(spark, sf_dir, iters=3, k=10)
     return summary
 

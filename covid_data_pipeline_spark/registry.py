@@ -73,68 +73,66 @@ _loaded = False
 # driver ever samples differently, the local preflight remains the
 # source of truth.
 #
-# Round-8 window (gen_showcase.py + VERDICT r7 item 1): after r7,
-# exactly 87 oracle-backed ids (the r7 additions) and 3 rows-only ids
-# had never been driver-sampled — a two-round backlog at 50/round.
-# This window: 5 flagship re-witness slots + pipeline_corpus_build
-# (the round-8 flagship composition, slotted per VERDICT r7 item 4) +
-# 44 of the 90 never-witnessed ids, fronted by the verdict-named
-# priorities (the statistical-test battery, the SQL-surface ids, the
-# graph/ts families) and the 3 never-witnessed ids that were rows-only
-# at r7 close (stream_last_touch_state was promoted to oracle-backed
-# mid-r8); the
-# remaining ~46 rotate in at r9.
+# Round-9 window (gen_showcase.py + VERDICT r8 item 1): after r8,
+# exactly 62 ids lacked an external CORRECTNESS row (45 r7 leftovers +
+# the 17 r8 additions) — all oracle-backed, all driversim-green.  This
+# window: 5 flagship re-witness slots + 45 of the 62, fronted by the
+# verdict-named priorities (the two unwitnessed compositions, the r8
+# inference family, win_vwap, quality_null_profile,
+# corpus_curriculum_order, text_keyness_loglik,
+# analytics_price_elasticity, graph_clustering_coeff), then the r7
+# leftovers in registry order; the residual 17 rotate in at r10.
 SHOWCASE = (
     "agg_groupby",  # flagship re-witness
     "join_inner",  # flagship re-witness
     "dedup_exact",  # flagship re-witness
     "dedup_near_jaccard",  # flagship re-witness
     "sim_topk_neighbors",  # flagship re-witness
-    "pipeline_corpus_build",  # round-8 flagship composition, new
-    "agg_ks_test",  # never witnessed
-    "agg_welch_ttest",  # never witnessed
-    "agg_mannwhitney_u",  # never witnessed
-    "agg_jarque_bera",  # never witnessed
-    "agg_anova_oneway",  # never witnessed
-    "agg_spearman_rho",  # never witnessed
-    "agg_cramers_v",  # never witnessed
-    "sql_correlated_scalar",  # never witnessed
-    "sql_exists_correlated",  # never witnessed
-    "sql_window_named_clause",  # never witnessed
-    "sql_star_except",  # never witnessed
-    "sql_group_by_all",  # never witnessed
-    "sql_aggregate_filter_clause",  # never witnessed
-    "graph_adamic_adar",  # never witnessed
-    "graph_degree_assortativity",  # never witnessed
-    "graph_kcore",  # never witnessed (rows-only)
-    "ts_cross_correlation",  # never witnessed
-    "ts_ljung_box",  # never witnessed
-    "ts_local_peaks",  # never witnessed
-    "ts_mann_kendall",  # never witnessed
-    "ts_runs_test",  # never witnessed
-    "ts_seasonality_strength",  # never witnessed
-    "ts_stl_anomalies",  # never witnessed
-    "ts_theil_sen",  # never witnessed
-    "stream_progress_metrics",  # never witnessed (rows-only)
-    "stream_last_touch_state",  # never witnessed (r8-promoted to oracle-backed)
-    "sink_csv_quoted_escapes",  # never witnessed
-    "scan_parquet_file_metadata",  # never witnessed
-    "scan_csv_gz_codec",  # never witnessed
-    "scan_nested_struct_roundtrip",  # never witnessed
-    "scan_recursive_directory",  # never witnessed
-    "scan_aggregate_pushdown",  # never witnessed
-    "join_spatial_nearest",  # never witnessed
-    "join_scd2_point_in_time",  # never witnessed
-    "agg_percentile_cont_exact",  # never witnessed
-    "agg_benford_deviation",  # never witnessed
-    "agg_string_agg_ordered",  # never witnessed
-    "agg_trimmed_mean",  # never witnessed
-    "agg_geo_harmonic_means",  # never witnessed
-    "agg_circular_mean_hour",  # never witnessed
-    "agg_ratio_metric_delta_ci",  # never witnessed
-    "agg_tukey_fences_outliers",  # never witnessed
-    "agg_cvar_expected_shortfall",  # never witnessed
-    "win_rsi",  # never witnessed
+    "pipeline_quality_report",  # never witnessed; verdict-priority composition
+    "pipeline_experiment_readout",  # never witnessed; verdict-priority composition
+    "agg_fisher_exact",  # never witnessed; r8 inference family
+    "agg_permutation_test",  # never witnessed; r8 inference family
+    "agg_wilcoxon_signed",  # never witnessed; r8 inference family
+    "agg_chi2_gof",  # never witnessed; r8 inference family
+    "agg_binomial_ztest",  # never witnessed; r8 inference family
+    "agg_poisson_rate_ratio",  # never witnessed; r8 inference family
+    "analytics_ab_srm",  # never witnessed; r8 inference family
+    "win_vwap",  # never witnessed; verdict-named
+    "quality_null_profile",  # never witnessed; verdict-named
+    "corpus_curriculum_order",  # never witnessed; verdict-named
+    "text_keyness_loglik",  # never witnessed; verdict-named
+    "analytics_price_elasticity",  # never witnessed; verdict-named
+    "graph_clustering_coeff",  # never witnessed; verdict-named
+    "win_seasonal_naive_error",  # never witnessed
+    "win_stochastic_oscillator",  # never witnessed
+    "win_ulcer_index",  # never witnessed
+    "win_seasonal_zscore",  # never witnessed
+    "win_xmr_control_chart",  # never witnessed
+    "stream_upsert_foreachbatch",  # never witnessed
+    "pipeline_rollup_merge",  # never witnessed
+    "analytics_last_touch_attribution",  # never witnessed
+    "quality_freshness_report",  # never witnessed
+    "quality_calendar_coverage",  # never witnessed
+    "agg_theil_index",  # never witnessed
+    "agg_atkinson_index",  # never witnessed
+    "analytics_lorenz_points",  # never witnessed
+    "analytics_pareto_8020",  # never witnessed
+    "analytics_cohort_ltv_curve",  # never witnessed
+    "analytics_leadtime_percentiles",  # never witnessed
+    "analytics_state_dwell_time",  # never witnessed
+    "analytics_priority_mix_shift",  # never witnessed
+    "analytics_shift_share",  # never witnessed
+    "sim_hybrid_rrf",  # never witnessed
+    "sim_mmr_diversify",  # never witnessed
+    "sim_knn_classify",  # never witnessed
+    "sim_silhouette_labels",  # never witnessed
+    "text_ngram_novelty",  # never witnessed
+    "text_readability",  # never witnessed
+    "text_sttr_lexical_diversity",  # never witnessed
+    "text_case_pattern_profile",  # never witnessed
+    "text_boilerplate_lines",  # never witnessed
+    "text_simpson_diversity",  # never witnessed
+    "text_vocab_jaccard_langs",  # never witnessed
 )
 
 

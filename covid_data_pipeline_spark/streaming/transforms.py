@@ -115,24 +115,36 @@ def stateful_user_totals(df: DataFrame) -> DataFrame:
     State is one tiny tuple per user (bounded by distinct users, not
     events); at 100 TB the state store shards with the shuffle partitions
     of the user_id grouping.  Arrow-batched — the per-row Python cost is
-    amortized across each micro-batch."""
+    amortized across each micro-batch.
+
+    The value total is carried as EXACT integer micro-units
+    (floor(value*1e6 + 0.5), summed as int64) rather than a running
+    float: integer addition is order-free, so the emitted total is
+    bit-identical at any micro-batch split / arrival order — the same
+    determinism doctrine as the batch DECIMAL trick (_helpers.DEC), and
+    what lets a genuine streaming run hash-check against batch SQL
+    (events.value is 2-decimal money, so the quantization is exact).
+    The emitted double is one exact division s/1e6."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update_totals(key, pdfs, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        import numpy as np
+
+        n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            v = pdf["value"].to_numpy(dtype="float64")
+            s += int(np.floor(v * 1e6 + 0.5).sum())
         state.update((n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 1e6]}
         )
 
     return df.groupBy("user_id").applyInPandasWithState(
         update_totals,
         outputStructType="user_id long, n_events long, sum_value double",
-        stateStructType="n long, s double",
+        stateStructType="n long, s long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -223,16 +235,20 @@ def tws_user_totals(df: DataFrame) -> DataFrame:
 
     class _UserTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", "n long, s double")
+            # exact integer micro-units, like stateful_user_totals
+            self._totals = handle.getValueState("totals", "n long, s long")
 
         def handleInputRows(self, key, rows, timerValues):
-            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            import numpy as np
+
+            n, s = self._totals.get() if self._totals.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                s += float(pdf["value"].sum())
+                v = pdf["value"].to_numpy(dtype="float64")
+                s += int(np.floor(v * 1e6 + 0.5).sum())
             self._totals.update((n, s))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 1e6]}
             )
 
         def close(self) -> None:

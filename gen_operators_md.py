@@ -91,11 +91,6 @@ ROWS_ONLY_WHY = {
         "driver-contract category exempt from SQL twins. Determinism and "
         "recall@5 >= 0.7 vs the brute-force twin asserted in tests."
     ),
-    "dedup_semdedup_kmeans": (
-        "k-means-learned blocking (iterative, model-state) — no SQL twin. "
-        "Determinism and EXACT equality with the label-blocked oracle-"
-        "checked twin asserted in tests."
-    ),
     "text_bpe_compression": (
         "per-round corpus token counts from the iterative trainer — no "
         "SQL twin. The pure-Python replay asserts the curve exactly in "
@@ -129,11 +124,6 @@ ROWS_ONLY_WHY = {
         "window over DataSketches HLL sketches — engine-specific. 5% "
         "agreement vs exact sliding distinct asserted day-by-day in tests."
     ),
-    "stream_stateful_totals": (
-        "applyInPandasWithState custom operator (update-mode emissions). "
-        "Final state equals the batch aggregate — asserted in "
-        "tests/test_streaming.py."
-    ),
     "dedup_minhash_lsh": (
         "LSH is approximate BY DESIGN (recall < 1); an exact oracle would "
         "assert the wrong contract. Recall >= 0.8 vs the exact Jaccard twin "
@@ -152,10 +142,6 @@ ROWS_ONLY_WHY = {
     "sim_ann_ivf": (
         "approximate (nprobe-bounded cell search). Recall vs brute force "
         "asserted in tests."
-    ),
-    "sim_kmeans_lloyd": (
-        "genuinely iterative algorithm (driver contract exempts these). "
-        "Cost monotonicity + deterministic init asserted in tests."
     ),
     "sim_pca_project": (
         "eigenvector sign/order are numpy implementation detail. Variance "

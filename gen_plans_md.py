@@ -320,6 +320,24 @@ SHOWN = (
         "check: 4 events scans, zero runtime reuse.",
         False,
     ),
+    (
+        "pipeline_incremental_ingest",
+        "Round-9 flagship: stage gates are PER-ROW FLAGS folded by ONE "
+        "wide conditional aggregate and exploded into the 9 report rows "
+        "— documents scanned exactly 4x (two increment feed branches + "
+        "corpus hash index + corpus count), one intra-dedup window, the "
+        "DISTINCT corpus index broadcast into the hash join, no driver "
+        "action and no Python between stages.",
+        False,
+    ),
+    (
+        "pipeline_decontaminate",
+        "The TEST split's distinct shingles broadcast into the train-"
+        "side join (the corpus never shuffles by shingle — the eval "
+        "split is fixed-size at any corpus scale); the kill list is "
+        "doc_id-distinct and left-joined into one 3-row split report.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead

@@ -283,7 +283,10 @@ def test_kmeans_cost_monotone_and_exact_partition(spark):
 
     summary, costs = kmeans_lloyd(spark, SF_ORACLE, iters=3, k=10)
     assert len(costs) == 3
-    assert all(costs[i + 1] <= costs[i] + 1e-9 for i in range(len(costs) - 1)), costs
+    # 1e-6 slack: the assignment step minimizes the QUANTIZED objective
+    # (integer 1e-12 units — the round-9 oracle promotion), whose wobble
+    # vs the true objective is bounded by 0.5e-12 per dimension term
+    assert all(costs[i + 1] <= costs[i] + 1e-6 for i in range(len(costs) - 1)), costs
     rows = summary.collect()
     n_vecs = load(spark, SF_ORACLE, "embeddings").count()
     assert sum(r["n_members"] for r in rows) == n_vecs

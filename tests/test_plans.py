@@ -1527,3 +1527,31 @@ def test_experiment_readout_single_scan_all_jvm(spark):
     assert "3841459" in plan
     simple = plan_of(df, mode="simple")
     assert simple.count("Scan parquet") == 1, simple
+
+
+def test_incremental_ingest_one_wide_agg_bounded_scans(spark):
+    """pipeline_incremental_ingest (the round-9 flagship composition)
+    follows the one-wide-aggregate discipline: stage gates are per-row
+    flags folded by ONE conditional aggregate and exploded into report
+    rows — NOT a union of per-stage aggregate subtrees — so documents
+    is scanned exactly 4x (two increment feed branches + the corpus
+    hash index + the corpus count), with one intra-dedup window, no
+    driver action between stages, no Python eval, and no cartesian
+    product."""
+    from covid_data_pipeline_spark.registry import load_all as _la
+    from pyspark.sql import DataFrame as _DF
+
+    called = []
+    orig = _DF.collect
+    _DF.collect = lambda self: (called.append(1), orig(self))[1]
+    try:
+        df = _la()["pipeline_incremental_ingest"].fn(spark, SF_ORACLE)
+    finally:
+        _DF.collect = orig
+    assert not called, "stage boundary used collect() — not one fused plan"
+    plan = plan_of(df, mode="simple")
+    assert "EvalPython" not in plan, "composition must stay JVM-side"
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("documents.parquet") == 4, plan
+    # ONE wide conditional aggregate + the corpus count — not 9 subtrees
+    assert plan.count("Window") == 1, plan

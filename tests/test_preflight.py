@@ -182,3 +182,18 @@ def test_migration_doc_references_only_registered_queries():
     assert ids, "MIGRATION.md lost its query references?"
     ghosts = sorted(ids - reg)
     assert not ghosts, f"MIGRATION.md references unregistered ids: {ghosts}"
+
+
+def test_every_rows_only_query_justifies_itself_in_docstring():
+    """Round-9 doctrine (VERDICT r8 item 2): an oracle-less query must
+    state IN ITS OWN DOCSTRING why it is irreducibly rows-only (and what
+    asserts its correctness instead) — not only in the generated
+    OPERATORS.md table — so the justification travels with the code."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    bad = [
+        n
+        for n, s in load_all().items()
+        if s.oracle is None and "rows-only" not in (s.fn.__doc__ or "").lower()
+    ]
+    assert not bad, f"rows-only ids without in-docstring justification: {bad}"

@@ -177,18 +177,27 @@ def test_stateful_totals_match_batch_groupby(spark):
         r["user_id"]: (r["n_events"], r["sum_value"])
         for r in load_all()["stream_stateful_totals"].fn(spark, SF_SMOKE).collect()
     }
+    # exact equality: the state sums integer micro-units, so the final
+    # total must equal the batch sum over identically-quantized values
+    # bit-for-bit (this is what backs the query's oracle promotion)
     want = {
         r["user_id"]: (r["n"], r["s"])
         for r in load(spark, SF_SMOKE, "events")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long"))
+                .cast("double") / 1e6
+            ).alias("s"),
+        )
         .collect()
     }
     assert set(got) == set(want)
     for uid, (n, s) in want.items():
         gn, gs = got[uid]
         assert gn == n, (uid, gn, n)
-        assert abs(gs - s) <= 1e-9 * max(1.0, abs(s)), (uid, gs, s)
+        assert gs == s, (uid, gs, s)
 
 
 def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
