@@ -2458,3 +2458,148 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9 composition #3: cumulative feed -> daily series report, one plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_daily_series_report",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, d,
+               (d - DATE '2024-01-01') AS di,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM daily
+    ),
+    reported AS (
+        SELECT event_type, d, di,
+               CASE WHEN di % 7 = 3 THEN (c * 9) // 10 ELSE c END
+                   AS reported_cum
+        FROM cum
+    ),
+    derived AS (
+        SELECT event_type, d, di, reported_cum,
+               COALESCE(reported_cum - LAG(reported_cum)
+                            OVER (PARTITION BY event_type ORDER BY di),
+                        reported_cum) AS new_cases
+        FROM reported
+    ),
+    scored AS (
+        SELECT event_type, d, di, reported_cum, new_cases,
+               new_cases - LAG(new_cases)
+                   OVER (PARTITION BY event_type ORDER BY di) AS dod_delta,
+               CAST(SUM(new_cases) OVER w7 AS BIGINT) AS s7,
+               COUNT(new_cases) OVER w7 AS c7
+        FROM derived
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY di
+                      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, reported_cum,
+           new_cases, dod_delta,
+           CASE WHEN new_cases < 0 THEN 1 ELSE 0 END AS is_restatement,
+           CASE WHEN c7 > 0
+                THEN CAST(floor(1000000.0 * s7 / c7 + 0.5) AS BIGINT)
+                ELSE NULL END AS trail7_avg_micro,
+           CASE WHEN c7 > 0 AND new_cases * c7 > 2 * s7 THEN 1
+                WHEN c7 > 0 THEN 0 ELSE NULL END AS is_spike
+    FROM scored
+    """,
+)
+def pipeline_daily_series_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's downstream PRODUCT as one fused plan — round-9
+    composition #3: health sources publish CUMULATIVE counters, and the
+    pipeline's daily job derives the series a dashboard actually shows:
+    daily new counts by differencing the reported cumulative, a 7-day
+    trailing average, day-over-day deltas, spike flags, and RESTATEMENT
+    detection (a source correcting history makes the cumulative counter
+    drop, so the derived daily goes negative — the classic
+    reported-data artifact this operator family exists to surface).
+
+    Fixture honesty: the raw event feed has no reporting errors, so the
+    reported series is seeded with the real-world artifact — every
+    ``(day - start) % 7 == 3`` report UNDER-counts by 10% (integer
+    ``div(c*9, 10)``) and the next day silently corrects, which makes
+    differencing emit one genuine negative (restatement) per type per
+    week at every sf.  All counters are witnessed: spikes fire on the
+    post-correction rebound days.
+
+    Determinism: counts, cumulative sums, and the under-count are pure
+    BIGINT; the only division is the trailing average, one IEEE op
+    micro-quantized (floor(1e6*s/c + 0.5)); the spike test is the
+    integer cross-multiply new*c7 > 2*s7 (the analytics_ab_srm
+    doctrine — no float threshold anywhere).  The trailing window is a
+    RANGE frame over the day index, so sparse calendars compare dates,
+    not rows (the win_week_over_week lesson).
+
+    Scale: ONE events scan feeds the daily rollup; everything after is
+    calendar-bounded per type (|types| x |days| rows), three windows
+    sharing the (event_type, di) sort — at 100 TB the corpus-sized
+    stage is the daily aggregate, the report is dashboard-sized."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.datediff("d", F.lit("2024-01-01")).alias("di"),
+        F.sum("n").over(wcum).alias("c"),
+    )
+    reported = cum.select(
+        "event_type",
+        "d",
+        "di",
+        F.when(F.col("di") % 7 == 3, F.expr("div(c * 9, 10)"))
+        .otherwise(F.col("c"))
+        .alias("reported_cum"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("di")
+    derived = reported.withColumn(
+        "new_cases",
+        F.coalesce(
+            F.col("reported_cum") - F.lag("reported_cum").over(wlag),
+            F.col("reported_cum"),
+        ),
+    )
+    w7 = Window.partitionBy("event_type").orderBy("di").rangeBetween(-7, -1)
+    scored = derived.select(
+        "event_type",
+        "d",
+        "reported_cum",
+        "new_cases",
+        (F.col("new_cases") - F.lag("new_cases").over(wlag)).alias("dod_delta"),
+        F.sum("new_cases").over(w7).alias("s7"),
+        F.count("new_cases").over(w7).alias("c7"),
+    )
+    c7 = F.col("c7")
+    return scored.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "reported_cum",
+        "new_cases",
+        "dod_delta",
+        F.when(F.col("new_cases") < 0, 1).otherwise(0).alias("is_restatement"),
+        F.when(
+            c7 > 0,
+            F.floor(F.lit(1000000.0) * F.col("s7") / c7 + F.lit(0.5)).cast("long"),
+        ).alias("trail7_avg_micro"),
+        F.when(c7 <= 0, F.lit(None).cast("int"))
+        .when(F.col("new_cases") * c7 > 2 * F.col("s7"), 1)
+        .otherwise(0)
+        .alias("is_spike"),
+    )

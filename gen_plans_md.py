@@ -338,6 +338,14 @@ SHOWN = (
         "doc_id-distinct and left-joined into one 3-row split report.",
         False,
     ),
+    (
+        "pipeline_daily_series_report",
+        "ONE events scan feeds the daily rollup; the cumulative, "
+        "difference, and 7-day RANGE-frame stages are three Window "
+        "passes sharing the (event_type, day-index) sort on the "
+        "calendar-bounded table — no second shuffle after the rollup.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead

@@ -1555,3 +1555,14 @@ def test_incremental_ingest_one_wide_agg_bounded_scans(spark):
     assert plan.count("documents.parquet") == 4, plan
     # ONE wide conditional aggregate + the corpus count — not 9 subtrees
     assert plan.count("Window") == 1, plan
+
+
+def test_daily_series_report_one_scan_shared_sort(spark):
+    """pipeline_daily_series_report reads events exactly ONCE; the three
+    window passes share the (event_type, day-index) sort order, and the
+    whole report stays JVM-side with no cartesian product."""
+    df = q("pipeline_daily_series_report", spark)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("events.parquet") == 1, plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
