@@ -77,6 +77,13 @@ _QUERIES = (
     "pipeline_decontaminate",
     "pipeline_daily_series_report",
     "sim_kmeans_lloyd",
+    # round-8 compositions, retroactively swept: each chains multiple
+    # stage reductions whose interactions the per-stage operators'
+    # entries don't cover
+    "pipeline_corpus_build",
+    "pipeline_quality_report",
+    "pipeline_experiment_readout",
+    "pipeline_dedup_funnel",
 )
 
 _GEOMETRIES = (
