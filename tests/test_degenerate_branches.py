@@ -369,3 +369,87 @@ def test_fisher_exact_matches_pure_python_hypergeometric(spark):
         want = math.floor(1_000_000.0 * p + 0.5)
         assert got[et]["n_days"] == n and got[et]["a_obs"] == a
         assert got[et]["p_two_sided_micro"] == want, (et, got[et], want)
+
+
+def test_incremental_ingest_clean_gate_drops_whitespace_only_doc(
+    spark, tmp_path
+):
+    """pipeline_incremental_ingest's clean gate (length(cleaned) >= 1)
+    drops nothing on the real fixtures — every document has text.  A
+    doctored whitespace-only document (cleaned to the empty string by
+    the trim+fold normalizer) must be counted at 'offered' but die at
+    'clean' IDENTICALLY on both engines, and, being outside every
+    seeded feed (doc_id % 5 != 0, % 20 not in {0, 10}, % 15 != 1), it
+    must not perturb any later stage relative to its own funnel."""
+    extra = spark.createDataFrame(
+        [(999_983, "   \t  ", "en", "src9", 6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = _doctored_dir(tmp_path, spark, "documents", extra)
+    reg = load_all()
+    run_compare(
+        "pipeline_incremental_ingest",
+        reg["pipeline_incremental_ingest"],
+        spark,
+        _doctored_duck(d),
+        d,
+    )
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in reg["pipeline_incremental_ingest"].fn(spark, d).collect()
+    }
+    base = {
+        r["stage"]: r["n_docs"]
+        for r in reg["pipeline_incremental_ingest"].fn(spark, SF_SMOKE).collect()
+    }
+    assert rows["offered"] == base["offered"] + 1
+    assert rows["clean"] == base["clean"], "whitespace-only doc must die at clean"
+    assert rows["quality"] == base["quality"]
+    assert rows["merged_total"] == base["merged_total"]
+
+
+def test_decontaminate_too_short_doc_has_no_shingles_but_is_reported(
+    spark, tmp_path
+):
+    """pipeline_decontaminate's shingle stage excludes documents shorter
+    than the n-gram length (len(tokens) < 3 -> zero grams) — a branch
+    no fixture document reaches.  A doctored 2-token TRAIN document
+    must appear in its split's n_before/n_after (it cannot leak, so it
+    cannot be killed) and the full report must still hash-match the
+    DuckDB oracle.  doc_id chosen so the Knuth-hash bucket lands in
+    train (b < 80)."""
+    from covid_data_pipeline_spark.queries.pipeline import (
+        _DECON_MOD,
+        _DECON_MULT,
+    )
+
+    doc_id = next(
+        i
+        for i in range(999_000, 1_000_000)
+        if (i * _DECON_MULT) % _DECON_MOD % 100 < 80
+    )
+    extra = spark.createDataFrame(
+        [(doc_id, "two tokens", "en", "src9", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = _doctored_dir(tmp_path, spark, "documents", extra)
+    reg = load_all()
+    run_compare(
+        "pipeline_decontaminate",
+        reg["pipeline_decontaminate"],
+        spark,
+        _doctored_duck(d),
+        d,
+    )
+    rows = {
+        r["split"]: (r["n_before"], r["n_dropped"], r["n_after"])
+        for r in reg["pipeline_decontaminate"].fn(spark, d).collect()
+    }
+    base = {
+        r["split"]: (r["n_before"], r["n_dropped"], r["n_after"])
+        for r in reg["pipeline_decontaminate"].fn(spark, SF_SMOKE).collect()
+    }
+    assert rows["train"][0] == base["train"][0] + 1
+    assert rows["train"][1] == base["train"][1], "gram-less doc cannot be killed"
+    assert rows["train"][2] == base["train"][2] + 1
+    assert rows["test"] == base["test"]
