@@ -830,18 +830,28 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.  Contract asserted in tests/test_llm_ops.py: bit-deterministic
     across runs, and on this fixture the output EQUALS the label-blocked
     exact twin (every seeded duplicate group lands in one cluster —
-    scaled copies have cosine 1.0 with their source, so they share its
+    scaled copies have cosine ~1.0 with their source, so they share its
     nearest centroid; no non-seeded pair anywhere reaches 0.9).
 
     ORACLE-BACKED (round-9 promotion from rows-only): because that
     equality holds by the margin argument above — seeded pairs sit at
-    cosine ~1.0, every non-seeded pair below 0.51, and exact copies
-    cannot be split across centroids — the exact twin's SQL
+    cosine ~1.0, every non-seeded pair below 0.51, and copies land on
+    their source's nearest centroid — the exact twin's SQL
     (_EMB_DEDUP_ORACLE) IS this query's oracle, turning the fixture
-    equality assertion into a per-round external hash check.  On a real
-    corpus the two variants diverge by design (learned blocking trades
-    recall for never needing labels); the fixture is constructed so
-    they cannot.
+    equality assertion into a per-round external hash check.  Margin
+    caveat (round-9 advice): the x3.0-scaled copies' NORMALIZED vectors
+    are not bit-identical to their sources — fl(3x)/‖fl(3x)‖ rounds per
+    component for non-power-of-two factors — so copies share the
+    source's centroid only up to an ulp-sized perturbation against the
+    Voronoi boundaries (cosine ~1.0, not exactly 1.0), not by exact
+    construction.  That slack is ~1e-16 against a >0.39 cosine margin
+    on this fixture, but it is FIXTURE-CONDITIONAL: a fixture or
+    ``_SEM_K`` change could silently move a copy across a boundary, so
+    the separate twin-equality test in tests/test_llm_ops.py remains
+    the guard that must fail loudly before the oracle ever could.  On a
+    real corpus the two variants diverge by design (learned blocking
+    trades recall for never needing labels); the fixture is constructed
+    so they cannot.
     """
     tune(spark)
     base = load(spark, sf_dir, "embeddings").select(

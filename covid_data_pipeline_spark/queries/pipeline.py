@@ -2220,8 +2220,11 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan discipline (the pipeline_quality_report lesson, improving on
     corpus_build's 9-subtree union): stage gates are computed as
     PER-ROW FLAGS in one pass, aggregated by ONE wide conditional
-    aggregate, and exploded into report rows — so documents is scanned
-    exactly TWICE (increment arm + corpus-index arm), with one window
+    aggregate, and exploded into report rows — so the fused plan scans
+    documents exactly FOUR times (the two increment feed branches —
+    base slice + seeded verbatim-duplicate feed — plus the corpus hash
+    index and the corpus count; plan-pinned at 4 by
+    test_incremental_ingest_one_wide_agg_bounded_scans), with one window
     (intra dedup rank over (hash, quality-flag)), one broadcast-able
     hash join against the DISTINCT corpus index, and no intermediate
     action or Python eval (plan-pinned in tests/test_plans.py).

@@ -1553,8 +1553,15 @@ def test_incremental_ingest_one_wide_agg_bounded_scans(spark):
     assert "EvalPython" not in plan, "composition must stay JVM-side"
     assert "CartesianProduct" not in plan, plan
     assert plan.count("documents.parquet") == 4, plan
-    # ONE wide conditional aggregate + the corpus count — not 9 subtrees
+    # exactly one window: the intra-increment dedup rank
     assert plan.count("Window") == 1, plan
+    # the one-wide-aggregate discipline, pinned on aggregate subtrees
+    # directly (round-9 advice): 3 logical aggregates — the ONE wide
+    # conditional report aggregate, the corpus-index DISTINCT, and the
+    # corpus count — each a partial/final HashAggregate pair, so 6
+    # physical nodes; corpus_build's 9-report-subtree shape would blow
+    # well past this
+    assert plan.count("HashAggregate") == 6, plan
 
 
 def test_daily_series_report_one_scan_shared_sort(spark):
