@@ -2606,3 +2606,151 @@ def pipeline_daily_series_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10 composition: the upsert OUTPUT itself — merged serving snapshot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_merged_snapshot",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus_hashes AS (SELECT DISTINCT h FROM corpus),
+    inc AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   CASE WHEN doc_id % 20 = 0 THEN upper(text) || ' UPDATE'
+                        ELSE text END, '\\s+', ' ', 'g')) AS cleaned
+        FROM documents
+        WHERE doc_id % 5 <> 0 OR doc_id % 20 = 0 OR doc_id % 20 = 10
+        UNION ALL
+        SELECT -doc_id - 1 AS doc_id,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS cleaned
+        FROM documents WHERE doc_id % 15 = 1
+    ),
+    qual AS (
+        SELECT doc_id, sha256(cleaned) AS h, (doc_id % 5 = 0) AS id_in_corpus
+        FROM inc WHERE length(cleaned) BETWEEN 50 AND 1000
+    ),
+    ranked AS (
+        SELECT doc_id, h, id_in_corpus,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM qual
+    ),
+    admitted AS (
+        SELECT r.doc_id, r.h, r.id_in_corpus
+        FROM ranked r LEFT JOIN corpus_hashes ch ON r.h = ch.h
+        WHERE r.rn = 1 AND ch.h IS NULL
+    ),
+    upd AS (SELECT doc_id, h AS h_new FROM admitted WHERE id_in_corpus)
+    SELECT c.doc_id AS doc_id,
+           COALESCE(u.h_new, c.h) AS h,
+           CASE WHEN u.h_new IS NOT NULL THEN 'updated'
+                ELSE 'carried' END AS provenance
+    FROM corpus c LEFT JOIN upd u ON c.doc_id = u.doc_id
+    UNION ALL
+    SELECT doc_id, h, 'new' AS provenance
+    FROM admitted WHERE NOT id_in_corpus
+    """,
+)
+def pipeline_merged_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING SNAPSHOT the incremental ingest actually ships — the
+    row-level output twin of pipeline_incremental_ingest, which reports
+    the funnel COUNTS of the very same run: every document of the
+    post-upsert corpus with its content hash and per-row provenance
+    (``carried`` = corpus row untouched today, ``updated`` = corpus row
+    replaced latest-wins by an admitted re-arrival of its id, ``new`` =
+    admitted first-time id).  Together the two operators are the
+    complete daily artifact: the audit an ingest owner signs off and
+    the snapshot the serving layer loads — and the funnel's
+    merged_total/merged_new/merged_updated rows are by construction
+    the GROUP BY provenance of this output (corpus_base + new =
+    carried + updated + new).
+
+    Stage reuse (identical expressions, identical fixture framing as
+    pipeline_incremental_ingest — see its docstring for the seeded
+    feeds): clean, quality gate, intra dedup (here the window keys on
+    h alone AFTER the quality filter — equivalent to rn=1 within the
+    (h, ok_quality=true) partition, one less key column), corpus-hash
+    anti-membership, then the upsert itself: corpus LEFT JOIN the
+    admitted-updates slice by doc_id (latest-wins replace), UNION ALL
+    the admitted-new slice.
+
+    Scale: output is corpus-sized — the one composition here that is
+    DELIBERATELY not a report, because the snapshot rewrite is the real
+    daily cost.  Both join sides against the corpus are broadcast-able
+    daily-increment slices (admitted updates ~increment-sized), so the
+    corpus is never shuffled: one broadcast hash join + one union over
+    a partition-preserving scan; the hash index side reuses
+    dedup_incremental_exact's uniform-sha256 no-skew argument.  The
+    window runs over the increment only (a day's data), never the
+    corpus."""
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    clean = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    corpus = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.sha2(clean(F.col("text")), 256).alias("h")
+    )
+    corpus_hashes = corpus.select("h").distinct()
+    inc = d.filter(
+        (F.col("doc_id") % 5 != 0)
+        | (F.col("doc_id") % 20 == 0)
+        | (F.col("doc_id") % 20 == 10)
+    ).select(
+        "doc_id",
+        clean(
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.concat(F.upper("text"), F.lit(" UPDATE")),
+            ).otherwise(F.col("text"))
+        ).alias("cleaned"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 15 == 1).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            clean(F.col("text")).alias("cleaned"),
+        )
+    )
+    qual = inc.filter(F.length("cleaned").between(50, 1000)).select(
+        "doc_id",
+        F.sha2("cleaned", 256).alias("h"),
+        (F.col("doc_id") % 5 == 0).alias("id_in_corpus"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    admitted = (
+        qual.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(
+            F.broadcast(corpus_hashes.withColumn("hic", F.lit(True))),
+            "h",
+            "left",
+        )
+        .filter(F.col("hic").isNull())
+        .select("doc_id", "h", "id_in_corpus")
+    )
+    # admitted feeds BOTH merge arms (updates + news); without truncation
+    # Catalyst duplicates its whole subtree (window + increment scans)
+    # per arm — AQE only dedupes shuffle subtrees (the r8 union lesson).
+    # admitted is increment-sized (a day's data), so a lazy
+    # localCheckpoint is a small materialization that halves the
+    # increment work (plan-pinned in tests/test_plans.py).
+    admitted = admitted.localCheckpoint(eager=False)
+    upd = admitted.filter(F.col("id_in_corpus")).select(
+        "doc_id", F.col("h").alias("h_new")
+    )
+    carried = corpus.join(F.broadcast(upd), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("h_new", "h").alias("h"),
+        F.when(F.col("h_new").isNotNull(), F.lit("updated"))
+        .otherwise(F.lit("carried"))
+        .alias("provenance"),
+    )
+    new = admitted.filter(~F.col("id_in_corpus")).select(
+        "doc_id", "h", F.lit("new").alias("provenance")
+    )
+    return carried.unionByName(new)

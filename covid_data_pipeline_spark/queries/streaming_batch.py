@@ -1052,3 +1052,140 @@ def stream_last_touch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sunk.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_conversions")
     )
+
+
+@query(
+    "stream_incremental_ingest",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus_hashes AS (SELECT DISTINCT h FROM corpus),
+    inc AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   CASE WHEN doc_id % 20 = 0 THEN upper(text) || ' UPDATE'
+                        ELSE text END, '\\s+', ' ', 'g')) AS cleaned
+        FROM documents
+        WHERE doc_id % 5 <> 0 OR doc_id % 20 = 0 OR doc_id % 20 = 10
+        UNION ALL
+        SELECT -doc_id - 1 AS doc_id,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS cleaned
+        FROM documents WHERE doc_id % 15 = 1
+    ),
+    flags AS (
+        SELECT doc_id, sha256(cleaned) AS h,
+               (length(cleaned) >= 1) AS ok_clean,
+               (length(cleaned) BETWEEN 50 AND 1000) AS ok_quality,
+               (doc_id % 5 = 0) AS id_in_corpus
+        FROM inc
+    ),
+    ranked AS (
+        SELECT f.doc_id, f.ok_clean, f.ok_quality, f.id_in_corpus,
+               ROW_NUMBER() OVER (PARTITION BY f.h, f.ok_quality
+                                  ORDER BY f.doc_id) AS rn,
+               (ch.h IS NOT NULL) AS hash_in_corpus
+        FROM flags f LEFT JOIN corpus_hashes ch ON f.h = ch.h
+    )
+    SELECT doc_id,
+           CASE WHEN NOT ok_clean THEN 'rejected_clean'
+                WHEN NOT ok_quality THEN 'rejected_quality'
+                WHEN rn <> 1 THEN 'dropped_intra'
+                WHEN hash_in_corpus THEN 'dropped_vs_corpus'
+                WHEN id_in_corpus THEN 'admitted_update'
+                ELSE 'admitted_new' END AS decision
+    FROM ranked
+    """,
+)
+def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily incremental ingest as a TRUE incremental stream — the
+    streaming twin of pipeline_incremental_ingest (round-9 flagship):
+    the same increment feeds arrive via ``readStream``, are cleaned and
+    quality-gated statelessly in-flight, joined stream-static against
+    the accumulated corpus's broadcast hash index, intra-deduplicated by
+    a GroupState first-occurrence rank (streaming/transforms.py:
+    stateful_ingest_rank), and every document exits with its per-row
+    ADMIT DECISION — the row-level audit trail whose aggregate is the
+    batch twin's 9-row funnel (rejected_clean / rejected_quality /
+    dropped_intra / dropped_vs_corpus / admitted_update / admitted_new).
+
+    ORACLE-BACKED by the single-batch argument (the r8
+    stream_stateful_totals precedent): an availableNow drain of one
+    increment file is one micro-batch, the rank worker orders each
+    (h, ok_quality) group by doc_id in-batch, and every other stage is
+    stateless or stream-static — so a genuine streaming run reproduces
+    the batch window ``ROW_NUMBER() ... ORDER BY doc_id`` bit-for-bit
+    and hash-checks against plain batch SQL at every sf.  Across
+    multiple batches the rank is arrival-order (the honest streaming
+    semantics — state continues the count, it never re-ranks history);
+    the multi-batch state carry is witnessed by
+    tests/test_streaming.py::test_ingest_rank_carries_state.
+
+    Scale: the corpus side reduces to its 32-byte hash index broadcast
+    to every task (at 100 TB the index shards to a stream-static
+    shuffle join instead — flip is one hint); stateful-op state is one
+    int64 per distinct content hash, sharded across the state store by
+    the groupBy shuffle; the stream side is one day's increment.  The
+    decision mapping is pure JVM expression — Python touches only the
+    Arrow-batched rank worker."""
+    from ..streaming import read_documents_stream, run_available_now
+
+    tune(spark)
+    d = load(spark, sf_dir, "documents")
+    clean = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    corpus_hashes = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(F.sha2(clean(F.col("text")), 256).alias("h"))
+        .distinct()
+    )
+    ds = read_documents_stream(spark, sf_dir)
+    inc = ds.filter(
+        (F.col("doc_id") % 5 != 0)
+        | (F.col("doc_id") % 20 == 0)
+        | (F.col("doc_id") % 20 == 10)
+    ).select(
+        "doc_id",
+        clean(
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.concat(F.upper("text"), F.lit(" UPDATE")),
+            ).otherwise(F.col("text"))
+        ).alias("cleaned"),
+    ).unionByName(
+        ds.filter(F.col("doc_id") % 15 == 1).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            clean(F.col("text")).alias("cleaned"),
+        )
+    )
+    flagged = (
+        inc.select(
+            "doc_id",
+            F.sha2("cleaned", 256).alias("h"),
+            (F.length("cleaned") >= 1).alias("ok_clean"),
+            F.length("cleaned").between(50, 1000).alias("ok_quality"),
+            (F.col("doc_id") % 5 == 0).alias("id_in_corpus"),
+        )
+        .join(
+            F.broadcast(corpus_hashes.withColumn("hic", F.lit(True))),
+            "h",
+            "left",
+        )
+        .withColumn("hash_in_corpus", F.coalesce("hic", F.lit(False)))
+        .select(
+            "doc_id", "h", "ok_clean", "ok_quality",
+            "id_in_corpus", "hash_in_corpus",
+        )
+    )
+    decided = TR.stateful_ingest_rank(flagged).select(
+        "doc_id",
+        F.when(~F.col("ok_clean"), F.lit("rejected_clean"))
+        .when(~F.col("ok_quality"), F.lit("rejected_quality"))
+        .when(F.col("rn") != 1, F.lit("dropped_intra"))
+        .when(F.col("hash_in_corpus"), F.lit("dropped_vs_corpus"))
+        .when(F.col("id_in_corpus"), F.lit("admitted_update"))
+        .otherwise(F.lit("admitted_new"))
+        .alias("decision"),
+    )
+    return run_available_now(decided, output_mode="append")

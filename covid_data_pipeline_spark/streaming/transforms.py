@@ -504,3 +504,74 @@ def stateful_last_touch(df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_ingest_rank(df: DataFrame) -> DataFrame:
+    """Per-(content-hash, quality-flag) first-occurrence ranking in
+    GroupState — the intra-increment dedup stage of the incremental
+    ingest as a TRUE incremental stream (the stream_incremental_ingest
+    operator).  State is ONE counter per (h, ok_quality) key: how many
+    documents of this key have already been ranked across all previous
+    micro-batches, so ``rn = seen + position`` continues the ranking
+    seamlessly at any batch split — exactly the hash-index bookkeeping
+    the batch window (``ROW_NUMBER() OVER (PARTITION BY h, ok_quality
+    ORDER BY doc_id)``) recomputes from scratch each run.
+
+    Documents within one micro-batch are ranked in doc_id order inside
+    the worker, so a single-batch availableNow drain reproduces the
+    batch window bit-for-bit (the stream_stateful_totals promotion
+    argument); across multiple batches the rank is arrival-order —
+    the honest streaming semantics, witnessed separately in
+    tests/test_streaming.py.
+
+    Scale: state is one int64 per distinct (content-hash, flag) —
+    bounded by distinct documents, sharded by the shuffle partitions
+    of the groupBy; the flag columns ride through the Arrow batch
+    (a few bools per row), so no post-hoc join is needed to rebuild
+    the decision context."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def rank_group(key, pdfs, state: GroupState):
+        (seen,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(
+                drop=True
+            )
+            pdf["rn"] = seen + 1 + pdf.index
+            seen += len(pdf)
+            state.update((seen,))
+            yield pdf[
+                [
+                    "doc_id",
+                    "rn",
+                    "ok_clean",
+                    "ok_quality",
+                    "id_in_corpus",
+                    "hash_in_corpus",
+                ]
+            ]
+        else:
+            state.update((seen,))
+            yield pd.DataFrame(
+                {
+                    "doc_id": [],
+                    "rn": [],
+                    "ok_clean": [],
+                    "ok_quality": [],
+                    "id_in_corpus": [],
+                    "hash_in_corpus": [],
+                }
+            )
+
+    return df.groupBy("h", "ok_quality").applyInPandasWithState(
+        rank_group,
+        outputStructType=(
+            "doc_id long, rn long, ok_clean boolean, ok_quality boolean,"
+            " id_in_corpus boolean, hash_in_corpus boolean"
+        ),
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

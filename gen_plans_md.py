@@ -346,6 +346,15 @@ SHOWN = (
         "calendar-bounded table — no second shuffle after the rollup.",
         False,
     ),
+    (
+        "pipeline_merged_snapshot",
+        "Round-10: the corpus-sized serving rewrite downstream of the "
+        "increment-sized localCheckpoint (which truncates the admitted "
+        "subtree so window + increment scans run once, not once per "
+        "merge arm) is exactly ONE corpus parquet scan + ONE broadcast "
+        "hash join + union — the corpus is never shuffled or windowed.",
+        False,
+    ),
 )
 # queries whose registered fn eagerly localizes (cache-release pattern):
 # show the lazy inner plan instead

@@ -1573,3 +1573,22 @@ def test_daily_series_report_one_scan_shared_sort(spark):
     assert plan.count("events.parquet") == 1, plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merged_snapshot_corpus_never_shuffled(spark):
+    """pipeline_merged_snapshot's serving plan: downstream of the
+    increment-sized localCheckpoint (which truncates the admitted
+    subtree so it is computed ONCE, not once per merge arm), the
+    corpus-sized side is ONE parquet scan feeding ONE broadcast hash
+    join plus the union — the corpus is never shuffled, no window and
+    no aggregate run at corpus grain, and nothing leaves the JVM."""
+    df = q("pipeline_merged_snapshot", spark)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # the intra-dedup window ranks the increment inside the checkpoint
+    # build; the corpus-grain serving plan itself must carry none
+    assert plan.count("Window") == 0, plan

@@ -774,3 +774,76 @@ def test_stream_last_touch_matches_batch_attribution(spark):
         .collect()
     }
     assert stream == batch, (stream, batch)
+
+
+def test_ingest_rank_carries_state(spark, tmp_path):
+    """Two files, one per micro-batch: a (h, ok_quality) key seen again
+    in the second batch must continue its rank where batch 1 left it —
+    the arrival-order semantics stream_incremental_ingest documents for
+    the multi-batch regime."""
+    src = str(tmp_path / "inc")
+    os.makedirs(src)
+    schema = (
+        "doc_id long, h string, ok_clean boolean, ok_quality boolean,"
+        " id_in_corpus boolean, hash_in_corpus boolean"
+    )
+
+    def mk(rows, path):
+        spark.createDataFrame(
+            [
+                Row(
+                    doc_id=i,
+                    h=h,
+                    ok_clean=True,
+                    ok_quality=True,
+                    id_in_corpus=False,
+                    hash_in_corpus=False,
+                )
+                for i, h in rows
+            ],
+            schema=schema,
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    mk([(10, "A"), (11, "A"), (20, "B")], os.path.join(src, "b1"))
+    mk([(12, "A")], os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    sunk = run_available_now(TR.stateful_ingest_rank(stream), output_mode="append")
+    ranks = {r["doc_id"]: r["rn"] for r in sunk.collect()}
+    # batch 1 ranks A by doc_id (10->1, 11->2) and B (20->1); batch 2's
+    # A-arrival continues from the carried count: 12->3, NOT a re-rank
+    assert ranks == {10: 1, 11: 2, 20: 1, 12: 3}, ranks
+
+
+def test_stream_ingest_decisions_aggregate_to_batch_funnel(spark):
+    """The per-document decisions of stream_incremental_ingest must
+    aggregate EXACTLY to pipeline_incremental_ingest's funnel counts on
+    the same fixture — the two operators are one daily run viewed at
+    row and report grain."""
+    from covid_data_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    decisions = reg["stream_incremental_ingest"].fn(spark, SF_SMOKE)
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in reg["pipeline_incremental_ingest"].fn(spark, SF_SMOKE).collect()
+    }
+    n = {r["decision"]: r["cnt"] for r in
+         decisions.groupBy("decision").agg(F.count("*").alias("cnt")).collect()}
+    g = lambda k: n.get(k, 0)  # noqa: E731
+    admitted = g("admitted_new") + g("admitted_update")
+    offered = sum(n.values())
+    assert offered == funnel["offered"]
+    assert offered - g("rejected_clean") == funnel["clean"]
+    quality = offered - g("rejected_clean") - g("rejected_quality")
+    # rejected_clean rows are a subset of quality rejections by
+    # construction (empty text can't be 50-1000 chars)
+    assert quality == funnel["quality"]
+    assert quality - g("dropped_intra") == funnel["dedup_intra"]
+    assert admitted == funnel["dedup_vs_corpus"]
+    assert g("admitted_new") == funnel["merged_new"]
+    assert g("admitted_update") == funnel["merged_updated"]
