@@ -73,66 +73,66 @@ _loaded = False
 # driver ever samples differently, the local preflight remains the
 # source of truth.
 #
-# Round-9 window (gen_showcase.py + VERDICT r8 item 1): after r8,
-# exactly 62 ids lacked an external CORRECTNESS row (45 r7 leftovers +
-# the 17 r8 additions) — all oracle-backed, all driversim-green.  This
-# window: 5 flagship re-witness slots + 45 of the 62, fronted by the
-# verdict-named priorities (the two unwitnessed compositions, the r8
-# inference family, win_vwap, quality_null_profile,
-# corpus_curriculum_order, text_keyness_loglik,
-# analytics_price_elasticity, graph_clustering_coeff), then the r7
-# leftovers in registry order; the residual 17 rotate in at r10.
+# Round-10 window (gen_showcase.py + VERDICT r9 item 1, closing the
+# external-evidence debt completely): 5 flagship re-witness slots + ALL
+# 22 never-witnessed ids (the 17 r8 leftovers, the 3 r9 compositions,
+# and the 2 r10 additions) + the 3 post-promotion re-witnesses
+# (dedup_semdedup_kmeans / sim_kmeans_lloyd / stream_stateful_totals,
+# whose only external rows are r7 no_oracle entries predating their r9
+# oracle upgrade) + 20 stalest-evidence slots (r1/r2-era scans, joins,
+# aggregates).  After this round's CORRECTNESS lands, never-witnessed
+# count is ZERO and no id's latest row predates its promotion.
 SHOWCASE = (
     "agg_groupby",  # flagship re-witness
     "join_inner",  # flagship re-witness
     "dedup_exact",  # flagship re-witness
     "dedup_near_jaccard",  # flagship re-witness
     "sim_topk_neighbors",  # flagship re-witness
-    "pipeline_quality_report",  # never witnessed; verdict-priority composition
-    "pipeline_experiment_readout",  # never witnessed; verdict-priority composition
-    "agg_fisher_exact",  # never witnessed; r8 inference family
-    "agg_permutation_test",  # never witnessed; r8 inference family
-    "agg_wilcoxon_signed",  # never witnessed; r8 inference family
-    "agg_chi2_gof",  # never witnessed; r8 inference family
-    "agg_binomial_ztest",  # never witnessed; r8 inference family
-    "agg_poisson_rate_ratio",  # never witnessed; r8 inference family
-    "analytics_ab_srm",  # never witnessed; r8 inference family
-    "win_vwap",  # never witnessed; verdict-named
-    "quality_null_profile",  # never witnessed; verdict-named
-    "corpus_curriculum_order",  # never witnessed; verdict-named
-    "text_keyness_loglik",  # never witnessed; verdict-named
-    "analytics_price_elasticity",  # never witnessed; verdict-named
-    "graph_clustering_coeff",  # never witnessed; verdict-named
-    "win_seasonal_naive_error",  # never witnessed
-    "win_stochastic_oscillator",  # never witnessed
-    "win_ulcer_index",  # never witnessed
-    "win_seasonal_zscore",  # never witnessed
-    "win_xmr_control_chart",  # never witnessed
-    "stream_upsert_foreachbatch",  # never witnessed
-    "pipeline_rollup_merge",  # never witnessed
-    "analytics_last_touch_attribution",  # never witnessed
-    "quality_freshness_report",  # never witnessed
-    "quality_calendar_coverage",  # never witnessed
-    "agg_theil_index",  # never witnessed
-    "agg_atkinson_index",  # never witnessed
-    "analytics_lorenz_points",  # never witnessed
-    "analytics_pareto_8020",  # never witnessed
-    "analytics_cohort_ltv_curve",  # never witnessed
-    "analytics_leadtime_percentiles",  # never witnessed
-    "analytics_state_dwell_time",  # never witnessed
-    "analytics_priority_mix_shift",  # never witnessed
-    "analytics_shift_share",  # never witnessed
-    "sim_hybrid_rrf",  # never witnessed
-    "sim_mmr_diversify",  # never witnessed
-    "sim_knn_classify",  # never witnessed
-    "sim_silhouette_labels",  # never witnessed
-    "text_ngram_novelty",  # never witnessed
-    "text_readability",  # never witnessed
-    "text_sttr_lexical_diversity",  # never witnessed
-    "text_case_pattern_profile",  # never witnessed
-    "text_boilerplate_lines",  # never witnessed
-    "text_simpson_diversity",  # never witnessed
-    "text_vocab_jaccard_langs",  # never witnessed
+    "stream_incremental_ingest",  # never witnessed
+    "pipeline_incremental_ingest",  # never witnessed
+    "pipeline_decontaminate",  # never witnessed
+    "pipeline_daily_series_report",  # never witnessed
+    "pipeline_merged_snapshot",  # never witnessed
+    "text_heaps_law",  # never witnessed
+    "text_bigram_lm_crossentropy",  # never witnessed
+    "analytics_qq_length_table",  # never witnessed
+    "multimodal_exact_bytes_dedup",  # never witnessed
+    "sample_weighted_reservoir",  # never witnessed
+    "analytics_markov_transitions",  # never witnessed
+    "agg_hodges_lehmann",  # never witnessed
+    "analytics_chisq_cells",  # never witnessed
+    "analytics_interarrival_burstiness",  # never witnessed
+    "analytics_new_vs_returning",  # never witnessed
+    "analytics_dau_mau",  # never witnessed
+    "profile_key_skew",  # never witnessed
+    "agg_survival_kaplan_meier",  # never witnessed
+    "corpus_length_bucket_mix",  # never witnessed
+    "sample_stratified_neyman",  # never witnessed
+    "analytics_dow_hour_heatmap",  # never witnessed
+    "sample_balanced_classes",  # never witnessed
+    "dedup_semdedup_kmeans",  # post-promotion re-witness (last r7 predates oracle)
+    "sim_kmeans_lloyd",  # post-promotion re-witness (last r7 predates oracle)
+    "stream_stateful_totals",  # post-promotion re-witness (last r7 predates oracle)
+    "agg_histogram",  # last r1
+    "win_rank_dense",  # last r1
+    "scan_parquet",  # last r2
+    "scan_json_lines",  # last r2
+    "source_python_datasource",  # last r2
+    "proj_compute",  # last r2
+    "filter_compound",  # last r2
+    "filter_null_semantics",  # last r2
+    "join_multikey_chain",  # last r2
+    "join_full",  # last r2
+    "join_semi",  # last r2
+    "join_anti",  # last r2
+    "join_theta_range",  # last r2
+    "join_asof",  # last r2
+    "join_interval",  # last r2
+    "join_lateral",  # last r2
+    "agg_global",  # last r2
+    "agg_multi_distinct",  # last r2
+    "agg_grouping_sets",  # last r2
+    "agg_collect_sorted",  # last r2
 )
 
 

@@ -37,6 +37,17 @@ FLAGSHIPS = (
     "sim_topk_neighbors",
 )
 
+# Ids whose EXTERNAL evidence predates a semantic upgrade (e.g. a
+# rows-only -> oracle promotion): their last CORRECTNESS row is a
+# weaker check than what the registry now declares, so they outrank
+# merely-old evidence (round-9 judge advice).  Clear entries once the
+# post-promotion round's CORRECTNESS file lands.
+PRIORITY_REWITNESS = (
+    "dedup_semdedup_kmeans",   # promoted r9; only external row is r7 rows-only
+    "sim_kmeans_lloyd",        # promoted r9; only external row is r7 rows-only
+    "stream_stateful_totals",  # promoted r9; only external row is r7 rows-only
+)
+
 
 def main() -> None:
     reg = load_all()
@@ -52,6 +63,9 @@ def main() -> None:
         for name in json.load(open(path)):
             last_seen[name] = max(last_seen.get(name, 0), rnd)
 
+    bad_pri = sorted(set(PRIORITY_REWITNESS) - set(oracle_backed))
+    assert not bad_pri, f"PRIORITY_REWITNESS not oracle-backed/registered: {bad_pri}"
+
     never = [n for n in oracle_backed if n not in last_seen and n not in FLAGSHIPS]
     # rows-only ids can't hash-check, but the driver still records
     # rows>0 + schema for them — a weaker-but-real external witness
@@ -61,10 +75,17 @@ def main() -> None:
     rows_only = [n for n, s in reg.items() if s.oracle is None]
     never_rows_only = [n for n in rows_only if n not in last_seen]
     stale_first = sorted(
-        (n for n in oracle_backed if n in last_seen and n not in FLAGSHIPS),
+        (
+            n
+            for n in oracle_backed
+            if n in last_seen
+            and n not in FLAGSHIPS
+            and n not in PRIORITY_REWITNESS
+        ),
         key=lambda n: last_seen[n],
     )
-    proposal = (list(FLAGSHIPS) + never + never_rows_only + stale_first)[:50]
+    pri = [n for n in PRIORITY_REWITNESS if n in last_seen]
+    proposal = (list(FLAGSHIPS) + never + never_rows_only + pri + stale_first)[:50]
 
     print(f"# {len(never)} oracle-backed ids have NO external CORRECTNESS row yet")
     print(f"# {len(never_rows_only)} rows-only ids have NO external row yet")
@@ -79,6 +100,8 @@ def main() -> None:
             if n in FLAGSHIPS
             else ("never witnessed (rows-only)" if n in never_rows_only else "never witnessed")
             if n not in last_seen
+            else f"post-promotion re-witness (last r{last_seen[n]} predates oracle)"
+            if n in PRIORITY_REWITNESS
             else f"last r{last_seen[n]}"
         )
         print(f'    "{n}",  # {tag}')
