@@ -2734,11 +2734,18 @@ def pipeline_merged_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "h", "id_in_corpus")
     )
     # admitted feeds BOTH merge arms (updates + news); without truncation
-    # Catalyst duplicates its whole subtree (window + increment scans)
-    # per arm — AQE only dedupes shuffle subtrees (the r8 union lesson).
-    # admitted is increment-sized (a day's data), so a lazy
-    # localCheckpoint is a small materialization that halves the
-    # increment work (plan-pinned in tests/test_plans.py).
+    # Catalyst re-instantiates its whole subtree per use — measured: 11
+    # documents scans / 11 windows with only 2 of 15 exchanges reused
+    # (AQE dedupes only shuffle subtrees, and few here qualify — the r8
+    # union lesson).  admitted is increment-sized (a day's data), so a
+    # lazy localCheckpoint materializes it once.  Paired A/B at sf0.1
+    # (experiments/r10_snapshot_checkpoint_ab.py): medians 0.87 vs
+    # 0.79 s — the checkpoint LOSES at fixture scale, where every scan
+    # is milliseconds and its constant overhead dominates; it is kept
+    # because the duplicated arm's re-executed work includes the
+    # corpus-sized distinct index, which grows with the corpus while
+    # the checkpoint cost grows only with the daily increment
+    # (plan-pinned at 1 corpus scan downstream in tests/test_plans.py).
     admitted = admitted.localCheckpoint(eager=False)
     upd = admitted.filter(F.col("id_in_corpus")).select(
         "doc_id", F.col("h").alias("h_new")
