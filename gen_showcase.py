@@ -40,12 +40,14 @@ FLAGSHIPS = (
 # Ids whose EXTERNAL evidence predates a semantic upgrade (e.g. a
 # rows-only -> oracle promotion): their last CORRECTNESS row is a
 # weaker check than what the registry now declares, so they outrank
-# merely-old evidence (round-9 judge advice).  Clear entries once the
-# post-promotion round's CORRECTNESS file lands.
+# merely-old evidence (round-9 judge advice).  Each entry carries its
+# promotion round; the tier SELF-CLEARS — an id drops out as soon as a
+# CORRECTNESS row from the promotion round or later exists, so stale
+# entries can't re-front ids that were already re-witnessed.
 PRIORITY_REWITNESS = (
-    "dedup_semdedup_kmeans",   # promoted r9; only external row is r7 rows-only
-    "sim_kmeans_lloyd",        # promoted r9; only external row is r7 rows-only
-    "stream_stateful_totals",  # promoted r9; only external row is r7 rows-only
+    ("dedup_semdedup_kmeans", 9),   # r9 promotion; prior row r7 rows-only
+    ("sim_kmeans_lloyd", 9),        # r9 promotion; prior row r7 rows-only
+    ("stream_stateful_totals", 9),  # r9 promotion; prior row r7 rows-only
 )
 
 
@@ -63,7 +65,9 @@ def main() -> None:
         for name in json.load(open(path)):
             last_seen[name] = max(last_seen.get(name, 0), rnd)
 
-    bad_pri = sorted(set(PRIORITY_REWITNESS) - set(oracle_backed))
+    bad_pri = sorted(
+        set(n for n, _ in PRIORITY_REWITNESS) - set(oracle_backed)
+    )
     assert not bad_pri, f"PRIORITY_REWITNESS not oracle-backed/registered: {bad_pri}"
 
     never = [n for n in oracle_backed if n not in last_seen and n not in FLAGSHIPS]
@@ -74,17 +78,20 @@ def main() -> None:
     # the never-witnessed oracle-backed set.
     rows_only = [n for n, s in reg.items() if s.oracle is None]
     never_rows_only = [n for n in rows_only if n not in last_seen]
+    # still-pending = externally seen, but only BEFORE the promotion round
+    pri = [
+        n
+        for n, promoted_r in PRIORITY_REWITNESS
+        if n in last_seen and last_seen[n] < promoted_r
+    ]
     stale_first = sorted(
         (
             n
             for n in oracle_backed
-            if n in last_seen
-            and n not in FLAGSHIPS
-            and n not in PRIORITY_REWITNESS
+            if n in last_seen and n not in FLAGSHIPS and n not in pri
         ),
         key=lambda n: last_seen[n],
     )
-    pri = [n for n in PRIORITY_REWITNESS if n in last_seen]
     proposal = (list(FLAGSHIPS) + never + never_rows_only + pri + stale_first)[:50]
 
     print(f"# {len(never)} oracle-backed ids have NO external CORRECTNESS row yet")
@@ -101,7 +108,7 @@ def main() -> None:
             else ("never witnessed (rows-only)" if n in never_rows_only else "never witnessed")
             if n not in last_seen
             else f"post-promotion re-witness (last r{last_seen[n]} predates oracle)"
-            if n in PRIORITY_REWITNESS
+            if n in pri
             else f"last r{last_seen[n]}"
         )
         print(f'    "{n}",  # {tag}')
