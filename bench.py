@@ -70,6 +70,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") != "0"
+    # 1-min load average BEFORE the run: pre-existing box contention is
+    # the dominant cross-round noise source (identical code has measured
+    # ±20% headline drift, tracked round-over-round in BASELINE.md), so
+    # the artifact carries the evidence for mechanical attribution
+    # instead of after-the-fact narrative.
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark("cdp-spark-bench")
     # Quiet the "No Partition Defined for Window operation" WARNs: every
     # partition-less window in the suite is bounded by construction
@@ -315,6 +321,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf_val,
+                "loadavg1m_before": load_before,
+                "loadavg1m_after": round(os.getloadavg()[0], 2),
             },
             f,
             indent=1,
@@ -332,6 +340,9 @@ def main() -> None:
                 "n_all": len(timings),
                 "queries": headline,
                 "sf": sf_val,
+                # box contention at run start/end — the documented noise
+                # source for cross-round headline drift (BASELINE.md)
+                "loadavg1m": [load_before, round(os.getloadavg()[0], 2)],
             },
             separators=(",", ":"),
         )
