@@ -1141,7 +1141,20 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ds = read_documents_stream(spark, sf_dir)
-    inc = ds.filter(
+    decided = _ingest_decisions(
+        _ingest_flagged(ds, corpus_hashes)
+    )
+    return run_available_now(decided, output_mode="append")
+
+
+def _ingest_flagged(docs: DataFrame, corpus_hashes: DataFrame) -> DataFrame:
+    """stream_incremental_ingest's STATELESS in-flight stages — increment
+    feeds, clean, gate flags, stream-static broadcast index join — over a
+    documents-shaped frame (batch or streaming; same logical plan either
+    way, which is what lets tests drive the identical expressions through
+    arbitrary micro-batch splits)."""
+    clean = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    inc = docs.filter(
         (F.col("doc_id") % 5 != 0)
         | (F.col("doc_id") % 20 == 0)
         | (F.col("doc_id") % 20 == 10)
@@ -1154,12 +1167,12 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("text"))
         ).alias("cleaned"),
     ).unionByName(
-        ds.filter(F.col("doc_id") % 15 == 1).select(
+        docs.filter(F.col("doc_id") % 15 == 1).select(
             (-F.col("doc_id") - 1).alias("doc_id"),
             clean(F.col("text")).alias("cleaned"),
         )
     )
-    flagged = (
+    return (
         inc.select(
             "doc_id",
             F.sha2("cleaned", 256).alias("h"),
@@ -1178,7 +1191,12 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_in_corpus", "hash_in_corpus",
         )
     )
-    decided = TR.stateful_ingest_rank(flagged).select(
+
+
+def _ingest_decisions(flagged: DataFrame) -> DataFrame:
+    """The stateful rank + the per-document decision mapping (pure JVM
+    expressions after the Arrow-batched rank worker)."""
+    return TR.stateful_ingest_rank(flagged).select(
         "doc_id",
         F.when(~F.col("ok_clean"), F.lit("rejected_clean"))
         .when(~F.col("ok_quality"), F.lit("rejected_quality"))
@@ -1188,4 +1206,3 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("admitted_new"))
         .alias("decision"),
     )
-    return run_available_now(decided, output_mode="append")

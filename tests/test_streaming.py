@@ -847,3 +847,52 @@ def test_stream_ingest_decisions_aggregate_to_batch_funnel(spark):
     assert admitted == funnel["dedup_vs_corpus"]
     assert g("admitted_new") == funnel["merged_new"]
     assert g("admitted_update") == funnel["merged_updated"]
+
+
+def test_stream_ingest_decision_histogram_split_invariant(spark, tmp_path):
+    """Honest-streaming witness for stream_incremental_ingest: splitting
+    the increment across three micro-batches may change WHICH document
+    wins a duplicate group (arrival-order rank — the documented
+    semantics) but must not change the decision HISTOGRAM on this
+    fixture (every duplicate group's members share corpus-membership
+    status, so any winner maps to the same decision class).  Drives the
+    query's OWN stage helpers through a 3-file maxFilesPerTrigger=1
+    drain and compares against the registered single-batch run."""
+    from covid_data_pipeline_spark.queries.streaming_batch import (
+        _ingest_decisions,
+        _ingest_flagged,
+    )
+    from covid_data_pipeline_spark.registry import load_all
+    from covid_data_pipeline_spark.schemas import DOCUMENTS
+
+    hist = lambda df: {  # noqa: E731
+        r["decision"]: r["n"]
+        for r in df.groupBy("decision").agg(F.count("*").alias("n")).collect()
+    }
+    want = hist(load_all()["stream_incremental_ingest"].fn(spark, SF_SMOKE))
+
+    src = str(tmp_path / "inc3")
+    docs = load(spark, SF_SMOKE, "documents")
+    for i in range(3):
+        docs.filter(F.abs(F.col("doc_id")) % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}"))
+
+    clean = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    corpus_hashes = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(F.sha2(clean(F.col("text")), 256).alias("h"))
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    got = hist(
+        run_available_now(
+            _ingest_decisions(_ingest_flagged(stream, corpus_hashes)),
+            output_mode="append",
+        )
+    )
+    assert got == want, (got, want)
