@@ -2746,6 +2746,10 @@ def pipeline_merged_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized distinct index, which grows with the corpus while
     # the checkpoint cost grows only with the daily increment
     # (plan-pinned at 1 corpus scan downstream in tests/test_plans.py).
+    # Storage-lifetime caveat: checkpointed blocks live in the block
+    # manager until this DataFrame is GC'd, and the truncated lineage
+    # is NOT recomputable on executor loss — callers that loop this
+    # query many times in one session should prefer persist+unpersist.
     admitted = admitted.localCheckpoint(eager=False)
     upd = admitted.filter(F.col("id_in_corpus")).select(
         "doc_id", F.col("h").alias("h_new")

@@ -534,7 +534,24 @@ def stateful_ingest_rank(df: DataFrame) -> DataFrame:
 
     def rank_group(key, pdfs, state: GroupState):
         (seen,) = state.get if state.exists else (0,)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # guard BEFORE concat: pd.concat([]) raises, and a state-only
+        # invocation (empty iterator — possible the moment a timeout
+        # conf is ever added) must reach the empty-frame branch below
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(
+                columns=[
+                    "doc_id",
+                    "h",
+                    "ok_clean",
+                    "ok_quality",
+                    "id_in_corpus",
+                    "hash_in_corpus",
+                ]
+            )
+        )
         if len(pdf):
             pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(
                 drop=True

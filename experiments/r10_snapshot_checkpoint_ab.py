@@ -36,9 +36,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = 7
 
 
-def snapshot(spark, checkpoint: bool):
+def snapshot(spark, checkpoint: bool, parts: dict | None = None):
     """pipeline_merged_snapshot's exact stages; ``checkpoint`` toggles
-    the one admitted-subtree truncation under test."""
+    the one admitted-subtree truncation under test.  When ``parts`` is
+    given, the PRE-truncation ``admitted`` frame is stashed into it so
+    callers can statically inspect the plan the checkpoint hides."""
     d = load(spark, SF_DIR, "documents")
     clean = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
     corpus = d.filter(F.col("doc_id") % 5 == 0).select(
@@ -80,6 +82,8 @@ def snapshot(spark, checkpoint: bool):
         .filter(F.col("hic").isNull())
         .select("doc_id", "h", "id_in_corpus")
     )
+    if parts is not None:
+        parts["admitted"] = admitted
     if checkpoint:
         admitted = admitted.localCheckpoint(eager=False)
     upd = admitted.filter(F.col("id_in_corpus")).select(
@@ -104,6 +108,14 @@ def scan_count(df) -> int:
     )
 
 
+def static_scan_count(df) -> int:
+    """Documents scans in the OPTIMIZED (un-executed) plan — visible even
+    for subtrees a localCheckpoint would later hide from executedPlan."""
+    return df._jdf.queryExecution().optimizedPlan().toString().count(
+        "documents.parquet"
+    )
+
+
 def main() -> None:
     spark = get_spark("r10-snapshot-ab")
     tune(spark)
@@ -122,7 +134,8 @@ def main() -> None:
             t0 = time.time()
             snapshot(spark, ckpt).collect()
             times.append(time.time() - t0)
-        df = snapshot(spark, ckpt)
+        parts: dict = {}
+        df = snapshot(spark, ckpt, parts)
         df.collect()
         out[label] = {
             "median_s": round(statistics.median(times), 3),
@@ -131,6 +144,9 @@ def main() -> None:
             # checkpoint arm's truncated plan hides its build-side scans,
             # so also report the pre-truncation count measured statically
             "final_plan_doc_scans": scan_count(df),
+            # the admitted subtree's own scans, from its optimized
+            # (un-executed) plan — what the truncation hides
+            "static_admitted_doc_scans": static_scan_count(parts["admitted"]),
         }
     print(json.dumps(out, indent=2))
 
