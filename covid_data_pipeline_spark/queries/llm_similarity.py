@@ -17,6 +17,7 @@ shape with deterministic random-hyperplane buckets.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -147,37 +148,109 @@ def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic pseudo-random hyperplanes for the bucketed ANN: dim j of
-# plane p is a fixed trig lattice value — engine-neutral, seed-free.
+# plane p is the trig-lattice value cos(p*64 + j), BAKED as literal
+# doubles into BOTH engines' plans.  Baking matters: Java's Math.cos and
+# libm disagree by 1 ulp on this lattice (measured: argument 200 —
+# plane 3, dim 8), so computing the plane at runtime would make bucket
+# assignment engine-dependent; a literal decimal string parses to the
+# identical correctly-rounded double everywhere.
 _N_PLANES = 6
+_PLANES: list[list[float]] = [
+    [math.cos(float(p * 64 + j)) for j in range(64)]
+    for p in range(_N_PLANES)
+]
+
+_SQL_PLANES = ",\n        ".join(
+    "({}, [{}])".format(p, ", ".join(repr(v) for v in _PLANES[p]))
+    for p in range(_N_PLANES)
+)
+
+_ANN_BUCKETED_ORACLE = f"""
+    WITH planes(p, pl) AS (VALUES
+        {_SQL_PLANES}
+    ),
+    v AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vec
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id, p,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   [vec[i] * pl[i] FOR i IN range(1, 65)]),
+                   (acc, x) -> acc + x) AS pr
+        FROM v CROSS JOIN planes
+    ),
+    sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN pr > 0
+                             THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id
+    ),
+    sigged AS (
+        SELECT v.vec_id, v.vec, s.bucket
+        FROM v JOIN sig s ON v.vec_id = s.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, vec AS q_vec, bucket
+        FROM sigged WHERE vec_id < 10
+    ),
+    probes AS (
+        SELECT query_id, q_vec,
+               unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                       xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)])
+                   AS bucket
+        FROM q
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROUND({_SQL_DOT.format(a='p.q_vec', b='c.vec')}
+                     / ({_SQL_NORM.format(a='p.q_vec')}
+                        * {_SQL_NORM.format(a='c.vec')}), 6) AS cosine
+        FROM sigged c JOIN probes p
+          ON c.bucket = p.bucket AND p.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """
 
 
-@query("sim_ann_bucketed", oracle=None)  # rows-only: ANN is approximate
+@query("sim_ann_bucketed", oracle=_ANN_BUCKETED_ORACLE)
 def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN at scale: random-hyperplane signature buckets (6-bit LSH) ->
-    candidates meet via an EQUI-join on bucket -> exact cosine re-rank
-    inside buckets -> per-query top-5.  Recall vs brute force asserted
-    in tests/test_llm_ops.py.  At 100 TB: multiple signature tables and
-    multi-probe raise recall; the join stays shuffle-friendly.
+    each query probes its own bucket PLUS the 6 Hamming-distance-1
+    neighbors (multi-probe LSH — the standard recall dial) -> candidates
+    meet via an EQUI-join on bucket -> exact cosine re-rank -> per-query
+    top-5.  Recall vs brute force asserted in tests/test_llm_ops.py.
+    At 100 TB: more signature tables / a wider probe radius raise
+    recall; the join stays shuffle-friendly (each corpus vector lives in
+    exactly ONE bucket — only the tiny query side fans out 7x).
 
-    Driver sees (sf0.01): 50 rows; columns (query_id, neighbor_id,
-    cosine, rn).
-
-    Rows-only (irreducibly): approximate nearest neighbours — bucket
-    boundaries decide the result set. Recall vs brute-force top-k
-    asserted in tests.
-    """
+    ORACLE-BACKED (round-11 promotion): the LSH here is approximate vs
+    brute force but fully DETERMINISTIC as an algorithm — hyperplanes
+    are baked literal doubles (identical in both plans), the projection
+    is the same explicit left fold both engines execute, and sign/probe/
+    re-rank/top-k are plain relational steps — so DuckDB can REPLAY
+    bucket assignment + re-rank bit-for-bit.  The oracle asserts the
+    implementation, not exact-NN-ness; recall vs brute force stays a
+    test-side contract.  (The promotion also exposed and fixed a latent
+    round-2 bug: the old runtime-computed planes went through a 2-arg
+    transform() lambda whose second argument is the element INDEX, not
+    the loop closure — all 6 planes were identical, collapsing the LSH
+    to 2 effective buckets.  Literal planes + this oracle make that
+    class of bug impossible to reintroduce silently.)"""
     tune(spark)
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _vec("embedding").alias("vec")
     )
-    # signature bit p = sign(sum_j vec[j] * cos(p*64 + j)); cos() lattice
-    # stands in for a seeded gaussian — deterministic on any engine/executor.
+    # signature bit p = sign(dot(vec, plane_p)); identical literal plane
+    # constants on both engines (see _PLANES note above).
     sig = F.lit(0).cast("long")
     for p in range(_N_PLANES):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda j, p=p: F.cos((j + F.lit(p * 64)).cast("double")),
-        )
+        plane = F.array(*[F.lit(v) for v in _PLANES[p]])
         proj = F.aggregate(
             F.zip_with("vec", plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -188,7 +261,15 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sigged.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("q_vec"),
-        "bucket",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(_N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
     )
     c = sigged.select(
         F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "bucket"
@@ -334,8 +415,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 2
 
+_ANN_IVF_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vec
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    dim_means AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(x) AS m
+        FROM per_dim GROUP BY label, pos
+    ),
+    centroids AS (
+        SELECT label AS cell, list(m ORDER BY pos) AS cvec
+        FROM dim_means GROUP BY label
+    ),
+    scored AS (
+        SELECT v.vec_id, v.vec, c.cell,
+               {_SQL_DOT.format(a='v.vec', b='c.cvec')}
+               / ({_SQL_NORM.format(a='v.vec')}
+                  * {_SQL_NORM.format(a='c.cvec')}) AS cscore
+        FROM v CROSS JOIN centroids c
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cscore DESC, cell) AS crank
+        FROM scored
+    ),
+    corpus_cells AS (
+        SELECT vec_id AS neighbor_id, vec AS c_vec, cell
+        FROM ranked WHERE crank = 1
+    ),
+    query_cells AS (
+        SELECT vec_id AS query_id, vec AS q_vec, cell
+        FROM ranked WHERE vec_id < 10 AND crank <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id,
+               ROUND({_SQL_DOT.format(a='q_vec', b='c_vec')}
+                     / ({_SQL_NORM.format(a='q_vec')}
+                        * {_SQL_NORM.format(a='c_vec')}), 6) AS cosine
+        FROM corpus_cells cc JOIN query_cells qc ON cc.cell = qc.cell
+        WHERE qc.query_id <> cc.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM cand
+    ) WHERE rn <= 5
+    """
 
-@query("sim_ann_ivf", oracle=None)  # rows-only: ANN is approximate
+
+@query("sim_ann_ivf", oracle=_ANN_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a coarse quantizer (here: per-label mean vectors,
     computed with exact decimal sums so the centroids — and therefore
@@ -352,12 +487,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unchanged.  Recall vs brute force asserted in
     tests/test_llm_ops.py.
 
-    Driver sees (sf0.01): 50 rows; columns (query_id, neighbor_id,
-    cosine, rn).
-
-    Rows-only (irreducibly): approximate (nprobe-bounded cell search).
-    Recall vs brute force asserted in tests.
-    """
+    ORACLE-BACKED (round-11 promotion): approximate vs brute force but
+    DETERMINISTIC as an algorithm — the quantizer's centroids go through
+    the exact-decimal mean (bit-identical cross-engine), assignment and
+    nprobe ranking compare identical doubles with a cell tiebreak, and
+    the re-rank is the established fold/round shape — so DuckDB replays
+    the whole cell search bit-for-bit.  The oracle asserts the
+    implementation; recall vs brute force stays a test-side contract."""
     tune(spark)
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec("embedding").alias("vec")

@@ -135,14 +135,6 @@ ROWS_ONLY_WHY = {
         "pair-subset precision vs the exact containment twin asserted in "
         "tests/test_llm_ops.py."
     ),
-    "sim_ann_bucketed": (
-        "approximate nearest neighbours — bucket boundaries decide the "
-        "result set. Recall vs brute-force top-k asserted in tests."
-    ),
-    "sim_ann_ivf": (
-        "approximate (nprobe-bounded cell search). Recall vs brute force "
-        "asserted in tests."
-    ),
     "sim_pca_project": (
         "eigenvector sign/order are numpy implementation detail. Variance "
         "ordering, centering and reconstruction quality asserted in tests."

@@ -37,9 +37,12 @@ def test_ann_recall_vs_brute_force(spark):
     }
     assert len(exact) == 50  # 10 queries x top-5
     recall = len(exact & approx) / len(exact)
-    # single 6-bit signature table: moderate recall is the contract;
-    # multi-probe / multi-table raises it at scale
-    assert recall >= 0.2, f"bucketed ANN recall {recall:.3f} < 0.2"
+    # one 6-bit table + radius-1 multi-probe (7 of 64 buckets probed):
+    # measured recall@5 0.40-0.42 on the weak-signal fixture (round 11
+    # — the pre-fix "0.2" floor was an artifact of the collapsed-plane
+    # bug that put half the corpus in each query's bucket); more tables
+    # / wider probes raise it at scale
+    assert recall >= 0.3, f"bucketed ANN recall {recall:.3f} < 0.3"
 
 
 def test_ann_is_deterministic(spark):
