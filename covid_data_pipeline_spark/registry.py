@@ -73,66 +73,66 @@ _loaded = False
 # driver ever samples differently, the local preflight remains the
 # source of truth.
 #
-# Round-10 window (gen_showcase.py + VERDICT r9 item 1, closing the
-# external-evidence debt completely): 5 flagship re-witness slots + ALL
-# 22 never-witnessed ids (the 17 r8 leftovers, the 3 r9 compositions,
-# and the 2 r10 additions) + the 3 post-promotion re-witnesses
-# (dedup_semdedup_kmeans / sim_kmeans_lloyd / stream_stateful_totals,
-# whose only external rows are r7 no_oracle entries predating their r9
-# oracle upgrade) + 20 stalest-evidence slots (r1/r2-era scans, joins,
-# aggregates).  After this round's CORRECTNESS lands, never-witnessed
-# count is ZERO and no id's latest row predates its promotion.
+# Round-11 window (gen_showcase.py + VERDICT r10 item 1): 5 flagship
+# re-witness slots + the 2 round-11 witness queries (never witnessed) +
+# the 2 round-11 ANN oracle promotions (sim_ann_bucketed / sim_ann_ivf,
+# whose only external rows are r7 no_oracle entries predating the
+# upgrade) + the stalest-evidence ids, oldest first (closing out the
+# r1/r2-era block: pivots, windows, scalar pipelines, stream_session /
+# stream_stream_join, dedup_simhash / dedup_cluster_cc, and the r3-era
+# tail).  Every id not in this window was externally witnessed r3+ and
+# is locally re-verified every round by the cap-free driversim.
 SHOWCASE = (
     "agg_groupby",  # flagship re-witness
     "join_inner",  # flagship re-witness
     "dedup_exact",  # flagship re-witness
     "dedup_near_jaccard",  # flagship re-witness
     "sim_topk_neighbors",  # flagship re-witness
-    "stream_incremental_ingest",  # never witnessed
-    "pipeline_incremental_ingest",  # never witnessed
-    "pipeline_decontaminate",  # never witnessed
-    "pipeline_daily_series_report",  # never witnessed
-    "pipeline_merged_snapshot",  # never witnessed
-    "text_heaps_law",  # never witnessed
-    "text_bigram_lm_crossentropy",  # never witnessed
-    "analytics_qq_length_table",  # never witnessed
-    "multimodal_exact_bytes_dedup",  # never witnessed
-    "sample_weighted_reservoir",  # never witnessed
-    "analytics_markov_transitions",  # never witnessed
-    "agg_hodges_lehmann",  # never witnessed
-    "analytics_chisq_cells",  # never witnessed
-    "analytics_interarrival_burstiness",  # never witnessed
-    "analytics_new_vs_returning",  # never witnessed
-    "analytics_dau_mau",  # never witnessed
-    "profile_key_skew",  # never witnessed
-    "agg_survival_kaplan_meier",  # never witnessed
-    "corpus_length_bucket_mix",  # never witnessed
-    "sample_stratified_neyman",  # never witnessed
-    "analytics_dow_hour_heatmap",  # never witnessed
-    "sample_balanced_classes",  # never witnessed
-    "dedup_semdedup_kmeans",  # post-promotion re-witness (last r7 predates oracle)
-    "sim_kmeans_lloyd",  # post-promotion re-witness (last r7 predates oracle)
-    "stream_stateful_totals",  # post-promotion re-witness (last r7 predates oracle)
-    "agg_histogram",  # last r1
-    "win_rank_dense",  # last r1
-    "scan_parquet",  # last r2
-    "scan_json_lines",  # last r2
-    "source_python_datasource",  # last r2
-    "proj_compute",  # last r2
-    "filter_compound",  # last r2
-    "filter_null_semantics",  # last r2
-    "join_multikey_chain",  # last r2
-    "join_full",  # last r2
-    "join_semi",  # last r2
-    "join_anti",  # last r2
-    "join_theta_range",  # last r2
-    "join_asof",  # last r2
-    "join_interval",  # last r2
-    "join_lateral",  # last r2
-    "agg_global",  # last r2
-    "agg_multi_distinct",  # last r2
-    "agg_grouping_sets",  # last r2
-    "agg_collect_sorted",  # last r2
+    "stream_watermark_drop_witness",  # never witnessed
+    "stream_dedup_ttl_evict_witness",  # never witnessed
+    "sim_ann_bucketed",  # post-promotion re-witness (last r7 predates oracle)
+    "sim_ann_ivf",  # post-promotion re-witness (last r7 predates oracle)
+    "agg_pivot",  # last r2
+    "agg_mode_median",  # last r2
+    "win_row_number_topk",  # last r2
+    "win_lag_change_detect",  # last r2
+    "win_funnel_conversion",  # last r2
+    "win_streaks",  # last r2
+    "limit_topk_global",  # last r2
+    "set_except",  # last r2
+    "str_clean_pipeline",  # last r2
+    "date_parts_arith",  # last r2
+    "json_ops",  # last r2
+    "stream_session",  # last r2
+    "stream_stream_join",  # last r2
+    "dedup_simhash",  # last r2
+    "dedup_cluster_cc",  # last r2
+    "pipeline_change_report",  # last r2
+    "analytics_shipping_priority",  # last r2
+    "analytics_large_orders",  # last r2
+    "sim_cosine_pairs",  # last r2
+    "sim_normalize_embeddings",  # last r2
+    "text_tfidf",  # last r2
+    "text_langid",  # last r2
+    "corpus_contamination_check",  # last r2
+    "udf_suite",  # last r2
+    "udtf_tokenize",  # last r2
+    "sample_stratified_hash",  # last r2
+    "corpus_split_hash",  # last r2
+    "scan_csv_roundtrip",  # last r3
+    "sink_parquet_partitioned",  # last r3
+    "sink_python_datasource",  # last r3
+    "join_asof_nearest",  # last r3
+    "join_null_safe",  # last r3
+    "agg_weighted_avg",  # last r3
+    "agg_argmax_struct",  # last r3
+    "win_lead",  # last r3
+    "win_running_sum",  # last r3
+    "win_moving_avg",  # last r3
+    "win_range_frame",  # last r3
+    "win_ntile_cume",  # last r3
+    "win_first_last",  # last r3
+    "scd2_intervals",  # last r3
 )
 
 

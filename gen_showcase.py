@@ -48,6 +48,8 @@ PRIORITY_REWITNESS = (
     ("dedup_semdedup_kmeans", 9),   # r9 promotion; prior row r7 rows-only
     ("sim_kmeans_lloyd", 9),        # r9 promotion; prior row r7 rows-only
     ("stream_stateful_totals", 9),  # r9 promotion; prior row r7 rows-only
+    ("sim_ann_bucketed", 11),       # r11 promotion; prior row r7 rows-only
+    ("sim_ann_ivf", 11),            # r11 promotion; prior row r7 rows-only
 )
 
 
