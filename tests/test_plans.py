@@ -1592,3 +1592,19 @@ def test_merged_snapshot_corpus_never_shuffled(spark):
     # the intra-dedup window ranks the increment inside the checkpoint
     # build; the corpus-grain serving plan itself must carry none
     assert plan.count("Window") == 0, plan
+
+
+def test_ann_bucketed_probe_join_is_broadcast_no_cartesian(spark):
+    """sim_ann_bucketed's 100 TB shape (round 11: literal planes +
+    radius-1 multi-probe): candidates must meet via a bucket equi-join
+    with the 70-row probed query side BROADCAST — never a cartesian
+    product, never a corpus shuffle-for-shuffle's-sake — and the probe
+    fan-out must be a query-side Generate (explode), leaving corpus
+    vectors in exactly one bucket each."""
+    plan = plan_of(q("sim_ann_bucketed", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the radius-1 probe fan-out: a Generate node whose detail section
+    # shows the explode over the 7 probe buckets
+    assert "Generate" in plan and "explode" in plan, plan
