@@ -311,6 +311,24 @@ def main() -> None:
     all_total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # self-describing band contamination (round-10 judge advice):
+    # identical code has measured 37 s at load 0.3 vs 48-49 s at load
+    # 2.7+, so artifacts produced on a contended box carry the flag
+    # instead of a clean number being misread as a regression.  Only
+    # the START load is judged: the run itself drives load to ~5-7 on
+    # local[32], so the after reading can't distinguish self-load from
+    # contention (it is still recorded for mid-run-spike forensics).
+    contention = (
+        {
+            "warning": (
+                f"start loadavg1m {load_before} > 2: "
+                "timings likely inflated by box contention"
+            )
+        }
+        if load_before > 2
+        else {}
+    )
+
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(
@@ -323,6 +341,7 @@ def main() -> None:
                 "sf": sf_val,
                 "loadavg1m_before": load_before,
                 "loadavg1m_after": round(os.getloadavg()[0], 2),
+                **contention,
             },
             f,
             indent=1,
@@ -343,16 +362,7 @@ def main() -> None:
                 # box contention at run start/end — the documented noise
                 # source for cross-round headline drift (BASELINE.md)
                 "loadavg1m": [load_before, round(os.getloadavg()[0], 2)],
-                # self-describing band contamination (round-10 judge
-                # advice): identical code has measured 37 s at load 0.3
-                # vs 48-49 s at load 2.7+, so artifacts produced on a
-                # contended box carry the flag instead of a clean number
-                # being misread as a regression
-                **(
-                    {"warning": f"start loadavg1m {load_before} > 2: timings likely inflated by box contention"}
-                    if load_before > 2
-                    else {}
-                ),
+                **contention,
             },
             separators=(",", ":"),
         )

@@ -165,6 +165,16 @@ _SQL_PLANES = ",\n        ".join(
     for p in range(_N_PLANES)
 )
 
+# Radius-1 multi-probe: the query's own bucket plus each single bit
+# flipped.  Derived ONCE and interpolated into BOTH plans so turning
+# the recall dial (_N_PLANES, probe radius) can never silently diverge
+# the Spark query from its oracle.
+_PROBE_MASKS = [0] + [1 << p for p in range(_N_PLANES)]
+
+_SQL_PROBES = ", ".join(
+    "bucket" if m == 0 else f"xor(bucket, {m})" for m in _PROBE_MASKS
+)
+
 _ANN_BUCKETED_ORACLE = f"""
     WITH planes(p, pl) AS (VALUES
         {_SQL_PLANES}
@@ -196,10 +206,7 @@ _ANN_BUCKETED_ORACLE = f"""
         FROM sigged WHERE vec_id < 10
     ),
     probes AS (
-        SELECT query_id, q_vec,
-               unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-                       xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)])
-                   AS bucket
+        SELECT query_id, q_vec, unnest([{_SQL_PROBES}]) AS bucket
         FROM q
     ),
     scored AS (
@@ -263,11 +270,12 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("q_vec"),
         F.explode(
             F.array(
-                F.col("bucket"),
                 *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                    for p in range(_N_PLANES)
-                ],
+                    F.col("bucket")
+                    if m == 0
+                    else F.col("bucket").bitwiseXOR(F.lit(m))
+                    for m in _PROBE_MASKS
+                ]
             )
         ).alias("bucket"),
     )

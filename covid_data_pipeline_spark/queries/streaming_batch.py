@@ -1229,18 +1229,6 @@ def _ingest_decisions(flagged: DataFrame) -> DataFrame:
 # tests/test_streaming.py::test_watermark_drops_late_rows).
 
 
-def _pin_feed_mtimes(src: str, dirs: list[str]) -> None:
-    """FileStreamSource orders files by modification time; pin distinct
-    mtimes so arrival order is deterministic, never a same-tick race."""
-    import os
-
-    for i, d in enumerate(dirs):
-        t = 1_700_000_000 + 10 * i
-        for root, _dirs, files in os.walk(os.path.join(src, d)):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (t, t))
-
-
 def _drain_to_parquet(
     spark: SparkSession, streaming_df: DataFrame, sink: str, ckpt: str
 ) -> None:
@@ -1312,9 +1300,11 @@ def stream_watermark_drop_witness(spark: SparkSession, sf_dir: str) -> DataFrame
     final join is window-grain — both sides tiny.  The two min/max
     scalars are metadata-sized collects by construction."""
     import os
+    import shutil
     import tempfile
 
     from ..schemas import EVENTS
+    from ..streaming import pin_feed_mtimes
 
     tune(spark)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1347,23 +1337,33 @@ def stream_watermark_drop_witness(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         _drain_to_parquet(spark, agg, sink, ckpt)
 
-    genuine.coalesce(1).write.parquet(os.path.join(src, "b1"))
-    _pin_feed_mtimes(src, ["b1"])
-    run()  # commits watermark = max - 10 min; emits all closed windows
-    echoes.coalesce(1).write.parquet(os.path.join(src, "b2"))
-    _pin_feed_mtimes(src, ["b1", "b2"])
-    run()  # resumed watermark: every echo is late in a closed window
+    try:
+        genuine.coalesce(1).write.parquet(os.path.join(src, "b1"))
+        pin_feed_mtimes(src, ["b1"])
+        run()  # commits watermark = max - 10 min; emits closed windows
+        echoes.coalesce(1).write.parquet(os.path.join(src, "b2"))
+        pin_feed_mtimes(src, ["b1", "b2"])
+        run()  # resumed watermark: every echo is late, window closed
 
-    kept = spark.read.parquet(os.path.join(sink, "data"))
-    fed = genuine.unionByName(echoes).groupBy(
-        (F.unix_micros("ts") - F.unix_micros("ts") % TR.HOUR_US).alias("ws_us")
-    ).agg(F.count(F.lit(1)).alias("n_fed"))
-    return kept.join(fed, "ws_us").select(
-        "ws_us",
-        "n_kept",
-        "n_fed",
-        (F.col("n_fed") - F.col("n_kept")).alias("n_dropped"),
-    )
+        kept = spark.read.parquet(os.path.join(sink, "data"))
+        fed = genuine.unionByName(echoes).groupBy(
+            (F.unix_micros("ts") - F.unix_micros("ts") % TR.HOUR_US).alias(
+                "ws_us"
+            )
+        ).agg(F.count(F.lit(1)).alias("n_fed"))
+        result = kept.join(fed, "ws_us").select(
+            "ws_us",
+            "n_kept",
+            "n_fed",
+            (F.col("n_fed") - F.col("n_kept")).alias("n_dropped"),
+        )
+        # window-grain rows (calendar-bounded, <= 720): materialize so
+        # the feed/sink/checkpoint scratch dirs can be deleted instead
+        # of leaking one events-sized parquet copy per invocation
+        return result.localCheckpoint(eager=True)
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 @query(
@@ -1424,9 +1424,11 @@ def stream_dedup_ttl_evict_witness(spark: SparkSession, sf_dir: str) -> DataFram
     doctored slices are calendar-bounded (day 1); the min/max scalars
     are metadata-sized collects."""
     import os
+    import shutil
     import tempfile
 
     from ..schemas import EVENTS
+    from ..streaming import pin_feed_mtimes
 
     tune(spark)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1486,22 +1488,31 @@ def stream_dedup_ttl_evict_witness(spark: SparkSession, sf_dir: str) -> DataFram
             spark, out.select("event_id", "user_id", "content_hash"), sink, ckpt
         )
 
-    genuine.coalesce(1).write.parquet(os.path.join(src, "b1"))
-    _pin_feed_mtimes(src, ["b1"])
-    run()  # first arrivals emit; terminal commit evicts all day-1 keys
-    late_echoes.unionByName(fresh_redups).coalesce(1).write.parquet(
-        os.path.join(src, "b2")
-    )
-    _pin_feed_mtimes(src, ["b1", "b2"])
-    run()  # echoes dropped as late; re-dups re-admitted (state evicted)
+    try:
+        genuine.coalesce(1).write.parquet(os.path.join(src, "b1"))
+        pin_feed_mtimes(src, ["b1"])
+        run()  # first arrivals emit; terminal commit evicts day-1 keys
+        late_echoes.unionByName(fresh_redups).coalesce(1).write.parquet(
+            os.path.join(src, "b2")
+        )
+        pin_feed_mtimes(src, ["b1", "b2"])
+        run()  # echoes dropped as late; re-dups re-admitted (evicted)
 
-    sunk = spark.read.parquet(os.path.join(sink, "data"))
-    return sunk.select(
-        "event_id",
-        "user_id",
-        "content_hash",
-        F.when(F.col("event_id") >= 20_000_000, F.lit("post_evict_readmit"))
-        .when(F.col("event_id") >= 10_000_000, F.lit("late_echo_leaked"))
-        .otherwise(F.lit("first_arrival"))
-        .alias("src"),
-    )
+        sunk = spark.read.parquet(os.path.join(sink, "data"))
+        result = sunk.select(
+            "event_id",
+            "user_id",
+            "content_hash",
+            F.when(
+                F.col("event_id") >= 20_000_000, F.lit("post_evict_readmit")
+            )
+            .when(F.col("event_id") >= 10_000_000, F.lit("late_echo_leaked"))
+            .otherwise(F.lit("first_arrival"))
+            .alias("src"),
+        )
+        # first-arrival-sized rows (distinct keys + day-1 re-dups):
+        # materialize so the scratch dirs can be deleted, not leaked
+        return result.localCheckpoint(eager=True)
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

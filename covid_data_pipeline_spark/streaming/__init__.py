@@ -9,6 +9,7 @@ foreachBatch sinks, checkpoints).
 """
 
 from .runner import (  # noqa: F401
+    pin_feed_mtimes,
     read_documents_stream,
     read_events_stream,
     run_available_now,

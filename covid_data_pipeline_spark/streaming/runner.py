@@ -99,3 +99,18 @@ def run_foreach_parquet(sdf: DataFrame, out_dir: str | None = None) -> str:
     )
     q.awaitTermination()
     return out
+
+
+def pin_feed_mtimes(src: str, dirs: list[str] | tuple[str, ...]) -> None:
+    """Pin distinct, strictly increasing modification times on the files
+    under ``src/<d>`` for each d in order.  FileStreamSource admits files
+    in mtime order, so two feed files written within the same mtime tick
+    would make micro-batch arrival order (and every state-carry witness
+    built on it) a coin flip.  Single definition shared by the witness
+    queries and the split-feed tests — the pinning scheme must never
+    diverge between product and test."""
+    for i, d in enumerate(dirs):
+        t = 1_700_000_000 + 10 * i
+        for root, _dirs, files in os.walk(os.path.join(src, d)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))

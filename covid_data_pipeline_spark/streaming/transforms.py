@@ -536,22 +536,10 @@ def stateful_ingest_rank(df: DataFrame) -> DataFrame:
         (seen,) = state.get if state.exists else (0,)
         # guard BEFORE concat: pd.concat([]) raises, and a state-only
         # invocation (empty iterator — possible the moment a timeout
-        # conf is ever added) must reach the empty-frame branch below
+        # conf is ever added) must reach the empty-frame else branch
+        # below (which builds its own correctly-typed empty output)
         chunks = list(pdfs)
-        pdf = (
-            pd.concat(chunks, ignore_index=True)
-            if chunks
-            else pd.DataFrame(
-                columns=[
-                    "doc_id",
-                    "h",
-                    "ok_clean",
-                    "ok_quality",
-                    "id_in_corpus",
-                    "hash_in_corpus",
-                ]
-            )
-        )
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(pdf):
             pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(
                 drop=True

@@ -15,6 +15,7 @@ from pyspark.sql import Row, Window, functions as F
 from covid_data_pipeline_spark.io import load
 from covid_data_pipeline_spark.schemas import EVENTS
 from covid_data_pipeline_spark.streaming import (
+    pin_feed_mtimes,
     read_events_stream,
     run_available_now,
     transforms as TR,
@@ -809,11 +810,7 @@ def test_ingest_rank_carries_state(spark, tmp_path):
     # FileStreamSource orders batches by modification time; two writes
     # landing in the same mtime tick would make b1-before-b2 (and the
     # asserted ranks) a coin flip — pin the order explicitly
-    for i, d in enumerate(("b1", "b2")):
-        t = 1_700_000_000 + i * 10
-        for root, _dirs, files in os.walk(os.path.join(src, d)):
-            for f in files:
-                os.utime(os.path.join(root, f), (t, t))
+    pin_feed_mtimes(src, ("b1", "b2"))
 
     stream = (
         spark.readStream.schema(schema)
@@ -926,11 +923,7 @@ def _write_time_split_feed(spark, tmp_path, cut_us: int | None = None):
     second = ev.filter(F.unix_micros("ts") >= cut_us).select(*cols)
     first.coalesce(1).write.parquet(os.path.join(src, "b1"))
     second.coalesce(1).write.parquet(os.path.join(src, "b2"))
-    for i, d in enumerate(("b1", "b2")):
-        t = 1_700_000_000 + 10 * i
-        for root, _dirs, files in os.walk(os.path.join(src, d)):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (t, t))
+    pin_feed_mtimes(src, ("b1", "b2"))
     return ev, first, second, src
 
 
@@ -1024,7 +1017,6 @@ def test_stateful_change_detect_split_feed_equals_batch_lag(spark, tmp_path):
         run_available_now(TR.stateful_change_detect(stream), output_mode="append"),
         cols,
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     h = F.sha2("props", 256)
     want_df = (
         load(spark, SF_SMOKE, "events")
