@@ -830,3 +830,27 @@ def test_quality_report_clean_on_pristine_fixture(spark):
     assert rows[("negative_value", "events")] == 0
     assert rows[("empty_text", "documents")] == 0
     assert rows[("calendar_gap_days", "events")] == 0
+
+
+def test_multitable_ann_recall_dominates_single_table(spark):
+    """The table-count dial (round 11): two independent signature tables
+    must not lose to one — their candidate union is a superset family,
+    so recall@5 must be >= the single-table run on the same fixture,
+    and above an absolute floor."""
+    reg = load_all()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg["sim_topk_neighbors"].fn(spark, SF_ORACLE).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg["sim_ann_bucketed"].fn(spark, SF_ORACLE).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg["sim_ann_multitable"].fn(spark, SF_ORACLE).collect()
+    }
+    r1 = len(exact & single) / len(exact)
+    r2 = len(exact & multi) / len(exact)
+    assert r2 >= 0.35, f"multitable recall {r2:.3f} < 0.35"
+    assert r2 >= r1, f"multitable {r2:.3f} lost to single-table {r1:.3f}"
