@@ -102,7 +102,17 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall-1 argument): prefix length n - ceil(0.7*n) + 1; posexplode
     # keeps each prefix token's 1-based POSITION for the PPJoin filter
     plen = (F.col("n_toks") - F.floor((F.col("n_toks") * 7 + 9) / 10) + 1).cast("int")
-    pe = t.select(
+    # hash-repartition the probe side by doc_id BEFORE the explode: the
+    # single parquet file otherwise pins the candidate join + partial
+    # pair-distinct to ONE scan task (measured r11: 13.2 M pre-dedup
+    # matches at sf0.1 ran on 1 task — 12.7 s; repartitioned: 2.3 s).
+    # doc_id co-locates each doc's prefix rows, so every duplicate of a
+    # (a_id, b_id) candidate stays inside one task and the map-side
+    # partial distinct still collapses it before the shuffle.  Count is
+    # defaultParallelism — scale-adaptive (= cores locally, = executor
+    # slots on a cluster), never a constant.
+    par = spark.sparkContext.defaultParallelism
+    pe = t.repartition(par, "doc_id").select(
         "doc_id",
         "lang",
         "n_toks",
@@ -142,21 +152,41 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(F.col("a_n") - F.col("ai"), F.col("b_n") - F.col("bj"))
     )
     o_min = F.floor((F.col("a_n") + F.col("b_n")) * 7 / 17) + 1
+    # pair-dedup as a keys-only distinct — lang is functionally
+    # dependent on the pair (both ends share it), so carrying it as a
+    # GROUP KEY keeps the aggregate a codegen HashAggregate; the old
+    # dropDuplicates([a_id, b_id]) planned first(lang), whose string
+    # buffer forces a SortAggregate (two sorts of every candidate row)
     cand = (
         ca.join(cb, on=["lang", "ptok"])
         .filter((F.col("a_id") < F.col("b_id")) & ratio_ok & (ub >= o_min))
         .select("a_id", "b_id", "lang")
-        .dropDuplicates(["a_id", "b_id"])
+        .distinct()
     )
     sa = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
     sb = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
-    inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    union = F.size("a_toks") + F.size("b_toks") - inter
-    jac = inter.cast("double") / union
-    return (
+    # single-evaluation verification: the explode(array(...)) Generate is
+    # an optimizer barrier (the dedup_embedding_cosine idiom), so the
+    # intersection is computed ONCE per candidate; inlined, the filter
+    # pushed into the join condition + the projection re-derived it 4x
+    inter1 = F.size(F.array_intersect("a_toks", "b_toks"))
+    verified = (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
-        .withColumn("jaccard", jac)
+        .select(
+            "a_id",
+            "b_id",
+            "lang",
+            F.size("a_toks").alias("na"),
+            F.size("b_toks").alias("nb"),
+            F.explode(F.array(inter1)).alias("inter"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") > JACCARD_THRESHOLD)
         .select("a_id", "b_id", "lang", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -218,13 +248,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens pre-hashed to int64 (same trick as the exact twins): the 64
     # seeded minhash passes then fold longs instead of strings, and the
     # candidate re-rank intersects long arrays
+    # hash-repartition by doc_id straight off the scan: the single
+    # parquet file otherwise pins the 64 minhash folds AND the band
+    # join + pair-distinct to ONE task (same r11 finding as
+    # dedup_near_jaccard); doc_id keeps each doc's band rows — and so
+    # every duplicate of a candidate pair — inside one task, preserving
+    # the map-side partial distinct.  defaultParallelism, never a
+    # constant: scales with the session's cores.
+    par = spark.sparkContext.defaultParallelism
     t = d.select(
         "doc_id",
         "lang",
         F.array_distinct(
             F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok))
         ).alias("toks"),
-    )
+    ).repartition(par, "doc_id")
     t = t.withColumn(
         "toks31", F.transform("toks", lambda x: F.pmod(x, F.lit(_MH_P)))
     )
@@ -264,22 +302,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keys.select(F.col("doc_id").alias("a_id"), "lang", "band", "bsig")
     b = keys.select(F.col("doc_id").alias("b_id"), "lang", "band", "bsig")
+    # keys-only distinct (lang never reaches the output, so carrying it
+    # through a first() aggregate only forced a SortAggregate — r11)
     cand = (
         a.join(b, on=["lang", "band", "bsig"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "lang")
-        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id")
+        .distinct()
     )
-    # token sets rejoin only for candidates (tiny vs the corpus)
+    # token sets rejoin only for candidates (tiny vs the corpus);
+    # explode(array(...)) Generate barrier = ONE intersection per
+    # candidate instead of the 4 the inlined filter+project evaluated
     ta = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
     tb = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
-    inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    union = F.size("a_toks") + F.size("b_toks") - inter
-    jac = inter.cast("double") / union
-    return (
+    inter1 = F.size(F.array_intersect("a_toks", "b_toks"))
+    verified = (
         cand.join(ta, "a_id")
         .join(tb, "b_id")
-        .withColumn("jaccard_est", jac)
+        .select(
+            "a_id",
+            "b_id",
+            F.size("a_toks").alias("na"),
+            F.size("b_toks").alias("nb"),
+            F.explode(F.array(inter1)).alias("inter"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        verified.withColumn("jaccard_est", jac)
         .filter(F.col("jaccard_est") > JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard_est", 6).alias("jaccard_est"))
     )

@@ -50,6 +50,12 @@ def _vec(col: str) -> Column:
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
+    # NB (r11 optimization round): an unrolled 64-term getItem chain was
+    # A/B'd against this fold (experiments/opt_r11_hof_ab.py) and was
+    # NOT faster (1.10 s vs 0.74 s on the repartitioned pair scorer) —
+    # the wins are per-row norms and probe-side repartition, not the
+    # fold itself.  Keep the HOF form: one array reference per operand
+    # is also what keeps CollapseProject inlining harmless.
     prods = F.zip_with(a, b, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -75,18 +81,34 @@ def _norm(a: Column | str) -> Column:
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine-similar pairs within a label block (cos > 0.25).
     Label is the blocking key bounding the quadratic term — the same
-    role lang plays for Jaccard dedup."""
+    role lang plays for Jaccard dedup.
+
+    r11 optimization-round shape: the stream side hash-repartitions by
+    vec_id first (the single parquet file otherwise pins ~200k pair
+    evaluations to ONE scan task), and norms are computed once per ROW
+    before the pair join — the join boundary stops CollapseProject from
+    re-inlining the fold per PAIR, so no explicit barrier is needed
+    (one fold per pair instead of three; measured A/B in
+    experiments/opt_r11_hof_ab.py: 3.95 -> 0.74 s).  cos values are
+    bit-identical: same IEEE ops in the same order, just evaluated once
+    per row instead of once per pair."""
     tune(spark)
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _vec("embedding").alias("vec")
+    par = spark.sparkContext.defaultParallelism
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select("vec_id", "label", _vec("embedding").alias("vec"))
+        .select("vec_id", "label", "vec", _norm("vec").alias("nrm"))
     )
     a = e.select(
-        F.col("vec_id").alias("a_id"), "label", F.col("vec").alias("a_vec")
+        F.col("vec_id").alias("a_id"), "label",
+        F.col("vec").alias("a_vec"), F.col("nrm").alias("a_n"),
     )
     b = e.select(
-        F.col("vec_id").alias("b_id"), "label", F.col("vec").alias("b_vec")
+        F.col("vec_id").alias("b_id"), "label",
+        F.col("vec").alias("b_vec"), F.col("nrm").alias("b_n"),
     )
-    cos = _dot("a_vec", "b_vec") / (_norm("a_vec") * _norm("b_vec"))
+    cos = _dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))
     return (
         a.join(b, on="label")
         .filter(F.col("a_id") < F.col("b_id"))

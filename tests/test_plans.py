@@ -388,7 +388,10 @@ _SHUFFLE_BUDGET = {
     "dedup_exact": 1,
     "dedup_near_jaccard": 4,
     "dedup_minhash_lsh": 4,
-    "sim_cosine_pairs": 1,
+    # r11 optimization round: +1 for the deliberate probe-side
+    # repartition by vec_id — the single-file scan otherwise pins the
+    # ~200k pair evaluations to one task (experiments/opt_r11_hof_ab.py)
+    "sim_cosine_pairs": 2,
     "text_tfidf": 5,
     "win_sessionize": 1,
     "ts_resample_ohlc": 1,
