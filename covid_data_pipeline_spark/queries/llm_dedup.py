@@ -392,7 +392,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash(spark: SparkSession, d: DataFrame) -> DataFrame:
     """(doc_id, lang, simhash) — shared by dedup_simhash and the
     band-collision clustering in dedup_cluster_cc."""
-    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    # r11 optimization round: the bit dimension lives in 26 aggregate
+    # BUFFERS of one hash aggregate, not in a broadcast-crossJoin row
+    # blowup — the old shape multiplied the token table by 26 (3.9 M
+    # rows at sf0.1) and paid two shuffles; this shape pays one shuffle
+    # of one row per doc.  Weights are identical (per-bit sum of ±1 over
+    # the same tokens — order-free integer addition), so the simhash is
+    # bit-identical.  The repartition parallelizes the per-token char
+    # fold: the single-file scan otherwise runs it on one task.
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        d.select("doc_id", "lang", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    )
     # polynomial hash over char codes: fold (acc*31 + code) mod 2^26
     thash = F.aggregate(
         F.transform(F.split("token", ""), lambda ch: F.ascii(ch).cast("long")),
@@ -400,21 +413,21 @@ def _simhash(spark: SparkSession, d: DataFrame) -> DataFrame:
         lambda acc, c: (acc * 31 + c) % (1 << _SIMHASH_BITS),
     )
     th = tok.select("doc_id", "lang", thash.alias("thash"))
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    weights = (
-        th.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "lang", "bit")
-        .agg(
+    weights = th.groupBy("doc_id", "lang").agg(
+        *[
             F.sum(
-                F.when(F.expr("(thash >> bit) & 1") == 1, 1).otherwise(-1)
-            ).alias("weight")
+                F.when(F.shiftright("thash", b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"w{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return weights.groupBy("doc_id", "lang").agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)
-        ).alias("simhash")
-    )
+        simhash = term if simhash is None else simhash + term
+    return weights.select("doc_id", "lang", simhash.alias("simhash"))
 
 
 # Projection-only twin of :func:`_simhash`: the whole fingerprint as
@@ -560,7 +573,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.slice(
         "shingles", 1, (F.floor(F.col("n_sh") / 2) + 1).cast("int")
     )
-    pe = t.select("doc_id", "lang", "n_sh", F.explode(prefix).alias("psh"))
+    # repartition before the explode (r11): single-file scan otherwise
+    # pins the candidate join + partial pair-distinct to one task (the
+    # dedup_near_jaccard finding); doc_id keeps a pair's duplicate
+    # matches in one task so the map-side distinct still collapses them
+    par = spark.sparkContext.defaultParallelism
+    pe = t.repartition(par, "doc_id").select(
+        "doc_id", "lang", "n_sh", F.explode(prefix).alias("psh")
+    )
     ca = pe.select(
         F.col("doc_id").alias("a_id"), "lang", "psh", F.col("n_sh").alias("a_n")
     )
@@ -577,14 +597,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = t.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     sb = t.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    jac = inter.cast("double") / (
-        F.size("a_sh") + F.size("b_sh") - inter
-    )
-    return (
+    # explode(array(...)) Generate barrier = ONE intersection per
+    # candidate (the dedup_near_jaccard r11 verification shape)
+    inter1 = F.size(F.array_intersect("a_sh", "b_sh"))
+    verified = (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
-        .withColumn("jaccard", jac)
+        .select(
+            "a_id",
+            "b_id",
+            F.size("a_sh").alias("na"),
+            F.size("b_sh").alias("nb"),
+            F.explode(F.array(inter1)).alias("inter"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") > NGRAM_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -634,8 +665,14 @@ def _band_collision_components(spark, d):
     """Simhash band-collision duplicate clusters, shared by
     ``dedup_cluster_cc`` and ``dedup_cluster_keep_best``: 13-bit half
     collisions (same lang) starred to the bucket minimum, closed with
-    the distributed CC operator.  Returns (doc_id, cluster_id)."""
-    sh = _simhash(spark, d)
+    the distributed CC operator.  Returns (doc_id, cluster_id).
+
+    The simhash frame is lazily localCheckpointed: it feeds the band
+    min-aggregate AND the edge join (and the CC operator re-reads the
+    edges for its symmetrized copy), so without truncation the whole
+    fingerprint pass replayed 2-3x per invocation (r11 measurement:
+    3.2 s per replay at sf0.1 pre-rewrite)."""
+    sh = _simhash(spark, d).localCheckpoint(eager=False)
     lo = sh.select(
         "doc_id",
         "lang",
@@ -915,6 +952,10 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     )
     w = Window.partitionBy("h").orderBy("doc_id")
+    # NB (r11): a lazy localCheckpoint here was A/B'd and LOST (9.7 ->
+    # 12.8 s median) — AQE already reuses the single hashpartitioning(h)
+    # exchange across the four consumers, so truncation only added a
+    # materialization barrier.  Left as one fused plan on purpose.
     exact_kept = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -927,7 +968,16 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         (F.col("n_toks") - F.floor((F.col("n_toks") * 7 + 9) / 10) + 1).cast("int"),
     )
-    pe = exact_kept.select("doc_id", "lang", "n_toks", F.explode(prefix).alias("ptok"))
+    # explicit repartition before the explode (r11): AQE coalesces the
+    # 5k-row window exchange to ONE post-shuffle partition, which would
+    # pin the 13.4M-row candidate join to one task; an explicit
+    # repartition(n, key) is exempt from AQE coalescing, so the blowup
+    # stays parallel.  doc_id keeps each pair's duplicates in one task
+    # (map-side partial distinct still collapses them).
+    par = spark.sparkContext.defaultParallelism
+    pe = exact_kept.repartition(par, "doc_id").select(
+        "doc_id", "lang", "n_toks", F.explode(prefix).alias("ptok")
+    )
     ca = pe.select(
         F.col("doc_id").alias("a_id"), "lang", "ptok", F.col("n_toks").alias("a_n")
     )
@@ -945,12 +995,23 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = exact_kept.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
     sb = exact_kept.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
-    inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    union = F.size("a_toks") + F.size("b_toks") - inter
+    # explode(array(...)) Generate barrier = ONE intersection per
+    # candidate (the dedup_near_jaccard r11 verification shape)
+    inter1 = F.size(F.array_intersect("a_toks", "b_toks"))
     near_dropped = (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
-        .filter(inter.cast("double") / union > JACCARD_THRESHOLD)
+        .select(
+            "b_id",
+            F.size("a_toks").alias("na"),
+            F.size("b_toks").alias("nb"),
+            F.explode(F.array(inter1)).alias("inter"),
+        )
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            > JACCARD_THRESHOLD
+        )
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )
@@ -1912,7 +1973,11 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
-    pe = stage_exact.select(
+    # explicit repartition before the explode (r11): AQE coalesces the
+    # small post-window exchange to one partition, which would pin the
+    # candidate blowup to one task (the pipeline_dedup_funnel finding)
+    par = spark.sparkContext.defaultParallelism
+    pe = stage_exact.repartition(par, "doc_id").select(
         "doc_id", "lang", "n_toks", F.explode(prefix).alias("ptok")
     )
     ca = pe.select(
@@ -1938,12 +2003,23 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = stage_exact.select(
         F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")
     )
-    inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    union = F.size("a_toks") + F.size("b_toks") - inter
+    # explode(array(...)) Generate barrier = ONE intersection per
+    # candidate (the dedup_near_jaccard r11 verification shape)
+    inter1 = F.size(F.array_intersect("a_toks", "b_toks"))
     near_dropped = (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
-        .filter(inter.cast("double") / union > JACCARD_THRESHOLD)
+        .select(
+            "b_id",
+            F.size("a_toks").alias("na"),
+            F.size("b_toks").alias("nb"),
+            F.explode(F.array(inter1)).alias("inter"),
+        )
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            > JACCARD_THRESHOLD
+        )
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )
