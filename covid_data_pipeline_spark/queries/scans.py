@@ -20,8 +20,18 @@ from ..registry import query
 from ..schemas import DOCUMENTS, EVENTS
 from ._helpers import dsum, sql_dsum
 
-# fixed scratch root: side-effect queries overwrite their own subdir per run
-SCRATCH = os.path.join(tempfile.gettempdir(), "cdp_spark_scratch")
+# fixed scratch root: side-effect queries overwrite their own subdir per
+# run.  Ephemeral (re-written every invocation, never read across runs),
+# so it lives on tmpfs when the box has one — the round-trip queries
+# measure serialization/layout work, not the durability of a throwaway
+# /tmp dir (r11; same policy as streaming.runner scratch_dir).  Override
+# with $SPARK_GRAFT_SCRATCH (set it to /tmp for the old layout); a real
+# lake's sinks are durable storage — this only relocates local scratch.
+_scratch_root = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+    "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+    else tempfile.gettempdir()
+)
+SCRATCH = os.path.join(_scratch_root, "cdp_spark_scratch")
 
 
 @query("scan_parquet", oracle="SELECT * FROM lineitem")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..io import load, tune
 from ..registry import query
 from ..streaming import transforms as TR
+from ..streaming.runner import scratch_dir
 from ._helpers import DEC, sql_dsum
 
 
@@ -908,7 +909,7 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    root = tempfile.mkdtemp(prefix="cdp_upsert_")
+    root = scratch_dir("cdp_upsert_")
     ckpt = os.path.join(root, "_checkpoint")
 
     q = (
@@ -975,7 +976,7 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdp_prog_"))
+        .option("checkpointLocation", scratch_dir("cdp_prog_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1319,9 +1320,9 @@ def stream_watermark_drop_witness(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id", F.col("event_id") + F.lit(10_000_000)
     )
 
-    src = tempfile.mkdtemp(prefix="cdp_wmfeed_")
-    sink = tempfile.mkdtemp(prefix="cdp_wmsink_")
-    ckpt = tempfile.mkdtemp(prefix="cdp_wmckpt_")
+    src = scratch_dir("cdp_wmfeed_")
+    sink = scratch_dir("cdp_wmsink_")
+    ckpt = scratch_dir("cdp_wmckpt_")
 
     def run() -> None:
         stream = (
@@ -1465,9 +1466,9 @@ def stream_dedup_ttl_evict_witness(spark: SparkSession, sf_dir: str) -> DataFram
         .select(*[f.name for f in EVENTS.fields])
     )
 
-    src = tempfile.mkdtemp(prefix="cdp_ttlfeed_")
-    sink = tempfile.mkdtemp(prefix="cdp_ttlsink_")
-    ckpt = tempfile.mkdtemp(prefix="cdp_ttlckpt_")
+    src = scratch_dir("cdp_ttlfeed_")
+    sink = scratch_dir("cdp_ttlsink_")
+    ckpt = scratch_dir("cdp_ttlckpt_")
 
     def run() -> None:
         stream = (

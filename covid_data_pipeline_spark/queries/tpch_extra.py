@@ -655,10 +655,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # edges feed every unrolled iteration plus deg/nodes — without
+    # lineage truncation the lineitem⋈orders distinct replayed ~28x in
+    # one plan (r11 measurement: 112 parquet scans / 162 static
+    # exchanges, ~5.8 s at sf0.1).  Truncate once at the distinct trade
+    # pairs (the graph_knn_triangles localCheckpoint idiom).
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     edges = pairs.select(
         F.col("s").alias("src"), (F.col("c") + _PR_CUST_OFFSET).alias("dst")

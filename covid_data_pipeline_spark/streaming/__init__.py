@@ -13,5 +13,6 @@ from .runner import (  # noqa: F401
     read_documents_stream,
     read_events_stream,
     run_available_now,
+    scratch_dir,
 )
 from . import transforms  # noqa: F401
