@@ -2023,12 +2023,18 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection runs per segment with boundary handoff."""
     tune(spark)
     e = load(spark, sf_dir, "events")
+    # daily (the only corpus-sized stage, ~150 rows out) feeds FOUR
+    # consumers (bounds, mid, fp, lp) and mid feeds two (cents, pts);
+    # truncate both so the rollup runs once and the downstream 5-row
+    # algebra hangs off checkpoint leaves instead of replaying it (and
+    # so the 15 stacked per-step projections analyze against a leaf,
+    # not the full upstream plan) — r11, the graph-family idiom.
     daily = e.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         .cast("long")
         .alias("t"),
-    ).agg(F.count(F.lit(1)).alias("v"))
+    ).agg(F.count(F.lit(1)).alias("v")).localCheckpoint(eager=False)
     bounds = daily.groupBy("event_type").agg(
         F.min("t").alias("t_lo"),
         F.max("t").alias("t_hi"),
@@ -2046,6 +2052,7 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "b", F.floor((F.col("rk") - 1) * 8 / (F.col("n") - 2)).cast("long")
         )
+        .localCheckpoint(eager=False)
     )
     cents = (
         mid.groupBy("event_type", "b")
