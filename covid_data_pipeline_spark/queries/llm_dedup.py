@@ -1197,10 +1197,11 @@ def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     because parquet splits respect row-group boundaries (measured:
     1 MB -> still 2 tasks; 256 KB -> 6 skewed tasks, SLOWER).  The
     exchange also lets the identically-projected probe/index branches
-    share one shuffle via ReusedExchange.  (A further restructure to
-    make the two verify branches reuse it too was tried and did NOT
-    help: column pruning specializes their subtrees and the extra
-    complexity bought no measured time.)  At 100 TB the scan has
+    share one shuffle via ReusedExchange.  (An r10 restructure to make
+    the two verify branches reuse the EXCHANGE was tried and did not
+    help — column pruning specializes their subtrees; the r11 lazy
+    localCheckpoint below solves the same replay by materializing the
+    frame once for all four consumers.)  At 100 TB the scan has
     natural splits and this repartition can be dropped; it costs one
     exchange of the shingle arrays against a 3x-larger map stage."""
     d = load(spark, sf_dir, "documents")
@@ -1234,7 +1235,14 @@ def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("sh"),
-    ).withColumn("n", F.size("sh")).repartition("doc_id")
+    ).withColumn("n", F.size("sh")).repartition("doc_id").localCheckpoint(
+        # r11: the shingle frame feeds FOUR consumers per twin (probe,
+        # index, both verify sides) and column pruning specializes their
+        # subtrees past ReusedExchange — the lazy checkpoint computes
+        # the split+hash+sort pipeline once (interleaved A/B at sf0.1:
+        # exact twin 8.1 -> 3.6 s median)
+        eager=False
+    )
 
 
 @query(
@@ -1305,6 +1313,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("i_n"),
         F.explode("sh").alias("tok"),
     )
+    # keys-only distinct (lang is functionally determined by the pair —
+    # both docs share it — so grouping by all three columns is exact and
+    # plans a HashAggregate; dropDuplicates(["a_id","b_id"]) planned a
+    # SortAggregate carrying first(lang) string buffers — the batch-1
+    # near_jaccard lesson)
     cand = (
         probe.join(idx, on=["lang", "tok"])
         .filter((F.col("p_id") != F.col("i_id")) & (F.col("p_n") <= F.col("i_n")))
@@ -1313,16 +1326,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("p_id", "i_id").alias("b_id"),
             "lang",
         )
-        .dropDuplicates(["a_id", "b_id"])
+        .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    cont = inter.cast("double") / F.least(F.size("a_sh"), F.size("b_sh"))
+    # containment evaluated ONCE per candidate behind an explode(array())
+    # Generate barrier — inlining it in filter + projection multi-
+    # evaluates the array_intersect (the batch-1 single-eval idiom)
+    cont = (
+        F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+        / F.least(F.size("a_sh"), F.size("b_sh"))
+    )
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
-        .withColumn("containment", cont)
+        .select(
+            "a_id",
+            "b_id",
+            "lang",
+            F.explode(F.array(cont)).alias("containment"),
+        )
         .filter(F.col("containment") >= CONTAIN_THRESHOLD)
         .select("a_id", "b_id", "lang", F.round("containment", 6).alias("containment"))
     )
@@ -1401,16 +1424,25 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, on=["lang", "band", "bsig"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "lang")
-        .dropDuplicates(["a_id", "b_id"])
+        # keys-only distinct + single-eval verify barrier: same two
+        # rewrites as the exact twin (see dedup_containment)
+        .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    cont = inter.cast("double") / F.least(F.size("a_sh"), F.size("b_sh"))
+    cont = (
+        F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+        / F.least(F.size("a_sh"), F.size("b_sh"))
+    )
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
-        .withColumn("containment", cont)
+        .select(
+            "a_id",
+            "b_id",
+            "lang",
+            F.explode(F.array(cont)).alias("containment"),
+        )
         .filter(F.col("containment") >= CONTAIN_THRESHOLD)
         .select("a_id", "b_id", "lang", F.round("containment", 6).alias("containment"))
     )

@@ -1038,9 +1038,13 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("sub.s").alias("s"), F.col("sub.sv").alias("sv"))
     # subs feeds training (x2 rounds), encoding and the ADC tables; en
     # feeds seeding, sizing and both re-rank vector sides — truncate both
-    # so the normalize+slice pipeline runs once, not per consumer
-    en = en.localCheckpoint(eager=False)
-    subs = subs.localCheckpoint(eager=False)
+    # so the normalize+slice pipeline runs once, not per consumer; the
+    # repartitions spread the checkpointed blocks off the single-file
+    # scan's 1-2 partitions so the fold-heavy consumers parallelize
+    # (r11 single-file trap)
+    par = spark.sparkContext.defaultParallelism
+    en = en.repartition(par, "vec_id").localCheckpoint(eager=False)
+    subs = subs.repartition(par, "vec_id").localCheckpoint(eager=False)
 
     # -- train: deterministic init (first K vec_ids in Knuth-hash order,
     # the same K vectors seed every subspace), then Lloyd rounds
@@ -1212,8 +1216,12 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.transform("vec", lambda x: x / F.col("n")).alias("nvec"))
     )
     # en feeds seeding, two Lloyd rounds, the final assignment and both
-    # pair sides — truncate so union+normalize runs once, not 6x
-    en = en.localCheckpoint(eager=False)
+    # pair sides — truncate so union+normalize runs once, not 6x; the
+    # repartition spreads the checkpointed blocks off the single-file
+    # scan's 1-2 partitions so every fold-heavy consumer parallelizes
+    # (r11 single-file trap)
+    par = spark.sparkContext.defaultParallelism
+    en = en.repartition(par, "vec_id").localCheckpoint(eager=False)
     seeds = (
         en.select("vec_id", ((F.col("vec_id") * _PQ_MULT) % _PQ_MOD).alias("h"))
         .orderBy("h", "vec_id")
@@ -1699,11 +1707,20 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
         F.col("vec").alias("q_vec"),
     )
+    # norms once per ROW (the exchange below doubles as the projection
+    # barrier Catalyst can't collapse through — one fold per pair
+    # instead of three), and the corpus repartitioned off the
+    # single-file scan so the panel x corpus fold parallelizes (r11;
+    # norm-per-row values are the identical doubles, so cosine is
+    # bit-identical — the sim_cosine_pairs batch-1 precedent)
+    par = spark.sparkContext.defaultParallelism
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("vec").alias("c_vec"),
-    )
+        _norm("vec").alias("c_nrm"),
+    ).repartition(par, "neighbor_id")
+    q = q.withColumn("q_nrm", _norm("q_vec"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -1715,7 +1732,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_label",
             (
                 _dot("q_vec", "c_vec")
-                / (_norm("q_vec") * _norm("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
             ).alias("cosine"),
         )
     )
@@ -1838,15 +1855,22 @@ def sim_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm("vec").alias("p_nrm"),
     )
     # norms once per ROW before the pair join (one fold per pair, not
-    # three — measured 7.0 -> ~3 s at sf0.1); localCheckpoint pins the
-    # corpus-side projection so Catalyst can't collapse the norm fold
-    # into the per-pair expression
+    # three — measured 7.0 -> ~3 s at sf0.1).  The repartition off the
+    # single-file scan does double duty (r11): it parallelizes the
+    # panel x corpus fold (400k pairs x 64-dim dot products ran on the
+    # fixture's 1-2 row-group partitions before — the batch-1
+    # single-file trap) AND its Exchange is the projection barrier that
+    # stops Catalyst collapsing the norm fold into the per-pair
+    # expression — the localCheckpoint that used to provide the barrier
+    # measured strictly slower than the bare exchange (interleaved A/B:
+    # ckpt 3.7 s / repartition 1.6 s / both 1.8 s median at sf0.1).
+    par = spark.sparkContext.defaultParallelism
     corpus = e.select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
         F.col("vec").alias("c_vec"),
         _norm("vec").alias("c_nrm"),
-    ).localCheckpoint(eager=False)
+    ).repartition(par, "cid")
     dist = F.floor(
         F.lit(1000000.0)
         * (

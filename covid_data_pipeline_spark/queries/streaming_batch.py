@@ -355,6 +355,9 @@ def stream_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         TR.stateful_change_detect(read_events_stream(spark, sf_dir)),
         output_mode="append",
+        # one emitted row per input event (100k at sf0.1) — keep them
+        # off the driver (see run_available_now's sink note)
+        sink="parquet",
     )
 
 
@@ -661,9 +664,15 @@ def stream_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCALE.md "Streaming state sizing policy".
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     docs = read_documents_stream(spark, sf_dir).repartition(32)
+    # parquet sink: the drain emits ~896k raw pair rows at sf0.1 (band
+    # collisions pre-distinct) — the default memory sink would collect
+    # them all to the driver (guide §5); the file sink keeps them on
+    # executors/tmpfs and the distinct below reads them in parallel
+    # (r11 A/B: ~2-4 s saved, identical row multiset)
     pairs = run_available_now(
         TR.stateful_simhash_band_dedup(banded_simhash(docs)),
         output_mode="append",
+        sink="parquet",
     )
     return pairs.select("doc_a", "doc_b", "lang", "hamming").distinct()
 

@@ -730,6 +730,12 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
+        # r11 A/B NOTE: a localCheckpoint here (to stop the wedge
+        # join's two aliased sides replaying this subtree) measured a
+        # WASH interleaved at sf0.1 (5.56 vs 5.80 s median) — the
+        # broadcast build is already reused across sides and the scans
+        # are page-cached, so the duplicate distinct costs about what
+        # the checkpoint barrier does.  Left un-truncated.
     )
     a = sc.select(F.col("s").alias("s1"), "c")
     b = sc.select(F.col("s").alias("s2"), "c")

@@ -355,7 +355,6 @@ def kmeans_lloyd(
         for r in e.orderBy("vec_id").limit(k).collect()
     ]
     costs: list[float] = []
-    best = None
     for _ in range(iters):
         cdf = spark.createDataFrame(cents, "cid int, c array<double>")
         # squared L2 QUANTIZED per dimension to integer 1e-12 units and
@@ -383,15 +382,11 @@ def kmeans_lloyd(
         cand = e.crossJoin(F.broadcast(cdf)).select(
             "vec_id", "v", "cid", d2q.alias("d2q")
         )
-        if best is not None:
-            best.unpersist()
         # nearest centroid via min(struct(d2q, cid)) hash-aggregate — a
         # map-side-combinable agg (no sort, shuffles one row per vector)
         # instead of a row_number window; ties break on cid exactly like
         # an ORDER BY d2q, cid window would.  v is constant per vec_id so
-        # any() is deterministic.  Persisted: the cost action and the
-        # means action both consume the assignment — without this each
-        # iteration recomputes the distance cross product twice.
+        # any() is deterministic.
         best = (
             cand.groupBy("vec_id")
             .agg(
@@ -401,34 +396,53 @@ def kmeans_lloyd(
             .select(
                 "vec_id", "v", F.col("s.cid").alias("cid"), F.col("s.d2q").alias("d2q")
             )
-            .persist()
         )
-        costs.append(
-            best.agg(
-                (F.sum("d2q").cast("double") / F.lit(1e12)).alias("c")
-            ).collect()[0]["c"]
-        )
-        means = (
-            best.select("cid", F.posexplode("v").alias("pos", "x"))
+        # ONE action per round (r11 — was two: a cost agg + a means
+        # collect over a persisted assignment, i.e. 2 driver-scheduled
+        # jobs/round plus cache churn; the wall time of this trainer is
+        # round-latency-bound, see docstring).  The (cid, pos) rollup
+        # carries everything: the decimal-exact dimension mean, the
+        # member count (count at any pos = cluster size), and the
+        # per-cluster d2q total (sum at pos 0 — each member contributes
+        # its d2q exactly once per pos).  Integer d2q partials re-sum
+        # exactly in Python (arbitrary-precision ints), so cost and the
+        # final summary are bit-identical to the old two-action form.
+        stats = (
+            best.select("cid", "d2q", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg((F.sum(F.col("x").cast(DEC)).cast("double") / F.count("x")).alias("m"))
+            .agg(
+                (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("x")).alias("m"),
+                F.count("x").cast("long").alias("n"),
+                F.sum("d2q").alias("sd"),
+            )
             .collect()
         )
+        costs.append(
+            float(sum(r["sd"] for r in stats if r["pos"] == 0)) / 1e12
+        )
         by_cid: dict[int, list[float]] = {}
-        for r in means:
+        cluster_rows: dict[int, tuple[int, int]] = {}
+        for r in stats:
             by_cid.setdefault(r["cid"], [0.0] * 64)[r["pos"]] = r["m"]
+            if r["pos"] == 0:
+                cluster_rows[r["cid"]] = (r["n"], r["sd"])
         cents = [(cid, vec) for cid, vec in sorted(by_cid.items())]
-    summary = best.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        (F.sum("d2q").cast("double") / F.lit(1e12)).alias("cost"),
+    # the final round's rollup already holds the summary — no extra
+    # action, and nothing embeddings-sized was ever cached beyond the
+    # corpus projection (released below; the session is shared with
+    # ~400 other queries)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("n_members", T.LongType(), False),
+            T.StructField("cost", T.DoubleType(), True),
+        ]
     )
-    # localize the k-row summary so both caches (corpus projection + last
-    # assignment) can be RELEASED — the session is shared with ~160 other
-    # queries and must not keep an embeddings-sized cache alive after the
-    # model fit finishes (same discipline as udf_suite)
-    rows = summary.collect()
-    schema = summary.schema
-    best.unpersist()
+    rows = [
+        (cid, n, float(sd) / 1e12) for cid, (n, sd) in sorted(cluster_rows.items())
+    ]
     e.unpersist()
     return spark.createDataFrame(rows, schema), costs
 

@@ -26,9 +26,14 @@ from ..io import load, tune
 from ..registry import query
 
 
-@F.udf(T.DoubleType())
+@F.udf(T.DoubleType(), useArrow=True)
 def _revenue_py(price: float, discount: float) -> float:
-    """Row-at-a-time scalar UDF (serde per row — kept off hot paths)."""
+    """Row-at-a-time scalar UDF — still invoked once per row (rung 1 of
+    the ladder), but with Arrow serialization (guide §4.3: pickled-row
+    serde was pure overhead; ``useArrow=True`` batches the boundary
+    crossing while the function body stays per-row).  r11 A/B at sf0.1:
+    see OPTIMIZATION_r11.md.  Return type is declared honestly (float ->
+    double), so the Arrow path's stricter coercion changes nothing."""
     return price * (1.0 - discount)
 
 

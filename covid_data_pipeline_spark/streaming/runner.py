@@ -84,22 +84,47 @@ def run_available_now(
     sdf: DataFrame,
     output_mode: str = "complete",
     max_files_per_trigger: int | None = None,
+    sink: str = "memory",
 ) -> DataFrame:
     """Drain a streaming DataFrame with the availableNow trigger into a
-    memory sink; return the sink contents as a batch DataFrame."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
+    sink; return the sink contents as a batch DataFrame.
+
+    ``sink="memory"`` (default) collects every emitted row to the
+    DRIVER — fine for the aggregate-sized drains, but a guide-§5
+    violation for row-heavy ones.  ``sink="parquet"`` (append mode
+    only — the file sink's contract) writes emissions from the
+    executors to ephemeral scratch (tmpfs when present) and reads them
+    back with the stream's own schema: the r11 A/B on
+    stream_dedup_simhash's 896k-row emission measured the memory sink
+    at ~2-4 s over the file sink for the identical row multiset."""
     ckpt = scratch_dir("cdp_ckpt_")
-    writer = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
+    if sink == "parquet":
+        if output_mode != "append":
+            raise ValueError("parquet sink supports append mode only")
+        out = scratch_dir("cdp_sink_")
+        data = os.path.join(out, "data")
+        writer = (
+            sdf.writeStream.format("parquet")
+            .option("path", data)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+    else:
+        name = f"mem_{uuid.uuid4().hex[:12]}"
+        writer = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
     if max_files_per_trigger is not None:
         writer = writer.option("maxFilesPerTrigger", str(max_files_per_trigger))
     q = writer.start()
     q.awaitTermination()
+    if sink == "parquet":
+        return sdf.sparkSession.read.schema(sdf.schema).parquet(data)
     return sdf.sparkSession.table(name)
 
 
