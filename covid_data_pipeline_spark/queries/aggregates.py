@@ -349,12 +349,29 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups; the unbounded-cardinality path is the approx twin below."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
+    # ONE percentile buffer for all three targets (r11): three scalar
+    # percentile() aggregates each built and merged their own
+    # value->count hash map over the same 600k values; the array form
+    # shares a single buffer and one sorted evaluation, with identical
+    # interpolation arithmetic per target.
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pcts.alias("pcts"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 6).alias("p50"),
+            F.round(F.col("pcts")[1], 6).alias("p90"),
+            F.round(F.col("pcts")[2], 6).alias("p99"),
+            "lo",
+            "hi",
+        )
     )
 
 
@@ -1682,9 +1699,20 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    # one shared percentile buffer for both bounds (the agg_quantiles
+    # r11 single-buffer rewrite; identical interpolation per target)
+    bounds = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))
+            ).alias("ps")
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("lo"),
+            F.col("ps")[1].alias("hi"),
+        )
     )
     j = li.join(F.broadcast(bounds), "l_returnflag")
     clamped = (

@@ -1941,12 +1941,16 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     signs off before training: where documents die, and how many
     tokens survive to the sampler.
 
-    The whole build is one declarative DAG — no intermediate action,
-    collect, or checkpoint (plan-pinned in tests/test_plans.py), so
-    Catalyst fuses stage predicates (clean/langid/quality collapse
-    into one scan-side filter pass over the corpus), reuses the
-    exchange under the exact-dedup window for the near-dup candidate
-    join, and AQE right-sizes the post-filter shuffles at runtime.
+    The build runs NO intermediate action or collect (plan-pinned in
+    tests/test_plans.py — constructing the DataFrame launches zero
+    jobs); within it, three LAZY localCheckpoints truncate the funnel's
+    fan-out points (r11: the 9-branch union replayed the upstream per
+    branch — 25 documents scans / 60 exchanges, zero ReusedExchange,
+    because column pruning specializes every branch's subtree; with the
+    checkpoints the executed plan carries 11 exchanges and each stage
+    computes once — 9.7 → 5.8 s median A/B under identical load).
+    Catalyst still fuses the stage predicates between checkpoints, and
+    AQE right-sizes the post-filter shuffles at runtime.
 
     Scale: stages 0-3 are embarrassingly parallel scan work; stage 4
     shuffles once on the content hash; stage 5 is the PPJoin prefix
@@ -1958,13 +1962,24 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = load(spark, sf_dir, "documents")
     cleaned = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    base = d.select(
+    # r11: the 9-branch funnel union replayed the upstream pipeline per
+    # branch — the EXECUTED plan held 25 documents scans / 60 exchanges
+    # with ZERO ReusedExchange (column pruning specializes every
+    # branch's subtree, so physical reuse never fires).  Three lazy
+    # localCheckpoints at the fan-out points (base -> 4 filter-funnel
+    # branches; stage_exact -> funnel + probe + both verify sides;
+    # stage_near -> funnel + pack + splits + token total) materialize
+    # each stage once.  Still no action/collect at BUILD time (the
+    # plan-pin test's mechanical contract); the measured A/B is in
+    # OPTIMIZATION_r11.md.
+    par = spark.sparkContext.defaultParallelism
+    base = d.repartition(par, "doc_id").select(
         "doc_id",
         "lang",
         "n_chars",
         cleaned.alias("cleaned"),
         F.ceil(F.col("n_chars").cast("double") / 4).cast("long").alias("tokens"),
-    )
+    ).localCheckpoint(eager=False)
     stage_clean = base.filter(F.length("cleaned") >= 1)
     toks_raw = F.split("cleaned", " ")
     stop_arr = F.array(*[F.lit(w) for w in _PCB_STOPWORDS])
@@ -1993,6 +2008,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks"),
         )
         .withColumn("n_toks", F.size("toks"))
+        .localCheckpoint(eager=False)
     )
     # PPJoin prefix-filtered candidates (dedup_near_jaccard's plan; token
     # ids are xxhash64 on the Spark side vs raw strings in the oracle —
@@ -2008,7 +2024,6 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit repartition before the explode (r11): AQE coalesces the
     # small post-window exchange to one partition, which would pin the
     # candidate blowup to one task (the pipeline_dedup_funnel finding)
-    par = spark.sparkContext.defaultParallelism
     pe = stage_exact.repartition(par, "doc_id").select(
         "doc_id", "lang", "n_toks", F.explode(prefix).alias("ptok")
     )
@@ -2057,7 +2072,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage_near = stage_exact.join(near_dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "tokens"
-    )
+    ).localCheckpoint(eager=False)
     wp = (
         Window.partitionBy("lang")
         .orderBy("doc_id")

@@ -2420,6 +2420,12 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         base.filter(F.size(toks) >= _DECON_N)
         .select("doc_id", "b", F.explode(grams_arr).alias("gram"))
+        # r11 A/B NOTE: a lazy localCheckpoint here (grams feeds both
+        # the eval side and the train-side hits join) measured a clear
+        # LOSS interleaved at sf0.1 (4.13 vs 3.11 s median) — unlike
+        # pipeline_corpus_build's fan-out, materializing ~500k exploded
+        # gram STRINGS costs more than recomputing the explode twice.
+        # Left un-truncated.
     )
     eval_grams = (
         grams.filter(F.col("b") >= 90)

@@ -1460,10 +1460,11 @@ def test_silhouette_broadcasts_panel_not_corpus(spark):
 
 def test_corpus_build_is_one_plan_no_intermediate_action(spark):
     """pipeline_corpus_build (the round-8 LLM flagship composition) must
-    stay ONE declarative Catalyst DAG: building the DataFrame runs NO
-    Spark jobs (no hidden collect/checkpoint between stages), the plan
-    is a single Union over the per-stage funnel aggregates, and the
-    whole build stays JVM-side."""
+    stay fully declarative at build time: constructing the DataFrame
+    runs NO Spark jobs (no collect / eager checkpoint between stages —
+    the r11 fan-out truncations are LAZY localCheckpoints, which defer
+    to first action), the plan is a single Union over the per-stage
+    funnel aggregates, and the whole build stays JVM-side."""
     from covid_data_pipeline_spark.registry import load_all as _la
     from pyspark.sql import DataFrame as _DF
 
