@@ -1568,8 +1568,11 @@ def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    # statically unrolled Durbin-Levinson, mirroring _durbin_levinson_sql
-    cur = _durbin_levinson_spark(base)
+    # statically unrolled Durbin-Levinson, mirroring _durbin_levinson_sql.
+    # r11: lazy checkpoint so the 13 stacked recursion projections
+    # analyze against a 5-row leaf instead of the full daily-rollup
+    # plan (the ts_lttb_downsample idiom; A/B 2.10 -> 1.75 s median)
+    cur = _durbin_levinson_spark(base.localCheckpoint(eager=False))
     lags = F.array(
         *[
             F.struct(

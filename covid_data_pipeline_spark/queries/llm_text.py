@@ -2033,24 +2033,41 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice("ws", i, 5), " "),
         )
     )
-    pairs = toks.select(
-        "doc_id", "lang", F.explode(sh).alias("s")
+    # r11 rewrite: the old shape joined the 500k-row exploded shingle
+    # table back against the per-shingle min-doc aggregate (a full
+    # string-key shuffle join) to count each doc's novel shingles.
+    # Both outputs are derivable without that join: n_shingles is just
+    # size(sh) per doc (map-only — no explode at all for the
+    # denominator), and n_novel per doc is the row count of the
+    # min-doc aggregate GROUPED BY its winning doc — shingle sets are
+    # distinct-per-doc, so each (shingle, first_doc) row is exactly one
+    # novel shingle of that doc.  The explode feeds ONE aggregation and
+    # the final join is doc-sized x doc-sized (broadcast).  Identical
+    # integers -> identical quantized ratio.
+    par = spark.sparkContext.defaultParallelism
+    toks = toks.repartition(par, "doc_id")
+    per_doc = toks.select(
+        "doc_id", "lang", F.size(sh).cast("long").alias("n_shingles")
     )
-    firsts = pairs.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    return (
-        pairs.join(firsts, "s")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(novel).cast("long").alias("n_novel"),
-            F.floor(
-                F.lit(1000000.0) * F.sum(novel) / F.count(F.lit(1))
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("novelty_micro"),
+    firsts = (
+        toks.select("doc_id", F.explode(sh).alias("s"))
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    novel_counts = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+    return per_doc.join(F.broadcast(novel_counts), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_shingles",
+        n_novel.alias("n_novel"),
+        F.floor(
+            F.lit(1000000.0) * n_novel / F.col("n_shingles") + F.lit(0.5)
         )
+        .cast("long")
+        .alias("novelty_micro"),
     )
 
 
