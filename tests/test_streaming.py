@@ -1051,3 +1051,34 @@ def test_stateful_change_detect_split_feed_equals_batch_lag(spark, tmp_path):
         sk in b1_users and eid in second_ids for sk, eid in b2_first_rows
     ), "no cross-batch continuation rows — split not probative"
     assert got == want
+
+
+def test_parquet_sink_drain_matches_memory_sink(spark):
+    """r11: run_available_now(sink="parquet") must return the IDENTICAL
+    row multiset as the default memory sink — it only relocates where
+    emissions land (executor-side scratch vs a driver collect).  Driven
+    through a real stateful append drain (the change-detect transform),
+    the same path stream_change_detect and stream_dedup_simhash ship."""
+    import pytest
+
+    mem = run_available_now(
+        TR.stateful_change_detect(read_events_stream(spark, SF_SMOKE)),
+        output_mode="append",
+    )
+    pq = run_available_now(
+        TR.stateful_change_detect(read_events_stream(spark, SF_SMOKE)),
+        output_mode="append",
+        sink="parquet",
+    )
+    cols = ["source_key", "event_id", "content_hash", "status"]
+    assert _as_sorted_rows(pq, cols) == _as_sorted_rows(mem, cols)
+    assert [f.name for f in pq.schema.fields] == [
+        f.name for f in mem.schema.fields
+    ]
+    # the file sink's contract: append mode only
+    with pytest.raises(ValueError, match="append"):
+        run_available_now(
+            TR.tumbling_hourly(read_events_stream(spark, SF_SMOKE)),
+            output_mode="complete",
+            sink="parquet",
+        )
