@@ -76,6 +76,21 @@ def main() -> None:
     # the artifact carries the evidence for mechanical attribution
     # instead of after-the-fact narrative.
     load_before = round(os.getloadavg()[0], 2)
+    # Contention auto-retry (r11 verdict): a contended artifact becomes
+    # the next round's prev_sec, so when the box is busy at start, wait
+    # out the 1-minute window ONCE and re-read — if the load was a
+    # passing wave the run proceeds clean; if it persists, run anyway
+    # and keep the warning field.  Additive: the JSON contract and the
+    # env-var knobs are unchanged; `retried: true` records the pause.
+    retried = False
+    if load_before > 2 and os.environ.get("SPARK_GRAFT_BENCH_NO_RETRY") != "1":
+        print(
+            f"# start loadavg1m {load_before} > 2: waiting 75s and retrying once",
+            file=sys.stderr,
+        )
+        time.sleep(75)
+        retried = True
+        load_before = round(os.getloadavg()[0], 2)
     spark = get_spark("cdp-spark-bench")
     # Quiet the "No Partition Defined for Window operation" WARNs: every
     # partition-less window in the suite is bounded by construction
@@ -328,6 +343,8 @@ def main() -> None:
         if load_before > 2
         else {}
     )
+    if retried:
+        contention["retried"] = True
 
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:

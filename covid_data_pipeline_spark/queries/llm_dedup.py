@@ -110,7 +110,9 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a_id, b_id) candidate stays inside one task and the map-side
     # partial distinct still collapses it before the shuffle.  Count is
     # defaultParallelism — scale-adaptive (= cores locally, = executor
-    # slots on a cluster), never a constant.
+    # slots on a cluster), never a constant.  At 100 TB the single-file
+    # trap this fixes disappears while the exchange remains — the
+    # cost/invalidation analysis is in SCALE.md "Round 12 additions".
     par = spark.sparkContext.defaultParallelism
     pe = t.repartition(par, "doc_id").select(
         "doc_id",

@@ -2,11 +2,16 @@
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 from .io import tune
+
+_WAREHOUSE: str | None = None
 
 
 def _warehouse_dir() -> str | None:
@@ -15,17 +20,24 @@ def _warehouse_dir() -> str | None:
     rewritten inside one query invocation, so its durability is
     worthless — put the warehouse on tmpfs when the box has one (r11;
     the same ephemeral-scratch policy as streaming.runner.scratch_dir).
-    Override with $SPARK_GRAFT_WAREHOUSE (set it to ./spark-warehouse
-    for the old layout); a REAL deployment's catalog tables are
-    durable state and belong on real storage."""
+    PER-PROCESS and mode-0700 (r11 advice): a fixed box-global path let
+    concurrent runs race on the same catalog tables and is a
+    pre-creation hazard in world-writable /dev/shm — mkdtemp gives each
+    process its own private dir, removed at exit.  Override with
+    $SPARK_GRAFT_WAREHOUSE (set it to ./spark-warehouse for the old
+    layout); a REAL deployment's catalog tables are durable state and
+    belong on real storage."""
+    global _WAREHOUSE
     env = os.environ.get("SPARK_GRAFT_WAREHOUSE")
     if env:
         return env
+    if _WAREHOUSE:
+        return _WAREHOUSE
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "cdp_warehouse")
-        os.makedirs(d, exist_ok=True)
-        return d
+        _WAREHOUSE = tempfile.mkdtemp(prefix="cdp_warehouse_", dir=shm)
+        atexit.register(shutil.rmtree, _WAREHOUSE, ignore_errors=True)
+        return _WAREHOUSE
     return None  # Spark's default ./spark-warehouse
 
 

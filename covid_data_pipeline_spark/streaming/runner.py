@@ -8,7 +8,9 @@ real incremental execution path (state store, watermarks, sinks).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -16,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import _events_ts_is_nanos, table_path
 from ..schemas import EVENTS, EVENTS_RAW_NS
+
+_SCRATCH_BASE: str | None = None
 
 
 def _scratch_base() -> str | None:
@@ -25,18 +29,27 @@ def _scratch_base() -> str | None:
     durability is worthless — put them on tmpfs when the box has one
     (r11 measurement: the HDFS-backed state store's per-partition
     delta+commit fsyncs cost ~1 s/run of stream_dedup_simhash on ext4
-    /tmp, 0 on /dev/shm).  A REAL deployment's checkpoints are
-    restart-recovery state and belong on durable storage — this knob
-    only relocates local scratch; override with
+    /tmp, 0 on /dev/shm).  PER-PROCESS and removed at exit (r11
+    advice): tmpfs scratch is RAM, and a shared fixed dir accumulated
+    across the ~400-query suite and across runs until reboot — the
+    per-pid base is rmtree'd atexit, after the lazily-read parquet
+    sink frames are dead with the session.  A REAL deployment's
+    checkpoints are restart-recovery state and belong on durable
+    storage — this knob only relocates local scratch; override with
     $SPARK_GRAFT_STREAM_SCRATCH (set it to /tmp to get the old layout).
     """
+    global _SCRATCH_BASE
     base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
     if base:
         return base
+    if _SCRATCH_BASE:
+        return _SCRATCH_BASE
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "cdp_stream_scratch")
+        d = os.path.join(shm, f"cdp_stream_scratch.{os.getpid()}")
         os.makedirs(d, exist_ok=True)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _SCRATCH_BASE = d
         return d
     return None  # tempfile's default
 
@@ -124,6 +137,11 @@ def run_available_now(
     q = writer.start()
     q.awaitTermination()
     if sink == "parquet":
+        # a drain that commits zero batches never creates the data dir;
+        # match the memory sink's empty-table behavior instead of
+        # raising PATH_NOT_FOUND (r11 advice)
+        if not os.path.isdir(data):
+            return sdf.sparkSession.createDataFrame([], sdf.schema)
         return sdf.sparkSession.read.schema(sdf.schema).parquet(data)
     return sdf.sparkSession.table(name)
 
