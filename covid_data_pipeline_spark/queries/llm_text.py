@@ -1008,17 +1008,8 @@ def _bpe_train(
     seqs = words.select("w", "freq", F.split("w", "").alias("seq"))
     seqs = seqs.localCheckpoint(eager=False)
 
-    def corpus_tokens() -> int:
-        return int(
-            seqs.agg(
-                F.sum(F.col("freq") * F.size("seq")).alias("t")
-            ).collect()[0]["t"]
-        )
-
-    curve = [(0, corpus_tokens())] if track_corpus_tokens else []
-    merges = []
-    for rank in range(1, _BPE_MERGES + 1):
-        pairs = seqs.select(
+    def pair_counts(s):
+        pairs = s.select(
             "freq",
             F.explode(
                 F.expr(
@@ -1027,9 +1018,44 @@ def _bpe_train(
                 )
             ).alias("p"),
         )
-        counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
-        best = counts.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()[0]
-        a, b, n = best["a"], best["b"], best["n"]
+        return pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+
+    # r12 action fold: the per-round argmax rides ONE single-row
+    # aggregate (min_by on (-n, a, b) — the identical (count desc,
+    # left, right) tie-break the old orderBy().limit(1) used), and the
+    # compression curve's token count rides the SAME action:
+    # sum(n) over the pair table = sum_w freq*(|seq_w|-1)
+    # = corpus_tokens - sum(freq), and sum(freq) never changes across
+    # rounds (merges change seq lengths, never the word multiset).  So
+    # tracking the curve costs zero extra jobs per round (the old shape
+    # ran a second corpus_tokens aggregate per round), plus one
+    # pair-count pass after the final merge for the curve's last point.
+    # Exactness: all-integer (weighted counts and freq sums), asserted
+    # against the pure-Python replay in tests/test_llm_ops.py.
+    w_total = (
+        int(seqs.agg(F.sum("freq").alias("t")).collect()[0]["t"])
+        if track_corpus_tokens
+        else 0
+    )
+    curve = []
+    merges = []
+    for rank in range(1, _BPE_MERGES + 1):
+        counts = pair_counts(seqs)
+        row = counts.agg(
+            F.min_by(
+                F.struct("a", "b", "n"),
+                F.struct(
+                    (-F.col("n")).alias("k1"),
+                    F.col("a").alias("k2"),
+                    F.col("b").alias("k3"),
+                ),
+            ).alias("best"),
+            F.sum("n").alias("pw"),
+        ).collect()[0]
+        a, b, n = row["best"]["a"], row["best"]["b"], row["best"]["n"]
+        if track_corpus_tokens:
+            # pw is over PRE-merge seqs: the curve point for rank-1 merges
+            curve.append((rank - 1, int(row["pw"]) + w_total))
         merges.append((rank, a, b, a + b, int(n)))
         # symbols are data-derived: bind them as literal Columns via the
         # Python lambda API (F.aggregate), never f-string-interpolated
@@ -1056,9 +1082,18 @@ def _bpe_train(
                 "seq", F.array().cast("array<string>"), _make_merge_fold(a, b)
             ).alias("seq"),
         )
-        seqs = seqs.localCheckpoint(eager=False)
-        if track_corpus_tokens:
-            curve.append((rank, corpus_tokens()))
+        # r12: NO per-round localCheckpoint — the only corpus-sized
+        # stage (word count) is truncated by the initial checkpoint, so
+        # each round replays at most _BPE_MERGES nested in-codegen folds
+        # over the |V|-row leaf (microseconds), while a checkpoint per
+        # round cost a materialization job per round.  The nesting is
+        # linear, not exponential: the fold's input expression appears
+        # once per layer (lambda-variable references are not inlined).
+    if track_corpus_tokens:
+        # the curve's final point (all merges applied) needs one more
+        # pair-weight pass over the post-merge seqs
+        pw = pair_counts(seqs).agg(F.sum("n").alias("pw")).collect()[0]["pw"]
+        curve.append((_BPE_MERGES, int(pw) + w_total))
     return merges, curve, seqs
 
 
@@ -1077,10 +1112,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), never the corpus — exactly how production BPE trainers
     scale to 100 TB.  Per round: pair explosion over |V| symbol arrays,
     a weighted groupBy, a 1-row argmax collected as MODEL STATE (the
-    kmeans-centroid pattern), and a left-to-right greedy merge applied
-    as an in-codegen array fold; lineage is truncated per round
-    (localCheckpoint — the operators/graph.py idiom) so round k's plan
-    does not replay rounds 1..k-1.  Tie-breaks are (count desc, left,
+    kmeans-centroid pattern; r12 — one ``min_by`` aggregate, identical
+    tie-break to the old sort+limit), and a left-to-right greedy merge
+    applied as an in-codegen array fold; the corpus-sized word rollup
+    is truncated once (localCheckpoint), after which each round replays
+    only the nested 31-row folds.  Tie-breaks are (count desc, left,
     right), so the merge table is bit-deterministic; an independent
     pure-Python BPE replay asserts exact equality in
     tests/test_llm_ops.py.
