@@ -254,23 +254,37 @@ _COGROUP_SCHEMA = T.StructType(
 )
 
 
-def _cogroup_merge(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame):
-    """Cogrouped-map body: BOTH frames for one key, either may be empty."""
-    n_orders = len(orders_pdf)
-    n_events = len(events_pdf)
+def _cogroup_merge(key, orders_t, events_t):
+    """Cogrouped-map body: BOTH per-key tables arrive as pyarrow.Tables
+    (either may be empty).  r12: ``applyInArrow`` replaced
+    ``applyInPandas`` — the merge logic is unchanged, but each group's
+    payload is an Arrow buffer slice instead of a pandas BlockManager
+    build, which is where ~70% of the old per-group ~1.5 ms went
+    (A/B: experiments/opt_r12_cogroup_ab.py, 3.78 -> 1.13 s at sf0.1,
+    identical 14,999 rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_orders = orders_t.num_rows
+    n_events = events_t.num_rows
     if n_orders:
-        last_dom = orders_pdf["o_orderdate"].max().day
-        n_after = (
-            int((events_pdf["ts"].dt.day > last_dom).sum()) if n_events else 0
-        )
+        last_dom = pc.max(orders_t.column("o_orderdate")).as_py().day
+        if n_events:
+            after = pc.sum(
+                pc.greater(pc.day(events_t.column("ts")), last_dom)
+            ).as_py()
+            n_after = int(after) if after is not None else 0
+        else:
+            n_after = 0
     else:
         n_after = None  # no orders -> "after last order" is undefined
-    return pd.DataFrame(
+    k = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+    return pa.table(
         {
-            "cust_id": [key[0]],
-            "n_orders": [n_orders],
-            "n_events": [n_events],
-            "n_after_last_dom": [n_after],
+            "cust_id": pa.array([k], pa.int64()),
+            "n_orders": pa.array([n_orders], pa.int64()),
+            "n_events": pa.array([n_events], pa.int64()),
+            "n_after_last_dom": pa.array([n_after], pa.int64()),
         }
     )
 
@@ -307,13 +321,16 @@ def _cogroup_merge(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame):
 )
 def udf_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rung 7 of the Python-interop ladder: ``groupBy().cogroup()``
-    ``.applyInPandas`` — the cogrouped map.  Two tables are shuffled on
-    the same key and the Python function receives BOTH per-key pandas
-    frames simultaneously (orders and events for one customer), the
-    shape a join + grouped map cannot reach in one pass when the merge
-    logic is imperative: per-entity stream alignment, feature-window
-    stitching, custom as-of/session reconciliation in training-data
-    builds.
+    ``.applyInArrow`` — the cogrouped map.  Two tables are shuffled on
+    the same key and the Python function receives BOTH per-key tables
+    simultaneously (orders and events for one customer), the shape a
+    join + grouped map cannot reach in one pass when the merge logic is
+    imperative: per-entity stream alignment, feature-window stitching,
+    custom as-of/session reconciliation in training-data builds.
+    (r12: the rung moved from ``applyInPandas`` to the Arrow-native
+    ``applyInArrow`` — same cogrouped-map semantics and shuffle shape,
+    but the per-group boundary cost drops ~3x because each group is an
+    Arrow buffer slice, not a pandas frame build; see _cogroup_merge.)
 
     This demonstrator's merge (order count, event count, events on a
     later day-of-month than the customer's last order) IS deliberately
@@ -351,5 +368,5 @@ def udf_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_custkey")
         .cogroup(e.groupBy("user_id"))
-        .applyInPandas(_cogroup_merge, schema=_COGROUP_SCHEMA)
+        .applyInArrow(_cogroup_merge, schema=_COGROUP_SCHEMA)
     )

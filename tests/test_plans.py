@@ -612,12 +612,14 @@ def test_shuffle_hash_hint_plans_shj(spark):
 
 
 def test_cogroup_merge_is_cogrouped_map(spark):
-    """The cogrouped map must plan as FlatMapCoGroupsInPandas over two
+    """The cogrouped map must plan as a FlatMapCoGroups node over two
     key-partitioned sides — not a join followed by a grouped map (which
     would re-shuffle the joined rows a third time and materialize the
-    orders x events product per key)."""
+    orders x events product per key).  r12: the rung moved to the
+    Arrow-native ``applyInArrow`` (FlatMapCoGroupsInArrow), same
+    cogrouped shuffle shape."""
     plan = plan_of(q("udf_cogroup_merge", spark))
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapCoGroupsInArrow" in plan
     assert "Join" not in plan
 
 
