@@ -214,6 +214,12 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     tune(spark)
+    # narrow state/output sharding: the complete-mode snapshot is
+    # windows x types rows (~3.6k at sf0.1), so 32 shuffle partitions
+    # meant 32 state-store instances AND 32 near-empty parquet files
+    # per batch snapshot — the stream_static_join "narrow sharding"
+    # rationale (r12 A/B: 1.81 -> 1.24 s warm, identical rows)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = TR.tumbling_hourly(read_events_stream(spark, sf_dir))
     out = run_foreach_parquet(stream)
     sunk = spark.read.parquet(os.path.join(out, "data"))
@@ -1151,6 +1157,10 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_documents_stream, run_available_now
 
     tune(spark)
+    # narrow state sharding like the rest of the family (r12 A/B:
+    # 4.09 -> 3.83 s, identical rows; state is one int64 per content
+    # hash, ~1.5k groups at sf0.1)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     d = load(spark, sf_dir, "documents")
     clean = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
     corpus_hashes = (
