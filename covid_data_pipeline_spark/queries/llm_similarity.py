@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..io import load, tune
 from ..registry import query
-from ._helpers import DEC
+from ._helpers import DEC, davg
 
 COSINE_THRESHOLD = 0.25
 
@@ -147,12 +147,27 @@ def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _vec("embedding").alias("vec")
     )
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    # r12: norms once per ROW before the pair join (1 fold per pair
+    # instead of 3 — the r11 cosine_pairs/silhouette idiom).  The
+    # corpus-side repartition is both the single-file-scan parallelism
+    # fix and the projection barrier that stops the optimizer
+    # re-inlining the norm into the per-pair projection; the broadcast
+    # query side uses the explode(array()) Generate barrier (10 rows).
+    # Same fold, same operand order (nq * nc) — bit-identical cosine.
+    par = spark.sparkContext.defaultParallelism
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"))
+        .select("query_id", "q_vec", _norm("q_vec").alias("n0"))
+        .select("query_id", "q_vec", F.explode(F.array("n0")).alias("nq"))
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"))
+    c = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"))
+        .select("neighbor_id", "c_vec", _norm("c_vec").alias("nc"))
+        .repartition(par, "neighbor_id")
+    )
     cos = F.round(
-        _dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6
+        _dot("q_vec", "c_vec") / (F.col("nq") * F.col("nc")), 6
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -778,7 +793,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode(_vec("embedding")).alias("pos", "v")
     )
     return exploded.groupBy("label", "pos").agg(
-        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count("v")).alias("centroid")
+        (davg("v")).alias("centroid")
     )
 
 
@@ -1567,14 +1582,25 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _vec("embedding").alias("vec")
     )
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    # r12: norms once per row before the scoring join (sim_topk idiom —
+    # repartition doubles as barrier + parallelism; identical operand
+    # order keeps simq_micro bit-identical)
+    par = spark.sparkContext.defaultParallelism
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"))
+        .select("query_id", "q_vec", _norm("q_vec").alias("n0"))
+        .select("query_id", "q_vec", F.explode(F.array("n0")).alias("nq"))
     )
-    c = e.select(F.col("vec_id").alias("id"), F.col("vec").alias("c_vec"))
+    c = (
+        e.select(F.col("vec_id").alias("id"), F.col("vec").alias("c_vec"))
+        .select("id", "c_vec", _norm("c_vec").alias("nc"))
+        .repartition(par, "id")
+    )
     simq = F.floor(
         F.lit(1000000.0)
         * _dot("q_vec", "c_vec")
-        / (_norm("q_vec") * _norm("c_vec"))
+        / (F.col("nq") * F.col("nc"))
         + F.lit(0.5)
     ).cast("long")
     scored = (
