@@ -736,6 +736,17 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast build is already reused across sides and the scans
         # are page-cached, so the duplicate distinct costs about what
         # the checkpoint barrier does.  Left un-truncated.
+        #
+        # r12: explicit repartition on the basket key BEFORE the pair
+        # self-join (guide §2.4/§2.5): the distinct's 4 MB output gets
+        # AQE-coalesced to a handful of partitions, pinning the 12.5M-row
+        # wedge enumeration to those few cores; hash-partitioning by c is
+        # exactly the join's requirement, so BOTH aliased sides reuse this
+        # one exchange and the join itself adds none.  Explicit
+        # repartitions are exempt from AQE coalescing (the r11 idiom).
+        # A/B at sf0.1: projection 3.17 -> 2.06 s median
+        # (experiments/opt_r12_wedge_decompose.py).
+        .repartition(spark.sparkContext.defaultParallelism, "c")
     )
     a = sc.select(F.col("s").alias("s1"), "c")
     b = sc.select(F.col("s").alias("s2"), "c")
