@@ -179,7 +179,16 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, CONCAT for the path in both."""
     tune(spark)
     ev = load(spark, sf_dir, "events")
-    ev.select("user_id").distinct().createOrReplaceTempView("rc_users")
+    # r12: the recursion's step query joins the frontier against this
+    # view PER LEVEL (~11 levels at 2k users), and a temp view is only
+    # a logical plan — each level replayed the 600k-row events scan and
+    # the distinct exchange.  Materialize the 2k-row user set once;
+    # every level then joins against the in-memory RDD.  Identical row
+    # set (it IS the same distinct), oracle hash unchanged; 2.41 ->
+    # 1.54 s interleaved median (experiments/opt_r12_recursive_ab.py).
+    ev.select("user_id").distinct().localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("rc_users")
     return spark.sql(
         """
         WITH RECURSIVE org AS (

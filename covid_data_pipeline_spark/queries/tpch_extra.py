@@ -628,6 +628,44 @@ def _pr_oracle() -> str:
     """
 
 
+def _pr_step(pr: DataFrame, edges: DataFrame, deg: DataFrame, q: float) -> DataFrame:
+    """One PageRank iteration over checkpoint-truncated inputs (module
+    level so tests/test_plans.py can pin the SINGLE-step plan shape —
+    the per-iteration checkpoints hide it from the final plan): edges
+    join the broadcast rank/degree vectors map-side, the mass sum
+    groups by destination, and the rank update is a node-sized left
+    join.  Equi-join strategy cannot change the row multiset and the
+    mass sum is the order-free quantized decimal, so this step is
+    bit-identical to the pre-r12 SortMergeJoin form."""
+    contrib = (
+        edges.join(F.broadcast(pr.select(F.col("id").alias("src"), "pr")), "src")
+        .join(F.broadcast(deg), "src")
+        .groupBy("dst")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("pr") / F.col("deg") * q + 0.5).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / q
+            ).alias("mass")
+        )
+    )
+    return (
+        pr.select("id", "n")
+        .join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+        .select(
+            "id",
+            "n",
+            (
+                (1 - _PR_DAMP) / F.col("n")
+                + _PR_DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    )
+
+
 @query("graph_pagerank", oracle=_pr_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-shape none — the iterative-graph-algorithm representative:
@@ -645,10 +683,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same integer quantization (pr_q = rank units of 1e-12):
     deterministic top-20 via TakeOrdered.
 
-    At 100 TB: the rank vector and degree table shuffle on node id
-    each iteration (the unavoidable per-iteration exchange of any
-    distributed PageRank); edges are re-read from their cached/bucketed
-    layout; no driver materialization at any point.  The graph here
+    At 100 TB: the rank and degree vectors are node-sized — broadcast
+    while they fit (as here), shuffled on node id each iteration once
+    they don't (the unavoidable per-iteration exchange of any
+    distributed PageRank at full scale); edges are re-read from their
+    cached/bucketed layout; no driver materialization at any point.  The graph here
     has no dangling nodes by construction (every edge is mirrored), so
     no dangling-mass redistribution term is needed — on a general
     graph that term is one extra 1-row aggregate per iteration."""
@@ -673,41 +712,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") + _PR_CUST_OFFSET).alias("src"), F.col("s").alias("dst")
         )
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is re-executed by every iteration's checkpoint materialization
+    # (exchange reuse does not cross executions) — truncate the
+    # node-sized vector once instead of re-aggregating 940k edges 3x
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "id", "n", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     q = float(_PR_Q)
+    # r12 loop restructure (guide §3.1/§3.3, A/B in
+    # experiments/opt_r12_pagerank_ab.py): pr_{k+1} references pr_k TWICE
+    # (contrib + the update join's left side), so without truncation the
+    # unrolled plan replays pr_0's subtree 2^ITERS times, each replay
+    # re-running edge-sized SortMergeJoins (the before-plan's 50
+    # ExistingRDD scans).  A lazy localCheckpoint per iteration makes the
+    # plan linear in ITERS, and broadcasting the NODE-sized rank/degree
+    # vectors (16k rows here) turns the per-iteration edge joins into
+    # map-side BroadcastHashJoins — edges are never shuffled.  Equi-join
+    # strategy cannot change the row multiset and the mass sum is the
+    # order-free quantized decimal, so the result is bit-identical
+    # (asserted in the A/B; oracle hash unchanged).  4.39 -> 3.65 s
+    # interleaved median; repartitioning edges by dst to also kill the
+    # groupBy exchange measured WORSE (5.03 s — the 940k-row exchange
+    # costs more than it saves) and was rejected.  At node counts where
+    # the rank vector outgrows broadcast, the SMJ path returns — the
+    # checkpoint-per-iteration half of this fix is what survives scale.
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(pr.select(F.col("id").alias("src"), "pr"), "src")
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(
-                (
-                    F.sum(
-                        F.floor(F.col("pr") / F.col("deg") * q + 0.5).cast(
-                            "decimal(38,0)"
-                        )
-                    ).cast("double")
-                    / q
-                ).alias("mass")
-            )
-        )
-        pr = (
-            pr.select("id", "n")
-            .join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                "n",
-                (
-                    (1 - _PR_DAMP) / F.col("n")
-                    + _PR_DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
+        pr = _pr_step(pr, edges, deg, q).localCheckpoint(eager=False)
     out = pr.select(
         F.col("id").alias("node_id"),
         F.floor(F.col("pr") * q + 0.5).alias("pr_q"),
