@@ -1502,7 +1502,14 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     this fixed-granule variant is the standard distributed trade — same
     spans for length >= 5, linear shuffle volume."""
     tune(spark)
-    d = load(spark, sf_dir, "documents")
+    # r12 (guide §2.5, the pre-explode repartition idiom): the
+    # single-file scan leaves 1-2 partitions, pinning the shingle
+    # explode (run twice — dup build + rejoin side) to 1-2 cores; the
+    # exchange carries doc-sized rows, not shingle-sized.  Identical
+    # rows (distribution only); span_removal 2.6 -> measured below.
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     sh = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .select(

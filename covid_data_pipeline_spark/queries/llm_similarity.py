@@ -23,9 +23,37 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load, tune
+from ..io import load, table_path, tune
 from ..registry import query
 from ._helpers import DEC, davg
+
+
+def _corpus_par(spark: SparkSession, sf_dir: str, name: str = "embeddings") -> int:
+    """Partition width for fold-heavy vector frames, sized to DATA not
+    cores (guide §2.2/§6): a floor of 8 escapes the single-file scan
+    trap (the r11 fix), one partition per ~32 MB beyond that, capped at
+    the cluster's defaultParallelism.  At fixture scale (a ~1 MB corpus)
+    this is 8 — defaultParallelism-wide repartitions meant 32 near-empty
+    tasks per stage across the ~12 sequential stages of the PQ/Lloyd
+    pipelines, pure scheduling overhead (measured in
+    experiments/opt_r12_pq_decompose.py); at 100 TB the byte term
+    dominates and the cap keeps it at cluster width."""
+    p = table_path(sf_dir, name)
+    if os.path.isdir(p):
+        size = sum(
+            os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+        )
+    elif os.path.exists(p):
+        size = os.path.getsize(p)
+    else:
+        size = 0
+    return max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            max(8, size // (32 << 20)),
+        ),
+    )
 
 COSINE_THRESHOLD = 0.25
 
@@ -401,6 +429,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     original and the k+1M copy, making the MIN(a_id) canonicalization do
     real work instead of passing through a single pair."""
     tune(spark)
+    en = _emb_dedup_corpus(spark, sf_dir)
+    # r12 (guide §2.5/§3.1): the block key has only 10 distinct values,
+    # so the shuffled pair join put each label's quadratic enumeration on
+    # ONE task (<=10 of 32 busy) — and label-salting cannot apply (label
+    # IS the block).  Broadcasting the ~1 MB build side keeps the
+    # streamed side's even data-sized partitioning, so all tasks
+    # enumerate pairs; the checkpoint runs normalize once instead of per
+    # join side.  Identical pair multiset (equi-join strategy), 3.61 ->
+    # 1.61 s interleaved median.  At 100 TB the block side outgrows
+    # broadcast and the block key is an LSH/IVF bucket id with far more
+    # distinct values — the shuffled join returns and partitions evenly.
+    en = en.repartition(_corpus_par(spark, sf_dir), "vec_id").localCheckpoint(
+        eager=False
+    )
+    a = en.select(
+        F.col("vec_id").alias("a_id"), "label", F.col("nvec").alias("a_vec")
+    )
+    b = en.select(
+        F.col("vec_id").alias("b_id"), "label", F.col("nvec").alias("b_vec")
+    )
+    pairs = (
+        a.join(F.broadcast(b), on="label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(_dot("a_vec", "b_vec") > DUP_COSINE)
+        .select("a_id", "b_id")
+    )
+    return pairs.groupBy(F.col("b_id").alias("dup_id")).agg(
+        F.min("a_id").alias("canon_id")
+    )
+
+
+def _emb_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_cosine's seeded + normalized corpus, PRE-checkpoint
+    (module level so tests/test_plans.py can assert the Generate barrier
+    where the lineage is still visible — the r12 localCheckpoint hides it
+    from the final plan)."""
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec("embedding").alias("vec")
     )
@@ -441,21 +505,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("vec", lambda x: x / F.col("n")).alias("nvec"),
         )
     )
-    a = en.select(
-        F.col("vec_id").alias("a_id"), "label", F.col("nvec").alias("a_vec")
-    )
-    b = en.select(
-        F.col("vec_id").alias("b_id"), "label", F.col("nvec").alias("b_vec")
-    )
-    pairs = (
-        a.join(b, on="label")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(_dot("a_vec", "b_vec") > DUP_COSINE)
-        .select("a_id", "b_id")
-    )
-    return pairs.groupBy(F.col("b_id").alias("dup_id")).agg(
-        F.min("a_id").alias("canon_id")
-    )
+    return en
 
 
 # Second-table lattice for the multi-table ANN: the next 384-argument
@@ -1057,7 +1107,7 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartitions spread the checkpointed blocks off the single-file
     # scan's 1-2 partitions so the fold-heavy consumers parallelize
     # (r11 single-file trap)
-    par = spark.sparkContext.defaultParallelism
+    par = _corpus_par(spark, sf_dir)
     en = en.repartition(par, "vec_id").localCheckpoint(eager=False)
     subs = subs.repartition(par, "vec_id").localCheckpoint(eager=False)
 
@@ -1075,31 +1125,52 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = subs.join(F.broadcast(seed_ids), "vec_id").select(
         "s", "code", F.col("sv").alias("cv")
     )
-    for _ in range(_PQ_ITERS):
-        # argmin per (vec, subspace) as min(struct(d, code)) — a HASH
-        # aggregate with a map-side partial, replacing the row_number
-        # window's sort exchange; lexicographic struct order gives the
-        # identical dist-then-code tie-break.
-        assign = subs.join(F.broadcast(centroids), "s").select(
-            "vec_id", "s", "sv", _l2("sv", "cv").alias("d"), "code"
-        )
-        best = assign.groupBy("vec_id", "s").agg(
-            F.min(F.struct("d", "code")).alias("b"), F.first("sv").alias("sv")
-        ).select("vec_id", "s", F.col("b.code").alias("code"), "sv")
-        dim_means = best.select(
-            "s", "code", F.posexplode("sv").alias("pos", "x")
-        ).groupBy("s", "code", "pos").agg(
-            (
-                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                / F.count("x")
-            ).alias("m")
-        )
-        centroids = dim_means.groupBy("s", "code").agg(
+
+    # r12 (guide §2.4, experiments/opt_r12_pq_decompose.py): each round
+    # was 3 exchanges — a 16x broadcast-join row blowup feeding a
+    # groupBy(vec, s) argmin, a posexplode, and a two-level means
+    # rollup — and at 2000 corpus vectors the pipeline's ~9 s was pure
+    # stage machinery.  Argmin instead evaluates MAP-SIDE as array_min
+    # over (d, code) structs built from the collected candidate array
+    # (array_min uses the same lexicographic struct order as
+    # min(struct(d, code)) — identical dist-then-code tie-break, d from
+    # the identical _l2 expression), and the means collapse to one
+    # groupBy(s, code) carrying _PQ_SUB decimal-sum buffers (the same
+    # order-free addends the posexplode path summed).  One exchange per
+    # round, none in encode.
+    def _nearest(cands: Column, sv: Column | str) -> Column:
+        return F.array_min(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                lambda st: st.getField("m"),
-            ).alias("cv")
+                cands,
+                lambda c: F.struct(
+                    _l2(sv, c.getField("cv")).alias("d"),
+                    c.getField("code").alias("code"),
+                ),
+            )
         )
+
+    def _mean_cv(vcol: str) -> Column:
+        return F.array(
+            *[
+                (
+                    F.sum(F.col(vcol)[i].cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                for i in range(_PQ_SUB)
+            ]
+        )
+
+    for _ in range(_PQ_ITERS):
+        cands = centroids.groupBy("s").agg(
+            F.collect_list(F.struct("code", "cv")).alias("cands")
+        )
+        best = subs.join(F.broadcast(cands), "s").select(
+            "vec_id",
+            "s",
+            "sv",
+            _nearest(F.col("cands"), "sv").getField("code").alias("code"),
+        )
+        centroids = best.groupBy("s", "code").agg(_mean_cv("sv").alias("cv"))
     # codebook = model state: 256 entries to the driver, re-broadcast —
     # truncates the unrolled training lineage out of the scoring plan
     book = spark.createDataFrame(
@@ -1107,13 +1178,14 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s int, code int, cv array<double>",
     )
 
-    # -- encode the corpus (same min-struct argmin as training)
-    codes = (
-        subs.join(F.broadcast(book), "s")
-        .select("vec_id", "s", _l2("sv", "cv").alias("d"), "code")
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "code")).alias("b"))
-        .select("vec_id", "s", F.col("b.code").alias("code"))
+    # -- encode the corpus (same map-side array_min argmin as training)
+    book_arr = book.groupBy("s").agg(
+        F.collect_list(F.struct("code", "cv")).alias("cands")
+    )
+    codes = subs.join(F.broadcast(book_arr), "s").select(
+        "vec_id",
+        "s",
+        _nearest(F.col("cands"), "sv").getField("code").alias("code"),
     )
 
     # -- per-query ADC tables (query x codebook, corpus untouched)
@@ -1165,6 +1237,7 @@ def sim_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_K = 16        # clusters (the SemDeDup blocking dial)
 _SEM_ITERS = 2     # Lloyd rounds
+_EMB_DIM = 64      # fixture embedding dimensionality (FIXTURES.md)
 
 
 @query("dedup_semdedup_kmeans", oracle=_EMB_DEDUP_ORACLE)
@@ -1235,7 +1308,7 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition spreads the checkpointed blocks off the single-file
     # scan's 1-2 partitions so every fold-heavy consumer parallelizes
     # (r11 single-file trap)
-    par = spark.sparkContext.defaultParallelism
+    par = _corpus_par(spark, sf_dir)
     en = en.repartition(par, "vec_id").localCheckpoint(eager=False)
     seeds = (
         en.select("vec_id", ((F.col("vec_id") * _PQ_MULT) % _PQ_MOD).alias("h"))
@@ -1249,41 +1322,48 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = en.join(F.broadcast(seeds), "vec_id").select(
         "cid", F.col("nvec").alias("cv")
     )
+
+    # r12 (guide §2.4, the sim_pq_adc_rerank rewrite): each round was a
+    # 16x broadcast-nested-loop blowup + groupBy(vec_id) argmin + a
+    # two-level posexplode means rollup — 3 exchanges of machinery over
+    # a 2080-row corpus.  Argmin now evaluates MAP-SIDE as array_min
+    # over (d, cid) structs (identical lexicographic dist-then-id
+    # tie-break, d from the identical _l2), and the means collapse to
+    # one groupBy(cid) carrying 64 decimal-sum buffers (the same
+    # order-free addends).  One exchange per round, none in the final
+    # assignment.
+    def _nearest_cid(cands: Column, vcol: str) -> Column:
+        return F.array_min(
+            F.transform(
+                cands,
+                lambda c: F.struct(
+                    _l2(vcol, c.getField("cv")).alias("d"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        ).getField("cid")
+
+    mean_cv = F.array(
+        *[
+            (
+                F.sum(F.col("nvec")[i].cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            for i in range(_EMB_DIM)
+        ]
+    )
     for _ in range(_SEM_ITERS):
-        asg = en.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "nvec", _l2("nvec", "cv").alias("d"), "cid"
+        cands = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cands"))
+        best = en.crossJoin(F.broadcast(cands)).select(
+            "vec_id", "nvec", _nearest_cid(F.col("cands"), "nvec").alias("cid")
         )
-        # argmin as min(struct(d, cid)) — hash agg, no window sort
-        best = asg.groupBy("vec_id").agg(
-            F.min(F.struct("d", "cid")).alias("b"), F.first("nvec").alias("nvec")
-        ).select("vec_id", F.col("b.cid").alias("cid"), "nvec")
-        cent = (
-            best.select("cid", F.posexplode("nvec").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                    / F.count("x")
-                ).alias("m")
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("cv")
-            )
-        )
+        cent = best.groupBy("cid").agg(mean_cv.alias("cv"))
     book = spark.createDataFrame(
         [(r["cid"], r["cv"]) for r in cent.collect()], "cid int, cv array<double>"
     )
-    asg = en.crossJoin(F.broadcast(book)).select(
-        "vec_id", "nvec", _l2("nvec", "cv").alias("d"), "cid"
-    )
-    clustered = (
-        asg.groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cid")).alias("b"), F.first("nvec").alias("nvec"))
-        .select("vec_id", F.col("b.cid").alias("cid"), "nvec")
+    book_arr = book.agg(F.collect_list(F.struct("cid", "cv")).alias("cands"))
+    clustered = en.crossJoin(F.broadcast(book_arr)).select(
+        "vec_id", "nvec", _nearest_cid(F.col("cands"), "nvec").alias("cid")
     )
     a = clustered.select(F.col("vec_id").alias("a_id"), "cid", F.col("nvec").alias("a_vec"))
     b = clustered.select(F.col("vec_id").alias("b_id"), "cid", F.col("nvec").alias("b_vec"))

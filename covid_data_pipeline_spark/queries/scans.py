@@ -593,6 +593,10 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _RegistryStreamReader()
 
     spark.dataSource.register(RegistryStreamDataSource)
+    # few state groups (kinds): narrow sharding — the stream_foreach_sink
+    # rationale (r12): 32 near-empty state stores per complete-mode
+    # snapshot is per-instance commit overhead, not parallelism
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = spark.readStream.format("cdp_registry_stream").load()
     # NB: exact COUNT(DISTINCT) is unsupported on streaming frames
     # (state would be unbounded per group) — MAX(shard) carries the same

@@ -356,7 +356,6 @@ def kmeans_lloyd(
     ]
     costs: list[float] = []
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "cid int, c array<double>")
         # squared L2 QUANTIZED per dimension to integer 1e-12 units and
         # summed as int64: integer addition is order-free, so the
         # distance — and therefore every assignment, tie-break, and
@@ -368,34 +367,50 @@ def kmeans_lloyd(
         # the unquantized fold's speed where the floor intrinsic costs
         # +18% (measured; the DuckDB oracle says floor() because
         # DuckDB's CAST rounds — the documented cross-engine trap).
-        d2q = F.aggregate(
-            F.zip_with(
-                "v",
-                "c",
-                lambda x, y: ((x - y) * (x - y) * F.lit(1e12) + F.lit(0.5)).cast(
-                    "long"
+        def d2q(c):
+            return F.aggregate(
+                F.zip_with(
+                    "v",
+                    c,
+                    lambda x, y: (
+                        (x - y) * (x - y) * F.lit(1e12) + F.lit(0.5)
+                    ).cast("long"),
                 ),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        cand = e.crossJoin(F.broadcast(cdf)).select(
-            "vec_id", "v", "cid", d2q.alias("d2q")
-        )
-        # nearest centroid via min(struct(d2q, cid)) hash-aggregate — a
-        # map-side-combinable agg (no sort, shuffles one row per vector)
-        # instead of a row_number window; ties break on cid exactly like
-        # an ORDER BY d2q, cid window would.  v is constant per vec_id so
-        # any() is deterministic.
-        best = (
-            cand.groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2q", "cid")).alias("s"),
-                F.any_value("v").alias("v"),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
             )
-            .select(
-                "vec_id", "v", F.col("s.cid").alias("cid"), F.col("s.d2q").alias("d2q")
-            )
+
+        # r12 (guide §2.4, the sim_pq_adc_rerank rewrite): the centroids
+        # are a driver-side list, so the candidate set is a LITERAL array
+        # column — no broadcast-join row blowup, and the nearest centroid
+        # evaluates MAP-SIDE as array_min over (d2q, cid) structs
+        # (array_min's lexicographic struct order IS min(struct(d2q,
+        # cid)): identical dist-then-cid tie-break on the identical
+        # quantized-integer distance).  The round's only exchange left is
+        # the (cid, pos) rollup below.
+        cand_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+                )
+                for cid, vec in cents
+            ]
+        )
+        best = e.select(
+            "vec_id",
+            "v",
+            F.array_min(
+                F.transform(
+                    cand_arr,
+                    lambda c: F.struct(
+                        d2q(c.getField("c")).alias("d2q"),
+                        c.getField("cid").alias("cid"),
+                    ),
+                )
+            ).alias("s"),
+        ).select(
+            "vec_id", "v", F.col("s.cid").alias("cid"), F.col("s.d2q").alias("d2q")
         )
         # ONE action per round (r11 — was two: a cost agg + a means
         # collect over a persisted assignment, i.e. 2 driver-scheduled

@@ -187,10 +187,16 @@ def test_embedding_dedup_norm_not_inlined_into_lambda(spark):
     """The pre-normalization norm fold must be materialized behind the
     Generate barrier, not re-inlined into the transform lambda by
     CollapseProject (no CSE inside higher-order functions => O(d^2)
-    per row; round-4 review find, fixed via explode(array(n)))."""
+    per row; round-4 review find, fixed via explode(array(n))).
+    Asserted on the PRE-checkpoint corpus helper — the r12
+    localCheckpoint hides the normalize lineage from the final plan."""
     import re
 
-    df = q("dedup_embedding_cosine", spark)
+    from covid_data_pipeline_spark.queries.llm_similarity import (
+        _emb_dedup_corpus,
+    )
+
+    df = _emb_dedup_corpus(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # the barrier itself must survive optimization...
     assert "Generate explode(array(n0" in plan, plan[:800]
