@@ -221,7 +221,12 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     size/array_distinct expression — at 100 TB this filter is
     scan-bandwidth bound, exactly like quality_filter_funnel."""
     tune(spark)
-    d = load(spark, sf_dir, "documents")
+    # r12 (guide §2.5): map-only per-doc HOF work ran entirely on the
+    # single-file scan's 1-2 partitions; spreading the documents first
+    # parallelizes it.  Identical per-row results (distribution only).
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.split("text", " ")
     n = F.size(toks)
     # slice lengths clamped at 0: a 1-token document makes n-2 negative,
@@ -828,7 +833,12 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no shuffle beyond the scan: per-doc work is
     O(distinct x tokens) on an 80-token array, all codegen."""
     tune(spark)
-    d = load(spark, sf_dir, "documents")
+    # r12 (guide §2.5): map-only per-doc HOF work ran entirely on the
+    # single-file scan's 1-2 partitions; spreading the documents first
+    # parallelizes it.  Identical per-row results (distribution only).
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.split("text", " ")
     utoks = F.array_sort(F.array_distinct(toks))
     cnts = F.transform(

@@ -132,10 +132,14 @@ def test_bm25_is_takeordered_no_explode(spark):
 
 
 def test_entropy_is_map_only(spark):
-    """Per-doc entropy is a pure scan->project: no Exchange, no explode,
-    no Python — the whole operator rides the parquet scan."""
+    """Per-doc entropy is a pure scan->spread->project: no explode, no
+    Python, no aggregation — the per-doc HOF fold rides the scan.  The
+    ONLY exchange allowed is the r12 pre-HOF repartition that spreads
+    the single-file scan across cores (guide §2.5); any second exchange
+    means an aggregation or join crept in."""
     plan = plan_of(q("text_entropy", spark), mode="simple")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
     assert "Generate" not in plan
     assert "Python" not in plan
 
@@ -404,7 +408,9 @@ _SHUFFLE_BUDGET = {
     "dedup_incremental_exact": 3,
     "text_perplexity_proxy": 4,
     "quality_filter_funnel": 1,
-    "text_repetition_ratio": 0,
+    # r12: +1 = the pre-HOF spread of the single-file documents scan
+    # (the map-only work itself still adds no exchange)
+    "text_repetition_ratio": 1,
     "sort_multi_nulls": 2,
     "text_tf": 1,
     "win_retention_cohort": 2,  # window cohort, not agg+join (3)
@@ -415,7 +421,9 @@ _SHUFFLE_BUDGET = {
     "sample_importance_weighted": 0,
     "embed_matryoshka_truncate": 0,
     "text_bm25": 1,  # one 1-row stats agg; top-50 is TakeOrdered
-    "text_entropy": 0,  # map-only: per-doc HOF fold, no explode
+    # map-only per-doc HOF fold, no explode; r12: +1 = the pre-HOF
+    # spread of the single-file documents scan
+    "text_entropy": 1,
     "corpus_temperature_mix": 3,  # source agg + 1-row normalizer + reuse
     "ts_interpolate_linear": 3,  # user-distinct + daily agg + 1-row bounds
     "text_phrase_search": 1,  # one postings groupBy; term filter map-side
